@@ -1,0 +1,67 @@
+"""Data-format detection (routing column for analysis stages).
+
+Reference semantics: udata_hydra/data_formats/detect.py:11-32 and the
+per-format class attributes (data_format.py:52-63; csv_like/__init__.py:183-217;
+geojson/__init__.py:18-21; parquet/__init__.py:29-33; ogc/__init__.py:45-77).
+
+A format matches when the check's content-type starts with one of its
+valid mime types, OR its ``check_url`` substring appears in the url,
+OR the catalog ``format`` equals the class name (special cases: csv.gz,
+OGC formats). First match in the fixed order wins:
+csv, csvgz, xls, xlsx, geojson, parquet, wfs, wms.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qs, urlparse
+
+from hydra_ray.config import config
+
+# (name, valid_mime_prefixes, check_url substring)
+_FORMATS: list[tuple[str, tuple[str, ...], str | None]] = [
+    ("csv", ("text/csv", "application/csv", "text/plain"), None),
+    ("csvgz", ("application/gzip", "application/octet-stream", "application/x-gzip"), "csv.gz"),
+    ("xls", ("application/vnd.ms-excel",), None),
+    ("xlsx", ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",), None),
+    ("geojson", ("application/vnd.geo+json",), "geojson"),
+    ("parquet", ("application/vnd.apache.parquet",), "parquet"),
+]
+
+
+def _detect_ogc(fmt: str, url: str, resource_format: str | None) -> bool:
+    if not config.OGC_ANALYSIS_ENABLED or fmt not in config.OGC_FORMATS:
+        return False
+    if resource_format and resource_format.lower().replace("ogc:", "") == fmt:
+        return True
+    if not url:
+        return False
+    parsed = urlparse(url)
+    query_params = parse_qs(parsed.query.lower())
+    path_segments = parsed.path.lower().rstrip("/").split("/")
+    return fmt in query_params.get("service", []) or fmt in path_segments
+
+
+def detect_format(
+    content_type: str | None, url: str | None, resource_format: str | None
+) -> str | None:
+    """Return the detected format name or None.
+
+    ``content_type`` should already be the raw header value; prefix
+    matching is case-insensitive like the reference's ``.lower()``.
+    """
+    ct = (content_type or "").lower()
+    url = url or ""
+    for name, mimes, check_url in _FORMATS:
+        from_check = any(ct.startswith(m) for m in mimes) or (
+            check_url is not None and check_url in url
+        )
+        if name == "csvgz":
+            from_catalog = resource_format == "csv.gz"
+        else:
+            from_catalog = name == (resource_format or "")
+        if from_check or from_catalog:
+            return name
+    for fmt in ("wfs", "wms"):
+        if _detect_ogc(fmt, url, resource_format):
+            return fmt
+    return None

@@ -1,0 +1,178 @@
+"""Versioned Parquet tables (Lance-style semantics on plain Parquet).
+
+The north rule calls for Lance tables; the ``lance`` wheel is not
+available in this environment, so this module provides the same
+*semantics* on a directory of Parquet files with JSON manifests:
+
+    table_dir/
+      _versions/v00001.json   {"version":1,"parent":0,"files":[...],"meta":{}}
+      data/txn-<id>/part-*.parquet
+
+- every ``append``/``overwrite`` is a new immutable version (atomic
+  manifest rename), so readers never see partial writes and a crashed
+  run resumes from the last committed version — this is the
+  per-partition checkpoint mechanism;
+- ``read()`` returns a lazy ``ray.data.Dataset`` over the manifest's
+  files (never materializes);
+- ``merge_insert`` implements last-wins upsert by key, the Lance
+  ``merge_insert`` / reference ``ON CONFLICT DO UPDATE`` equivalent
+  (udata_hydra/db/resource.py:64-79).
+
+Swapping the physical layer for real Lance on a cluster is a local
+change confined to this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+
+class VersionedTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.versions_dir = os.path.join(path, "_versions")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.versions_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- version bookkeeping ---------------------------------------------
+    def latest_version(self) -> int:
+        versions = [
+            int(f[1:6]) for f in os.listdir(self.versions_dir) if f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.versions_dir, f"v{version:05d}.json")
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "parent": None, "files": [], "meta": {}}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, files: list[str], meta: dict | None, parent: int) -> int:
+        version = parent + 1
+        manifest = {"version": version, "parent": parent, "files": files, "meta": meta or {}}
+        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(version))
+        return version
+
+    # -- writes -----------------------------------------------------------
+    def _write_data(self, data: "rd.Dataset | pa.Table") -> list[str]:
+        txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
+        if isinstance(data, pa.Table):
+            os.makedirs(txn_dir, exist_ok=True)
+            out = os.path.join(txn_dir, "part-0.parquet")
+            pq.write_table(data, out, compression="zstd")
+            return [out]
+        data.write_parquet(txn_dir, compression="zstd")
+        return sorted(
+            os.path.join(txn_dir, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
+        )
+
+    def append(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
+        parent = self.latest_version()
+        prev = self._load_manifest(parent)
+        files = prev["files"] + self._write_data(data)
+        return self._commit(files, meta, parent)
+
+    def overwrite(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
+        parent = self.latest_version()
+        files = self._write_data(data)
+        return self._commit(files, meta, parent)
+
+    def commit_meta(self, meta: dict) -> int:
+        """New version with same files, updated metadata (checkpoint cursor)."""
+        parent = self.latest_version()
+        prev = self._load_manifest(parent)
+        merged = {**prev.get("meta", {}), **meta}
+        return self._commit(prev["files"], merged, parent)
+
+    # -- reads ------------------------------------------------------------
+    def files(self, version: int | None = None) -> list[str]:
+        return self._load_manifest(version)["files"]
+
+    def meta(self, version: int | None = None) -> dict:
+        return self._load_manifest(version).get("meta", {})
+
+    def is_empty(self, version: int | None = None) -> bool:
+        return not self.files(version)
+
+    def read(self, version: int | None = None, columns: list[str] | None = None, **kwargs) -> "rd.Dataset":
+        files = self.files(version)
+        if not files:
+            raise ValueError(f"table {self.path} is empty")
+        return rd.read_parquet(files, columns=columns, **kwargs)
+
+    def read_arrow(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
+        """Driver-side read — only for small tables (manifests, tests)."""
+        files = self.files(version)
+        if not files:
+            raise ValueError(f"table {self.path} is empty")
+        return pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files], promote_options="default"
+        )
+
+    def count(self, version: int | None = None) -> int:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in self.files(version))
+
+    # -- upsert -----------------------------------------------------------
+    def merge_insert(self, data: "rd.Dataset | pa.Table", key: str, meta: dict | None = None) -> int:
+        """Last-wins upsert by ``key`` (new rows shadow existing ones).
+
+        Implemented as a hash-partitioned anti-join: existing rows whose
+        key appears in the incoming batch are dropped, then the incoming
+        rows are appended. The incoming side is deduped last-wins.
+        """
+        if isinstance(data, pa.Table):
+            incoming = rd.from_arrow(data)
+        else:
+            incoming = data
+        # Dedup incoming last-wins (keep the final occurrence per key).
+        import pandas as pd
+
+        def dedup_last(g: pd.DataFrame) -> pd.DataFrame:
+            return g.tail(1)
+
+        incoming = incoming.groupby(key).map_groups(dedup_last, batch_format="pandas")
+        incoming_tbl = _ds_to_arrow(incoming)
+        new_keys = set(incoming_tbl[key].to_pylist())
+
+        if not self.is_empty():
+            import pyarrow.compute as pc
+
+            def drop_updated(batch: pa.Table) -> pa.Table:
+                mask = pc.invert(pc.is_in(batch[key], value_set=pa.array(list(new_keys))))
+                return batch.filter(mask)
+
+            survivors = self.read().map_batches(drop_updated, batch_format="pyarrow")
+            survivors_tbl = _ds_to_arrow(survivors)
+            if survivors_tbl.num_rows:
+                merged = pa.concat_tables(
+                    [survivors_tbl, incoming_tbl.select(survivors_tbl.column_names)],
+                    promote_options="default",
+                )
+            else:
+                merged = incoming_tbl
+        else:
+            merged = incoming_tbl
+        return self.overwrite(merged, meta=meta)
+
+
+def _ds_to_arrow(ds: "rd.Dataset") -> pa.Table:
+    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables, promote_options="default")

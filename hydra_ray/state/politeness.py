@@ -1,0 +1,200 @@
+"""Per-domain politeness (backoff / rate-limit) actor shards.
+
+The reference derives backoff from SQL over the ``checks`` log on
+every URL (udata_hydra/crawl/helpers.py:77-150): a sliding-window
+count (BACKOFF_NB_REQ completed requests per BACKOFF_PERIOD seconds
+per domain), a 429 cool-off of COOL_OFF_PERIOD seconds, and
+x-ratelimit header inspection on the latest check. We keep identical
+thresholds and decision order, but hold the state incrementally in
+sharded actors keyed by ``hash(domain) % n_shards`` — no SQL window
+scan per URL, O(1) per decision, and deterministic under the injected
+clock (`now` is an explicit float epoch-seconds argument everywhere).
+
+Batched API: one actor call per (shard, batch), never per row.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import ray
+
+from hydra_ray.config import config
+
+
+class _DomainState:
+    __slots__ = ("completed", "last_status", "last_at", "rl_remaining", "rl_limit")
+
+    def __init__(self) -> None:
+        self.completed: deque[float] = deque()  # completed-request timestamps
+        self.last_status: int | None = None
+        self.last_at: float | None = None
+        self.rl_remaining: float | None = None
+        self.rl_limit: float | None = None
+
+
+class PolitenessState:
+    """Plain-python core (unit-testable without Ray)."""
+
+    def __init__(
+        self,
+        backoff_nb_req: int | None = None,
+        backoff_period: float | None = None,
+        cool_off_period: float | None = None,
+        no_backoff_domains: set[str] | None = None,
+    ):
+        self.backoff_nb_req = backoff_nb_req if backoff_nb_req is not None else config.BACKOFF_NB_REQ
+        self.backoff_period = backoff_period if backoff_period is not None else config.BACKOFF_PERIOD
+        self.cool_off_period = (
+            cool_off_period if cool_off_period is not None else config.COOL_OFF_PERIOD
+        )
+        self.no_backoff = (
+            no_backoff_domains if no_backoff_domains is not None else set(config.NO_BACKOFF_DOMAINS)
+        )
+        self.domains: dict[str, _DomainState] = {}
+
+    def _state(self, domain: str) -> _DomainState:
+        st = self.domains.get(domain)
+        if st is None:
+            st = self.domains[domain] = _DomainState()
+        return st
+
+    def _prune(self, st: _DomainState, now: float) -> None:
+        horizon = now - self.backoff_period
+        while st.completed and st.completed[0] < horizon:
+            st.completed.popleft()
+
+    def should_backoff(self, domain: str, now: float) -> tuple[bool, str]:
+        """Decision order identical to the reference: window count first,
+        then 429 cool-off, then x-ratelimit inspection of latest check."""
+        if domain in self.no_backoff:
+            return False, ""
+        st = self.domains.get(domain)
+        if st is None:
+            return False, ""
+        self._prune(st, now)
+        if len(st.completed) >= self.backoff_nb_req:
+            return True, f"Too many requests: {len(st.completed)}"
+        if st.last_at is not None and st.last_at >= now - self.cool_off_period:
+            if st.last_status == 429:
+                return True, "429 status code has been returned on the latest call"
+            if st.rl_remaining is not None and st.rl_limit is not None:
+                remain, limit = st.rl_remaining, st.rl_limit
+                if limit == -1:
+                    return False, ""
+                if remain == 0 or limit == 0:
+                    return True, "X-ratelimit reached"
+                if remain / limit <= 0.1 and st.last_at > now - self.backoff_period:
+                    return True, "X-ratelimit reached"
+        return False, ""
+
+    def record_check(
+        self,
+        domain: str,
+        now: float,
+        status: int | None = None,
+        ratelimit_remaining: str | float | None = None,
+        ratelimit_limit: str | float | None = None,
+    ) -> None:
+        """A completed request on ``domain`` (the reference counts rows
+        inserted into ``checks``)."""
+        st = self._state(domain)
+        st.completed.append(now)
+        st.last_at = now
+        st.last_status = status
+        try:
+            st.rl_remaining = float(ratelimit_remaining)  # type: ignore[arg-type]
+            st.rl_limit = float(ratelimit_limit)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            st.rl_remaining = None
+            st.rl_limit = None
+
+    # -- checkpointing ----------------------------------------------------
+    def serialize(self) -> dict:
+        return {
+            d: (list(st.completed), st.last_status, st.last_at, st.rl_remaining, st.rl_limit)
+            for d, st in self.domains.items()
+        }
+
+    def restore(self, blob: dict) -> None:
+        self.domains = {}
+        for d, (completed, last_status, last_at, rl_rem, rl_lim) in blob.items():
+            st = self._state(d)
+            st.completed = deque(completed)
+            st.last_status = last_status
+            st.last_at = last_at
+            st.rl_remaining = rl_rem
+            st.rl_limit = rl_lim
+
+
+@ray.remote(num_cpus=0.25)
+class PolitenessShard:
+    def __init__(self, **kwargs):
+        self.state = PolitenessState(**kwargs)
+
+    def should_backoff_batch(self, domains: list[str], now: float) -> list[tuple[bool, str]]:
+        return [self.state.should_backoff(d, now) for d in domains]
+
+    def record_checks(self, records: list[tuple], now: float) -> None:
+        """records: (domain, status, ratelimit_remaining, ratelimit_limit)."""
+        for domain, status, rl_rem, rl_lim in records:
+            self.state.record_check(domain, now, status, rl_rem, rl_lim)
+
+    def serialize(self) -> dict:
+        return self.state.serialize()
+
+    def restore(self, blob: dict) -> None:
+        self.state.restore(blob)
+
+
+def _domain_shard(domain: str, n: int) -> int:
+    """Stable shard routing (python hash() is salted per process)."""
+    import zlib
+
+    return zlib.crc32(domain.encode("utf-8", "surrogateescape")) % n
+
+
+class PolitenessPool:
+    """Driver/stage facade: batched scatter-gather over shards.
+
+    Per-domain budget stays global no matter how the frontier is salted
+    or partitioned, because every partition consults the same shard for
+    a given domain.
+    """
+
+    def __init__(self, shards: list):
+        self.shards = shards
+        self.n = len(shards)
+
+    @classmethod
+    def create(cls, n_shards: int = 4, **kwargs) -> "PolitenessPool":
+        return cls([PolitenessShard.remote(**kwargs) for _ in range(n_shards)])
+
+    def should_backoff(self, domains: list[str], now: float) -> list[tuple[bool, str]]:
+        by_shard: dict[int, list[int]] = {}
+        for i, d in enumerate(domains):
+            by_shard.setdefault(_domain_shard(d, self.n), []).append(i)
+        refs = {
+            s: self.shards[s].should_backoff_batch.remote([domains[i] for i in idxs], now)
+            for s, idxs in by_shard.items()
+        }
+        out: list[tuple[bool, str]] = [(False, "")] * len(domains)
+        for s, idxs in by_shard.items():
+            for i, res in zip(idxs, ray.get(refs[s])):
+                out[i] = tuple(res)
+        return out
+
+    def record_checks(self, records: list[tuple], now: float) -> None:
+        by_shard: dict[int, list[tuple]] = {}
+        for rec in records:
+            by_shard.setdefault(_domain_shard(rec[0], self.n), []).append(rec)
+        ray.get(
+            [self.shards[s].record_checks.remote(recs, now) for s, recs in by_shard.items()]
+        )
+
+    def serialize(self) -> list[dict]:
+        return ray.get([s.serialize.remote() for s in self.shards])
+
+    def restore(self, blobs: list[dict]) -> None:
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
