@@ -68,7 +68,7 @@ def compile_excluded(patterns: list[str]) -> re.Pattern | None:
 # Vectorized versions (Arrow batch in / arrays out) for map_batches stages.
 # ---------------------------------------------------------------------------
 
-_NETLOC_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)")
+_NETLOC_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<netloc>[^/?#]*)")
 
 
 def domains_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -80,9 +80,8 @@ def domains_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     like urlparse does for e.g. 'not a url'.
     """
     extracted = pc.extract_regex(urls, pattern=_NETLOC_RE.pattern)
-    # extract_regex returns struct with one field per capture group (null on miss)
-    netloc = pc.struct_field(extracted, [0])
-    return pc.fill_null(netloc, "").combine_chunks() if isinstance(netloc, pa.ChunkedArray) else pc.fill_null(netloc, "")
+    netloc = pc.fill_null(pc.struct_field(extracted, "netloc"), "")
+    return netloc.combine_chunks() if isinstance(netloc, pa.ChunkedArray) else netloc
 
 
 def md5_hex_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -1,0 +1,465 @@
+"""The crawl loop: frontier → politeness → fetch → checks → analysis → docs.
+
+Ray-Data-native equivalent of the reference's three cooperating
+processes (crawler loop crawl/__init__.py:27-37, RQ workers, webhook
+sender): one iteration is a single streaming Dataset pipeline over the
+selected batch, with all shared state in actor pools
+(politeness/URL-seen) and versioned tables (catalog checkpoint, checks
+log, interleaved documents, payloads, metrics).
+
+Determinism contract (replaces the reference's wall clock + ORDER BY
+random()): a virtual clock ``t0 + iteration * SLEEP_BETWEEN_BATCHES``
+and the seeded rank ordering (stages/frontier.py). Under a fixed seed
+the sequence of (iteration, tier, resource) selections, politeness
+decisions, check rows and span documents is a pure function of the
+seed catalog — at any parallelism level, which is what the scaling
+benchmark and the cross-parallelism parity test assert.
+
+Checkpoint/resume: every iteration commits (a) the merged catalog
+version carrying last-check columns + frontier cursor in the manifest
+meta, (b) appended checks/docs/payloads/metrics versions, (c) the
+politeness + cuckoo shard state serialized next to the manifest. A
+killed run resumes from the last committed iteration (see
+``CrawlEngine.resume``/tests/test_crawler/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from hydra_ray.config import config
+from hydra_ray.functions.urls import canonicalize_batch
+from hydra_ray.sources.store import VersionedTable, _ds_to_arrow
+from hydra_ray.stages.analysis import Analyser
+from hydra_ray.stages.checks_stage import build_checks_batch
+from hydra_ray.stages.fetcher import Fetcher
+from hydra_ray.stages.frontier import select_batch
+from hydra_ray.stages.spans import build_spans_batch
+from hydra_ray.state.politeness import PolitenessPool
+from hydra_ray.state.urlseen import UrlSeenPool
+
+VIRTUAL_T0 = datetime(2026, 1, 1, 0, 0, 0)  # virtual clock origin (naive UTC)
+
+_CHECK_COLS = [
+    "check_id",
+    "resource_id",
+    "dataset_id",
+    "url",
+    "domain",
+    "created_at",
+    "check_status",
+    "check_headers",
+    "check_cors_headers",
+    "check_timeout",
+    "response_time",
+    "check_error",
+    "checksum",
+    "filesize",
+    "mime_type",
+    "analysis_error",
+    "detected_last_modified_at_new",
+    "next_check_at",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        workdir: str,
+        seed: int | None = None,
+        transport: dict | None = None,
+        batch_size: int | None = None,
+        fetch_concurrency: int | None = None,
+        urlseen_shards: int | None = None,
+        politeness_shards: int | None = None,
+        politeness_kwargs: dict | None = None,
+    ):
+        self.workdir = workdir
+        self.seed = config.ORDERING_SEED if seed is None else seed
+        self.batch_size = batch_size or config.BATCH_SIZE
+        self.fetch_concurrency = fetch_concurrency or config.FETCH_CONCURRENCY
+        self.transport = transport or {"kind": "synthetic"}
+        os.makedirs(os.path.join(workdir, "state"), exist_ok=True)
+        self.catalog = VersionedTable(os.path.join(workdir, "catalog"))
+        self.checks = VersionedTable(os.path.join(workdir, "checks"))
+        self.documents = VersionedTable(os.path.join(workdir, "documents"))
+        self.payloads = VersionedTable(os.path.join(workdir, "payloads"))
+        self.metrics = VersionedTable(os.path.join(workdir, "metrics"))
+        self.urlseen = UrlSeenPool.create(n_shards=urlseen_shards or config.URLSEEN_SHARDS)
+        self.politeness = PolitenessPool.create(
+            n_shards=politeness_shards or config.POLITENESS_SHARDS, **(politeness_kwargs or {})
+        )
+        self.iteration = int(self.catalog.meta().get("iteration", 0))
+        self._maybe_restore_state()
+
+    # -- time -------------------------------------------------------------
+    def now_dt(self, iteration: int | None = None) -> datetime:
+        from datetime import timedelta
+
+        it = self.iteration if iteration is None else iteration
+        return VIRTUAL_T0 + timedelta(seconds=it * config.SLEEP_BETWEEN_BATCHES)
+
+    def now_epoch(self, iteration: int | None = None) -> float:
+        return self.now_dt(iteration).replace(tzinfo=timezone.utc).timestamp()
+
+    # -- catalog ingest (S1) ----------------------------------------------
+    def load_catalog(self, seed: "rd.Dataset | pa.Table") -> int:
+        """Canonicalize + URL-seen dedup + upsert into the catalog table.
+
+        Mirrors cli/catalog.py:20-98: rows already present (by url/
+        resource_id) are updated, new ones inserted; the URL-seen cuckoo
+        shards learn every canonical url_key.
+        """
+        if isinstance(seed, pa.Table):
+            seed_ds = rd.from_arrow(seed)
+        else:
+            seed_ds = seed
+        canon = seed_ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+        canon = canon.map_batches(_add_frontier_columns, batch_format="pyarrow")
+        tbl = _ds_to_arrow(canon)
+        # register every url in the seen set; first-wins dedup inside the load
+        keys = tbl["url_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_new = self.urlseen.add_if_new(keys)
+        if self.catalog.is_empty():
+            tbl = tbl.filter(pa.array(is_new))
+            self.catalog.overwrite(tbl, meta={"iteration": self.iteration})
+        else:
+            # re-loads refresh existing rows (upsert) and add the new ones
+            self.catalog.merge_insert(tbl, key="resource_id", meta={"iteration": self.iteration})
+        self._save_state()
+        return self.catalog.count()
+
+    # -- one iteration -----------------------------------------------------
+    def run_iteration(self) -> dict:
+        it = self.iteration
+        now = self.now_dt(it)
+        now64 = np.datetime64(now, "us")
+        now_epoch = self.now_epoch(it)
+
+        frontier = self.catalog.read()
+        selected = select_batch(frontier, it, now64, batch_size=self.batch_size, seed=self.seed)
+        stats = {"iteration": it, "selected": selected.num_rows}
+        if selected.num_rows == 0:
+            self._finish_iteration([], stats)
+            return stats
+
+        # politeness: deterministic per-iteration quota per domain, applied
+        # in crawl (rank) order — selected is already sorted by (tier, rank)
+        domains = selected["domain"].to_pylist()
+        dom_counts: dict[str, int] = {}
+        for d in domains:
+            dom_counts[d] = dom_counts.get(d, 0) + 1
+        allowed = self.politeness.reserve(list(dom_counts.items()), now_epoch)
+        seen_so_far: dict[str, int] = {}
+        allow_mask = np.zeros(selected.num_rows, dtype=bool)
+        for i, d in enumerate(domains):
+            k = seen_so_far.get(d, 0)
+            allow_mask[i] = k < allowed.get(d, 0)
+            seen_so_far[d] = k + 1
+        backoff_rows = selected.filter(pa.array(~allow_mask))
+        fetch_rows = selected.filter(pa.array(allow_mask))
+        stats["backoff"] = backoff_rows.num_rows
+
+        updates: list[pa.Table] = []
+        if backoff_rows.num_rows:
+            updates.append(_frontier_update_backoff(backoff_rows, now))
+
+        if fetch_rows.num_rows:
+            n_blocks = max(1, min(self.fetch_concurrency * 2, fetch_rows.num_rows // 64 + 1))
+            ds = rd.from_arrow(fetch_rows).repartition(n_blocks)
+            ds = ds.map_batches(
+                Fetcher,
+                fn_constructor_kwargs={"transport": self.transport},
+                batch_format="pyarrow",
+                batch_size=config.FETCH_BATCH_SIZE,
+                concurrency=min(self.fetch_concurrency, n_blocks),
+            )
+            ds = ds.map_batches(
+                lambda b: build_checks_batch(b, iteration=it, now=now.replace(tzinfo=timezone.utc)),
+                batch_format="pyarrow",
+            )
+            ds = ds.map_batches(
+                Analyser,
+                fn_constructor_kwargs={"transport": self.transport},
+                batch_format="pyarrow",
+                batch_size=config.FETCH_BATCH_SIZE,
+                concurrency=min(self.fetch_concurrency, n_blocks),
+            )
+            result = _ds_to_arrow(ds)
+
+            # 1. checks log (append-only)
+            checks_tbl = _to_checks_table(result)
+            self.checks.append(checks_tbl)
+
+            # 2. interleaved span documents for parsed resources
+            parse_rows = result.filter(pc.equal(result["do_parse"], True))
+            if parse_rows.num_rows:
+                docs = self._build_documents(parse_rows)
+                if self.documents.is_empty():
+                    self.documents.overwrite(docs)
+                else:
+                    self.documents.merge_insert(docs, key="doc_id")
+
+            # 3. webhook payloads (check payloads + analysis payloads)
+            pl = _payload_rows(result, it)
+            if pl.num_rows:
+                self.payloads.append(pl)
+
+            # 4. frontier updates
+            updates.append(_frontier_update_fetched(result, now))
+
+            # 5. politeness bookkeeping: per-domain completed counts + the
+            # latest check's status/ratelimit headers (in crawl order)
+            self.politeness.record_agg(_politeness_records(result), now_epoch)
+
+            out = result["outcome"].to_pylist()
+            for o in ("ok", "timeout", "error"):
+                stats[o] = sum(1 for x in out if x == o)
+            stats["parsed"] = int(parse_rows.num_rows)
+            stats["changed"] = int(
+                pc.sum(pc.cast(result["has_changed"], pa.int32())).as_py() or 0
+            )
+
+        self._finish_iteration(updates, stats)
+        return stats
+
+    def run(self, iterations: int = 1) -> list[dict]:
+        return [self.run_iteration() for _ in range(iterations)]
+
+    # -- internals ---------------------------------------------------------
+    def _build_documents(self, parse_rows: pa.Table) -> pa.Table:
+        urls = parse_rows["url"].to_pylist()
+        rids = parse_rows["resource_id"].to_pylist()
+        epoch = self.transport.get("epoch", 0) if isinstance(self.transport, dict) else 0
+        from hydra_ray import synth
+
+        texts = [synth.synthetic_text(u, epoch=epoch) for u in urls]
+        src = pa.table({"doc_id": pa.array(rids, type=pa.string()), "text": pa.array(texts)})
+        return build_spans_batch(src)
+
+    def _finish_iteration(self, updates: list[pa.Table], stats: dict) -> None:
+        now = self.now_dt(self.iteration)
+        if updates:
+            upd = pa.concat_tables(updates, promote_options="default")
+            self.catalog.merge_insert(upd, key="resource_id", meta={"iteration": self.iteration + 1})
+        else:
+            self.catalog.commit_meta({"iteration": self.iteration + 1})
+        metrics = pa.table(
+            {
+                "iteration": pa.array([stats["iteration"]] * len(stats), type=pa.int64()),
+                "partition": pa.array([0] * len(stats), type=pa.int32()),
+                "metric": pa.array(list(stats.keys())),
+                "value": pa.array([float(v) for v in stats.values()], type=pa.float64()),
+                "created_at": pa.array([now] * len(stats), type=pa.timestamp("us")),
+            }
+        )
+        self.metrics.append(metrics)
+        self.iteration += 1
+        self._save_state()
+
+    def _state_path(self, iteration: int) -> str:
+        return os.path.join(self.workdir, "state", f"iter{iteration:06d}.pkl")
+
+    def _save_state(self) -> None:
+        blob = {
+            "iteration": self.iteration,
+            "politeness": self.politeness.serialize(),
+            "urlseen": self.urlseen.serialize(),
+        }
+        path = self._state_path(self.iteration)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(blob, f)
+        os.replace(tmp, path)
+
+    def _maybe_restore_state(self) -> None:
+        path = self._state_path(self.iteration)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            self.politeness.restore(blob["politeness"])
+            self.urlseen.restore(blob["urlseen"])
+
+
+# ---------------------------------------------------------------------------
+# batch helpers (module-level so Ray serializes cheaply)
+# ---------------------------------------------------------------------------
+
+
+def _add_frontier_columns(batch: pa.Table) -> pa.Table:
+    """Fill the frontier/last-check columns a fresh catalog row needs."""
+    n = len(batch)
+    ts = pa.timestamp("us")
+    defaults: list[tuple[str, pa.Array]] = [
+        ("type", pa.array(["main"] * n)),
+        ("title", pa.nulls(n, pa.string())),
+        ("deleted", pa.array([False] * n)),
+        ("priority", pa.array([False] * n)),
+        ("status", pa.nulls(n, pa.string())),
+        ("status_since", pa.nulls(n, ts)),
+        ("harvest_modified_at", pa.nulls(n, ts)),
+        ("last_check_id", pa.nulls(n, pa.int64())),
+        ("last_check_at", pa.nulls(n, ts)),
+        ("last_status", pa.nulls(n, pa.int32())),
+        ("last_timeout", pa.nulls(n, pa.bool_())),
+        ("last_error", pa.nulls(n, pa.string())),
+        ("last_headers", pa.nulls(n, pa.string())),
+        ("last_cors_headers", pa.nulls(n, pa.string())),
+        ("last_checksum", pa.nulls(n, pa.string())),
+        ("last_filesize", pa.nulls(n, pa.int64())),
+        ("last_mime_type", pa.nulls(n, pa.string())),
+        ("detected_last_modified_at", pa.nulls(n, ts)),
+        ("next_check_at", pa.nulls(n, ts)),
+    ]
+    out = batch
+    for name, arr in defaults:
+        if name not in out.column_names:
+            out = out.append_column(name, arr)
+    return out
+
+
+_FRONTIER_COLS = [
+    "dataset_id",
+    "resource_id",
+    "url",
+    "type",
+    "format",
+    "title",
+    "deleted",
+    "priority",
+    "status",
+    "status_since",
+    "harvest_modified_at",
+    "domain",
+    "url_md5",
+    "url_key",
+    "last_check_id",
+    "last_check_at",
+    "last_status",
+    "last_timeout",
+    "last_error",
+    "last_headers",
+    "last_cors_headers",
+    "last_checksum",
+    "last_filesize",
+    "last_mime_type",
+    "detected_last_modified_at",
+    "next_check_at",
+]
+
+
+def _frontier_update_backoff(rows: pa.Table, now: datetime) -> pa.Table:
+    n = rows.num_rows
+    out = rows.select([c for c in _FRONTIER_COLS if c in rows.column_names])
+    out = _set_column(out, "status", pa.array(["BACKOFF"] * n))
+    out = _set_column(out, "status_since", pa.array([now] * n, type=pa.timestamp("us")))
+    out = _set_column(out, "priority", pa.array([False] * n))
+    return out
+
+
+def _frontier_update_fetched(result: pa.Table, now: datetime) -> pa.Table:
+    """Post-check frontier row: status reset, priority reset, last-check
+    columns replaced by the new check's values."""
+    n = result.num_rows
+    out = result.select([c for c in _FRONTIER_COLS if c in result.column_names])
+    out = _set_column(out, "status", pa.nulls(n, pa.string()))
+    out = _set_column(out, "status_since", pa.array([now] * n, type=pa.timestamp("us")))
+    out = _set_column(out, "priority", pa.array([False] * n))
+    out = _set_column(out, "last_check_id", result["check_id"])
+    out = _set_column(out, "last_check_at", result["created_at"])
+    out = _set_column(out, "last_status", result["check_status"])
+    out = _set_column(out, "last_timeout", result["check_timeout"])
+    out = _set_column(out, "last_error", result["check_error"])
+    out = _set_column(out, "last_headers", result["check_headers"])
+    out = _set_column(out, "last_cors_headers", result["check_cors_headers"])
+    out = _set_column(out, "last_checksum", result["checksum"])
+    out = _set_column(out, "last_filesize", result["filesize"])
+    out = _set_column(out, "last_mime_type", result["mime_type"])
+    # detected_last_modified_at passes check → check unless refreshed
+    new_dlma = pc.coalesce(result["detected_last_modified_at_new"], result["detected_last_modified_at"])
+    out = _set_column(out, "detected_last_modified_at", new_dlma)
+    out = _set_column(out, "next_check_at", result["next_check_at"])
+    return out
+
+
+def _set_column(tbl: pa.Table, name: str, arr) -> pa.Table:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if name in tbl.column_names:
+        tbl = tbl.drop_columns([name])
+    return tbl.append_column(name, arr)
+
+
+def _to_checks_table(result: pa.Table) -> pa.Table:
+    cols = {
+        "id": result["check_id"],
+        "resource_id": result["resource_id"],
+        "dataset_id": result["dataset_id"],
+        "url": result["url"],
+        "domain": result["domain"],
+        "created_at": result["created_at"],
+        "status": result["check_status"],
+        "headers": result["check_headers"],
+        "cors_headers": result["check_cors_headers"],
+        "timeout": result["check_timeout"],
+        "response_time": result["response_time"],
+        "error": result["check_error"],
+        "checksum": result["checksum"],
+        "filesize": result["filesize"],
+        "mime_type": result["mime_type"],
+        "analysis_error": result["analysis_error"],
+        "detected_last_modified_at": result["detected_last_modified_at_new"],
+        "parsing_error": pa.nulls(result.num_rows, pa.string()),
+        "parsing_table": pc.if_else(
+            result["do_parse"], result["url_md5"], pa.nulls(result.num_rows, pa.string())
+        ),
+        "next_check_at": result["next_check_at"],
+    }
+    return pa.table({k: (v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v) for k, v in cols.items()})
+
+
+def _payload_rows(result: pa.Table, iteration: int) -> pa.Table:
+    rows_rid, rows_did, rows_kind, rows_payload = [], [], [], []
+    rids = result["resource_id"].to_pylist()
+    dids = result["dataset_id"].to_pylist()
+    for j, (cp, ap) in enumerate(zip(result["payload"].to_pylist(), result["analysis_payload"].to_pylist())):
+        if cp:
+            rows_rid.append(rids[j]); rows_did.append(dids[j]); rows_kind.append("check"); rows_payload.append(cp)
+        if ap:
+            rows_rid.append(rids[j]); rows_did.append(dids[j]); rows_kind.append("analysis"); rows_payload.append(ap)
+    return pa.table(
+        {
+            "iteration": pa.array([iteration] * len(rows_rid), type=pa.int64()),
+            "dataset_id": pa.array(rows_did, type=pa.string()),
+            "resource_id": pa.array(rows_rid, type=pa.string()),
+            "kind": pa.array(rows_kind, type=pa.string()),
+            "payload": pa.array(rows_payload, type=pa.string()),
+        }
+    )
+
+
+def _politeness_records(result: pa.Table) -> list[tuple]:
+    """(domain, n_completed, last_status, rl_remaining, rl_limit) per domain,
+    'last' = the last row in crawl order for that domain."""
+    doms = result["domain"].to_pylist()
+    statuses = result["check_status"].to_pylist()
+    headers = result["check_headers"].to_pylist()
+    agg: dict[str, list] = {}
+    for d, s, h in zip(doms, statuses, headers):
+        hd = json.loads(h) if h else {}
+        rec = agg.setdefault(d, [0, None, None, None])
+        rec[0] += 1
+        rec[1] = s
+        rec[2] = hd.get("x-ratelimit-remaining")
+        rec[3] = hd.get("x-ratelimit-limit")
+    return [(d, r[0], r[1], r[2], r[3]) for d, r in agg.items()]

@@ -137,34 +137,31 @@ class VersionedTable:
         key appears in the incoming batch are dropped, then the incoming
         rows are appended. The incoming side is deduped last-wins.
         """
-        if isinstance(data, pa.Table):
-            incoming = rd.from_arrow(data)
-        else:
-            incoming = data
-        # Dedup incoming last-wins (keep the final occurrence per key).
-        import pandas as pd
+        import numpy as np
+        import pyarrow.compute as pc
 
-        def dedup_last(g: pd.DataFrame) -> pd.DataFrame:
-            return g.tail(1)
-
-        incoming = incoming.groupby(key).map_groups(dedup_last, batch_format="pandas")
-        incoming_tbl = _ds_to_arrow(incoming)
-        new_keys = set(incoming_tbl[key].to_pylist())
+        incoming_tbl = data if isinstance(data, pa.Table) else _ds_to_arrow(data)
+        # last-wins dedup by key, Arrow/numpy only (pandas would mangle types)
+        keys = np.asarray(incoming_tbl[key].to_pylist())
+        if len(np.unique(keys)) < len(keys):
+            _, first_in_reversed = np.unique(keys[::-1], return_index=True)
+            idx = np.sort(len(keys) - 1 - first_in_reversed)
+            incoming_tbl = incoming_tbl.take(pa.array(idx))
 
         if not self.is_empty():
-            import pyarrow.compute as pc
+            new_keys = incoming_tbl[key].combine_chunks() if isinstance(
+                incoming_tbl[key], pa.ChunkedArray
+            ) else incoming_tbl[key]
 
             def drop_updated(batch: pa.Table) -> pa.Table:
-                mask = pc.invert(pc.is_in(batch[key], value_set=pa.array(list(new_keys))))
-                return batch.filter(mask)
+                return batch.filter(pc.invert(pc.is_in(batch[key], value_set=new_keys)))
 
-            survivors = self.read().map_batches(drop_updated, batch_format="pyarrow")
-            survivors_tbl = _ds_to_arrow(survivors)
+            survivors_tbl = _ds_to_arrow(self.read().map_batches(drop_updated, batch_format="pyarrow"))
             if survivors_tbl.num_rows:
-                merged = pa.concat_tables(
-                    [survivors_tbl, incoming_tbl.select(survivors_tbl.column_names)],
-                    promote_options="default",
+                incoming_tbl = incoming_tbl.select(survivors_tbl.column_names).cast(
+                    survivors_tbl.schema
                 )
+                merged = pa.concat_tables([survivors_tbl, incoming_tbl])
             else:
                 merged = incoming_tbl
         else:

@@ -1,0 +1,216 @@
+"""Resource analysis stage: change detection → download → checksum/mime.
+
+Actor-pool ``map_batches`` stage reproducing the reference's
+``analyse_resource`` worker job (udata_hydra/analysis/resource.py:41-184):
+
+  1. early-hints change detection over the top-2 checks window
+     (harvest date → last-modified header → content-length;
+     resource.py:285-336) — the window is O(1) here because the
+     previous check's columns ride on the frontier row;
+  2. when NO_GUESS / HAS_CHANGED (or forced): download (size-capped per
+     format, utils/file.py:46-115), sha1 checksum
+     (utils/file.py:26-34), mime sniff (libmagic stubbed with a
+     deterministic content-type map — the real library is not in this
+     container), checksum-based change detection (resource.py:210-233);
+  3. when HAS_NOT_CHANGED: copy checksum/filesize/mime from the
+     previous check (resource.py:128-133);
+  4. detected_last_modified_at / next_check_at updates
+     (resource.py:187-207) and format detection for routing
+     (data_formats/detect.py) + the analysis payload for udata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+from hydra_ray.config import config
+from hydra_ray.functions.checks import (
+    Change,
+    calculate_next_check_date,
+    detect_change_from_checksum,
+    detect_change_on_early_hints,
+)
+from hydra_ray.functions.detect import detect_format
+from hydra_ray.functions.payload import flatten_payload
+from hydra_ray.stages.fetcher import make_transport
+
+# libmagic stub: deterministic mime from detected format (the reference
+# shells into libmagic on the downloaded bytes; same purpose, no binary dep)
+_MAGIC_MIME = {
+    "csv": "text/csv",
+    "csvgz": "application/gzip",
+    "xls": "application/vnd.ms-excel",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "geojson": "application/json",
+    "parquet": "application/vnd.apache.parquet",
+    "json": "application/json",
+    "pdf": "application/pdf",
+}
+
+PARSEABLE_FORMATS = {"csv", "csvgz", "xls", "xlsx", "parquet"}
+
+
+def _max_size_for(fmt: str | None) -> int:
+    if fmt is None:
+        return config.DEFAULT_MAX_FILESIZE_ALLOWED
+    return config.MAX_FILESIZE_ALLOWED.get(fmt, config.DEFAULT_MAX_FILESIZE_ALLOWED)
+
+
+class Analyser:
+    """One transport per actor; batch body is a per-row loop over the
+    change-detection decision tree (branchy row logic, not a kernel)."""
+
+    def __init__(self, transport: dict | None = None, force_analysis: bool = False):
+        self.transport = make_transport(transport or {"kind": "synthetic"})
+        self.force = force_analysis
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        urls = batch["url"].to_pylist()
+        formats = batch["format"].to_pylist()
+        headers_js = batch["check_headers"].to_pylist()
+        created_at = batch["created_at"].to_pylist()
+        harvest = (
+            batch["harvest_modified_at"].to_pylist()
+            if "harvest_modified_at" in batch.column_names
+            else [None] * n
+        )
+        has_last = [x is not None for x in batch["last_check_id"].to_pylist()]
+        last_at = batch["last_check_at"].to_pylist()
+        last_headers_js = batch["last_headers"].to_pylist()
+        last_checksum = batch["last_checksum"].to_pylist()
+        last_filesize = batch["last_filesize"].to_pylist()
+        last_mime = batch["last_mime_type"].to_pylist()
+        prev_dlma = batch["detected_last_modified_at"].to_pylist()
+        next_check = batch["next_check_at"].to_pylist()
+        check_ids = batch["check_id"].to_pylist()
+
+        out_change, out_checksum, out_filesize, out_mime = [], [], [], []
+        out_err, out_dlma, out_next, out_fmt, out_payload, out_parse = [], [], [], [], [], []
+
+        outcomes = batch["outcome"].to_pylist() if "outcome" in batch.column_names else ["ok"] * n
+
+        for j in range(n):
+            if outcomes[j] != "ok":
+                # timeout / error checks skip analysis (the reference only
+                # enqueues analyse_resource on the success path)
+                out_change.append(None)
+                out_checksum.append(None)
+                out_filesize.append(None)
+                out_mime.append(None)
+                out_err.append(None)
+                out_dlma.append(None)
+                out_next.append(next_check[j])
+                out_fmt.append(None)
+                out_payload.append(None)
+                out_parse.append(False)
+                continue
+            headers = json.loads(headers_js[j]) if headers_js[j] else {}
+            now = created_at[j].replace(tzinfo=timezone.utc)
+            cur = {
+                "created_at": now,
+                "last_modified": headers.get("last-modified"),
+                "content_length": headers.get("content-length"),
+                "detected_last_modified_at": None,
+            }
+            checks2 = [cur]
+            if has_last[j]:
+                lh = json.loads(last_headers_js[j]) if last_headers_js[j] else {}
+                prev_d = prev_dlma[j]
+                if prev_d is not None and prev_d.tzinfo is None:
+                    prev_d = prev_d.replace(tzinfo=timezone.utc)
+                checks2.append(
+                    {
+                        "created_at": last_at[j],
+                        "last_modified": lh.get("last-modified"),
+                        "content_length": lh.get("content-length"),
+                        "detected_last_modified_at": prev_d,
+                    }
+                )
+            hv = harvest[j]
+            if hv is not None and hv.tzinfo is None:
+                hv = hv.replace(tzinfo=timezone.utc)
+            change, payload = detect_change_on_early_hints(checks2, hv)
+
+            fmt = detect_format(headers.get("content-type"), urls[j], formats[j])
+            dl: dict = {}
+            if change != Change.HAS_NOT_CHANGED or self.force:
+                content_len = int(headers.get("content-length") or 0)
+                max_allowed = _max_size_for(fmt)
+                if content_len > max_allowed:
+                    dl["analysis:error"] = "File too large to download"
+                else:
+                    body = self.transport.body(urls[j], max_bytes=min(max_allowed, 1 << 16))
+                    dl["analysis:content-length"] = content_len or len(body)
+                    dl["analysis:checksum"] = hashlib.sha1(body).hexdigest()
+                    if change == Change.NO_GUESS:
+                        change, payload = detect_change_from_checksum(
+                            dl["analysis:checksum"],
+                            {
+                                "checksum": last_checksum[j],
+                                "detected_last_modified_at": checks2[1]["detected_last_modified_at"]
+                                if len(checks2) > 1
+                                else None,
+                            }
+                            if has_last[j]
+                            else None,
+                            now=now,
+                        )
+                    dl["analysis:mime-type"] = _MAGIC_MIME.get(fmt or "", "application/octet-stream")
+                out_checksum.append(dl.get("analysis:checksum"))
+                out_filesize.append(dl.get("analysis:content-length"))
+                out_mime.append(dl.get("analysis:mime-type"))
+                out_err.append(dl.get("analysis:error"))
+            else:
+                out_checksum.append(last_checksum[j])
+                out_filesize.append(last_filesize[j])
+                out_mime.append(last_mime[j])
+                out_err.append(None)
+
+            # detected_last_modified_at / next_check_at updates (resource.py:187-207)
+            dlma = None
+            nca = next_check[j]
+            lm = (payload or {}).get("analysis:last-modified-at")
+            if change in (Change.HAS_CHANGED, Change.HAS_NOT_CHANGED) and lm:
+                dlma_dt = datetime.fromisoformat(lm)
+                dlma = dlma_dt.replace(tzinfo=None) if dlma_dt.tzinfo else dlma_dt
+                if change == Change.HAS_CHANGED:
+                    prev_check = {"created_at": last_at[j].replace(tzinfo=timezone.utc)} if has_last[j] else None
+                    nca = calculate_next_check_date(
+                        True, prev_check, dlma_dt if dlma_dt.tzinfo else dlma_dt.replace(tzinfo=timezone.utc), now=now
+                    ).replace(tzinfo=None)
+            out_dlma.append(dlma)
+            out_next.append(nca)
+            out_change.append(change.name)
+            out_fmt.append(fmt)
+
+            is_first = not has_last[j]
+            run_further = change == Change.HAS_CHANGED or is_first or self.force
+            out_parse.append(bool(run_further and fmt in PARSEABLE_FORMATS))
+            if run_further:
+                analysis_results = {"analysis:check_id": int(check_ids[j])} | dl | (payload or {})
+                out_payload.append(json.dumps(flatten_payload(analysis_results), sort_keys=True, default=str))
+            else:
+                out_payload.append(None)
+
+        out = batch
+        for name, arr in (
+            ("change_status", pa.array(out_change, type=pa.string())),
+            ("checksum", pa.array(out_checksum, type=pa.string())),
+            ("filesize", pa.array(out_filesize, type=pa.int64())),
+            ("mime_type", pa.array(out_mime, type=pa.string())),
+            ("analysis_error", pa.array(out_err, type=pa.string())),
+            ("detected_last_modified_at_new", pa.array(out_dlma, type=pa.timestamp("us"))),
+            ("next_check_at", pa.array(out_next, type=pa.timestamp("us"))),
+            ("data_format", pa.array(out_fmt, type=pa.string())),
+            ("analysis_payload", pa.array(out_payload, type=pa.string())),
+            ("do_parse", pa.array(out_parse, type=pa.bool_())),
+        ):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out

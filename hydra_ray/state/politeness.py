@@ -89,6 +89,50 @@ class PolitenessState:
                     return True, "X-ratelimit reached"
         return False, ""
 
+    def reserve(self, domain: str, requested: int, now: float) -> int:
+        """Deterministic per-iteration quota: how many of ``requested``
+        URLs on ``domain`` may be fetched this iteration.
+
+        The reference evaluates the window count per URL as checks
+        complete (timing-dependent); our contract evaluates it once per
+        iteration against the virtual clock, capping the iteration's
+        admissions at ``BACKOFF_NB_REQ - window_count`` so the budget
+        can never be exceeded regardless of execution order. Rows beyond
+        the quota get status BACKOFF and return in a later iteration,
+        exactly like the reference's per-URL backoff path.
+        """
+        should, _ = self.should_backoff(domain, now)
+        if should:
+            return 0
+        if domain in self.no_backoff:
+            return requested
+        st = self._state(domain)
+        self._prune(st, now)
+        return max(0, min(requested, self.backoff_nb_req - len(st.completed)))
+
+    def record_agg(
+        self,
+        domain: str,
+        n_completed: int,
+        now: float,
+        last_status: int | None = None,
+        ratelimit_remaining: str | float | None = None,
+        ratelimit_limit: str | float | None = None,
+    ) -> None:
+        """Record ``n_completed`` completed checks at ``now`` plus the
+        latest check's status/ratelimit headers (aggregate form of
+        ``record_check`` — O(1) actor traffic per domain per batch)."""
+        st = self._state(domain)
+        st.completed.extend([now] * n_completed)
+        st.last_at = now
+        st.last_status = last_status
+        try:
+            st.rl_remaining = float(ratelimit_remaining)  # type: ignore[arg-type]
+            st.rl_limit = float(ratelimit_limit)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            st.rl_remaining = None
+            st.rl_limit = None
+
     def record_check(
         self,
         domain: str,
@@ -141,6 +185,14 @@ class PolitenessShard:
         for domain, status, rl_rem, rl_lim in records:
             self.state.record_check(domain, now, status, rl_rem, rl_lim)
 
+    def reserve_batch(self, requests: list[tuple[str, int]], now: float) -> list[int]:
+        return [self.state.reserve(d, n, now) for d, n in requests]
+
+    def record_agg_batch(self, records: list[tuple], now: float) -> None:
+        """records: (domain, n_completed, last_status, rl_remaining, rl_limit)."""
+        for domain, n, status, rl_rem, rl_lim in records:
+            self.state.record_agg(domain, n, now, status, rl_rem, rl_lim)
+
     def serialize(self) -> dict:
         return self.state.serialize()
 
@@ -191,6 +243,29 @@ class PolitenessPool:
             by_shard.setdefault(_domain_shard(rec[0], self.n), []).append(rec)
         ray.get(
             [self.shards[s].record_checks.remote(recs, now) for s, recs in by_shard.items()]
+        )
+
+    def reserve(self, requests: list[tuple[str, int]], now: float) -> dict[str, int]:
+        """(domain, requested) → allowed count per domain, this iteration."""
+        by_shard: dict[int, list[tuple[str, int]]] = {}
+        for req in requests:
+            by_shard.setdefault(_domain_shard(req[0], self.n), []).append(req)
+        refs = {
+            s: self.shards[s].reserve_batch.remote(reqs, now) for s, reqs in by_shard.items()
+        }
+        out: dict[str, int] = {}
+        for s, reqs in by_shard.items():
+            for (domain, _), allowed in zip(reqs, ray.get(refs[s])):
+                out[domain] = allowed
+        return out
+
+    def record_agg(self, records: list[tuple], now: float) -> None:
+        """records: (domain, n_completed, last_status, rl_remaining, rl_limit)."""
+        by_shard: dict[int, list[tuple]] = {}
+        for rec in records:
+            by_shard.setdefault(_domain_shard(rec[0], self.n), []).append(rec)
+        ray.get(
+            [self.shards[s].record_agg_batch.remote(recs, now) for s, recs in by_shard.items()]
         )
 
     def serialize(self) -> list[dict]:

@@ -150,6 +150,19 @@ def synthetic_body(url: str, epoch: int = 0, max_bytes: int = 1 << 16) -> bytes:
     return (seed * reps)[:max_bytes]
 
 
+def synthetic_text(url: str, epoch: int = 0, max_rows: int = 40) -> str:
+    """Deterministic pseudo-CSV text content for a resource (the stand-in
+    for a downloaded tabular file in the sandbox)."""
+    digest = hashlib.md5(f"{url}#{epoch}".encode()).digest()
+    nrows = 5 + digest[0] % max_rows
+    lines = ["id,name,value"]
+    acc = int.from_bytes(digest[:8], "big")
+    for i in range(nrows):
+        acc = (acc * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        lines.append(f"{i},item-{acc % 9973},{(acc >> 32) % 100000}")
+    return "\n".join(lines)
+
+
 def synthetic_cors(url: str) -> dict | None:
     """Deterministic CORS preflight result (~60% of OK hosts permissive)."""
     digest = hashlib.md5(f"cors:{url}".encode()).digest()
