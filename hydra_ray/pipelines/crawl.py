@@ -83,7 +83,12 @@ class CrawlEngine:
         urlseen_shards: int | None = None,
         politeness_shards: int | None = None,
         politeness_kwargs: dict | None = None,
+        actor_pools: bool = True,
     ):
+        # actor_pools=False runs fetch/analyse as stateless tasks — faster
+        # startup for tiny batches (tests); production keeps actor pools so
+        # per-actor state (HTTP session) is created once.
+        self.actor_pools = actor_pools
         self.workdir = workdir
         self.seed = config.ORDERING_SEED if seed is None else seed
         self.batch_size = batch_size or config.BATCH_SIZE
@@ -101,6 +106,16 @@ class CrawlEngine:
         )
         self.iteration = int(self.catalog.meta().get("iteration", 0))
         self._maybe_restore_state()
+
+    def shutdown(self) -> None:
+        """Kill the state actors (tests create many engines per session)."""
+        import ray
+
+        for actor in self.urlseen.shards + self.politeness.shards:
+            try:
+                ray.kill(actor)
+            except Exception:
+                pass
 
     # -- time -------------------------------------------------------------
     def now_dt(self, iteration: int | None = None) -> datetime:
@@ -177,24 +192,29 @@ class CrawlEngine:
         if fetch_rows.num_rows:
             n_blocks = max(1, min(self.fetch_concurrency * 2, fetch_rows.num_rows // 64 + 1))
             ds = rd.from_arrow(fetch_rows).repartition(n_blocks)
-            ds = ds.map_batches(
-                Fetcher,
-                fn_constructor_kwargs={"transport": self.transport},
-                batch_format="pyarrow",
-                batch_size=config.FETCH_BATCH_SIZE,
-                concurrency=min(self.fetch_concurrency, n_blocks),
-            )
+            pool_kw = dict(batch_format="pyarrow", batch_size=config.FETCH_BATCH_SIZE)
+            if self.actor_pools:
+                ds = ds.map_batches(
+                    Fetcher,
+                    fn_constructor_kwargs={"transport": self.transport},
+                    concurrency=min(self.fetch_concurrency, n_blocks),
+                    **pool_kw,
+                )
+            else:
+                ds = ds.map_batches(Fetcher(self.transport), **pool_kw)
             ds = ds.map_batches(
                 lambda b: build_checks_batch(b, iteration=it, now=now.replace(tzinfo=timezone.utc)),
                 batch_format="pyarrow",
             )
-            ds = ds.map_batches(
-                Analyser,
-                fn_constructor_kwargs={"transport": self.transport},
-                batch_format="pyarrow",
-                batch_size=config.FETCH_BATCH_SIZE,
-                concurrency=min(self.fetch_concurrency, n_blocks),
-            )
+            if self.actor_pools:
+                ds = ds.map_batches(
+                    Analyser,
+                    fn_constructor_kwargs={"transport": self.transport},
+                    concurrency=min(self.fetch_concurrency, n_blocks),
+                    **pool_kw,
+                )
+            else:
+                ds = ds.map_batches(Analyser(self.transport), **pool_kw)
             result = _ds_to_arrow(ds)
 
             # 1. checks log (append-only)

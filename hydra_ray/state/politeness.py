@@ -172,7 +172,7 @@ class PolitenessState:
             st.rl_limit = rl_lim
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class PolitenessShard:
     def __init__(self, **kwargs):
         self.state = PolitenessState(**kwargs)

@@ -24,7 +24,10 @@ import ray
 from hydra_ray.state.cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+# num_cpus=0: shards are lightweight lookup servers that must never
+# starve the fetch/analyse pools of CPU slots; on a real cluster give
+# them fractional CPUs via .options(num_cpus=...) at creation.
+@ray.remote(num_cpus=0)
 class UrlSeenShard:
     """One shard of the URL-seen set."""
 

@@ -1,0 +1,85 @@
+"""Checkpoint/resume + cross-parallelism determinism (north rule:
+resumable from per-partition checkpoints; identical results at any
+parallelism level under the seeded ordering contract)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hydra_ray.synth import catalog_from_documents
+
+
+def small_seed(n=120):
+    docs = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64())})
+    return catalog_from_documents(docs)
+
+
+def checks_fingerprint(engine):
+    t = engine.checks.read_arrow()
+    rows = sorted(
+        zip(
+            t["id"].to_pylist(),
+            t["resource_id"].to_pylist(),
+            t["status"].to_pylist(),
+            t["timeout"].to_pylist(),
+            t["checksum"].to_pylist(),
+            t["created_at"].to_pylist(),
+            t["next_check_at"].to_pylist(),
+        )
+    )
+    return rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kill_and_resume_equals_straight_run(tmp_path, make_crawl_engine):
+    kw = dict(batch_size=30, actor_pools=False)
+
+    # straight 4-iteration run
+    e1 = make_crawl_engine(str(tmp_path / "straight"), **kw)
+    e1.load_catalog(small_seed())
+    e1.run(4)
+
+    # 2 iterations, "crash", new engine resumes from checkpoint, 2 more
+    wd = str(tmp_path / "resumed")
+    e2a = make_crawl_engine(wd, **kw)
+    e2a.load_catalog(small_seed())
+    e2a.run(2)
+    e2a.shutdown()
+    e2b = make_crawl_engine(wd, **kw)  # restores iteration + actor state
+    assert e2b.iteration == 2
+    e2b.run(2)
+
+    assert checks_fingerprint(e1) == checks_fingerprint(e2b)
+    # catalog frontier state identical too
+    c1 = e1.catalog.read_arrow().sort_by("resource_id")
+    c2 = e2b.catalog.read_arrow().sort_by("resource_id")
+    assert c1.equals(c2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_results_identical_across_parallelism(tmp_path, make_crawl_engine):
+    """Same seed catalog, different fetch parallelism → byte-identical
+    checks (the scaling-criterion determinism prerequisite)."""
+    a = make_crawl_engine(str(tmp_path / "p1"), batch_size=40, fetch_concurrency=1, actor_pools=False)
+    a.load_catalog(small_seed())
+    a.run(2)
+    b = make_crawl_engine(str(tmp_path / "p4"), batch_size=40, fetch_concurrency=4, actor_pools=True)
+    b.load_catalog(small_seed())
+    b.run(2)
+    assert checks_fingerprint(a) == checks_fingerprint(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_docs_span_invariant_across_runs(tmp_path, make_crawl_engine):
+    from hydra_ray.stages.spans import span_sequences_equal
+
+    a = make_crawl_engine(str(tmp_path / "d1"), batch_size=60, actor_pools=False)
+    a.load_catalog(small_seed())
+    a.run(2)
+    b = make_crawl_engine(str(tmp_path / "d2"), batch_size=60, fetch_concurrency=3, actor_pools=False)
+    b.load_catalog(small_seed())
+    b.run(2)
+    da, db = a.documents.read_arrow(), b.documents.read_arrow()
+    ok, bad = span_sequences_equal(da, db)
+    assert ok, f"span mismatch for {bad[:5]}"
+    assert da.num_rows > 0
