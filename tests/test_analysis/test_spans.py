@@ -1,0 +1,103 @@
+"""Interleaved span documents: construction contract, explode, comparator,
+and a DuckDB oracle for the chunk/offset arithmetic."""
+
+import duckdb
+import pyarrow as pa
+
+from hydra_ray.stages.spans import (
+    CHUNK,
+    build_spans_batch,
+    explode_spans_batch,
+    span_sequences_equal,
+)
+
+
+def docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "a" * 10,            # 1 chunk → no media
+                "b" * (CHUNK * 3),   # 3 chunks → 1 media after chunk 2
+                "c" * (CHUNK * 7 + 5),  # 8 chunks → media after 2 and 5
+            ],
+        }
+    )
+
+
+def test_build_contract():
+    out = build_spans_batch(docs_table())
+    spans = out["spans"].to_pylist()
+    # doc 1: single text span
+    assert [(s["kind"], s["offset"]) for s in spans[0]] == [("text", 0)]
+    # doc 2: t0 t1 t2 m
+    assert [(s["kind"], s["offset"]) for s in spans[1]] == [
+        ("text", 0), ("text", 1), ("text", 2), ("media", 3),
+    ]
+    assert spans[1][3]["media_ref"] == "media://2/2"
+    assert spans[1][0]["text"] == "b" * CHUNK
+    # doc 3: 8 text chunks with media after i=2 and i=5 → 10 spans
+    seq = [(s["kind"]) for s in spans[2]]
+    assert seq == ["text", "text", "text", "media", "text", "text", "text", "media", "text", "text"]
+    assert [s["offset"] for s in spans[2]] == list(range(10))
+    assert spans[2][-1]["text"] == "c" * 5  # last partial chunk
+
+
+def test_empty_text_single_empty_span():
+    out = build_spans_batch(pa.table({"doc_id": pa.array([9], type=pa.int64()), "text": [""]}))
+    spans = out["spans"].to_pylist()[0]
+    assert len(spans) == 1 and spans[0]["kind"] == "text" and spans[0]["text"] == ""
+
+
+def test_explode_roundtrip():
+    built = build_spans_batch(docs_table())
+    flat = explode_spans_batch(built)
+    assert flat.num_rows == 1 + 4 + 10
+    assert flat.column_names == ["doc_id", "kind", "text", "media_ref", "offset"]
+    assert flat["doc_id"].to_pylist()[:5] == ["1", "2", "2", "2", "2"]
+
+
+def test_comparator():
+    a = build_spans_batch(docs_table())
+    ok, bad = span_sequences_equal(a, a)
+    assert ok and bad == []
+    # mutate one span's text
+    t = docs_table().set_column(1, "text", pa.array(["a" * 10, "b" * (CHUNK * 3 - 1), "c" * (CHUNK * 7 + 5)]))
+    b = build_spans_batch(t)
+    ok, bad = span_sequences_equal(a, b)
+    assert not ok and bad == ["2"]
+
+
+def test_duckdb_oracle_for_explode():
+    """The span derivation is SQL-expressible; verify the engine against
+    an independent DuckDB formulation (same contract, different code)."""
+    docs = docs_table()
+    flat = explode_spans_batch(build_spans_batch(docs)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = con.execute(
+        f"""
+        WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                   CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i,
+                   text FROM base
+        ), chunks2 AS (
+            SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM chunks
+        )
+        SELECT doc_id, 'text' AS kind, chunk AS text, NULL AS media_ref,
+               CAST(i + i//3 AS INT) AS "offset" FROM chunks2
+        UNION ALL
+        SELECT doc_id, 'media', NULL, 'media://' || doc_id || '/' || i,
+               CAST(i + i//3 + 1 AS INT) FROM chunks2 WHERE i % 3 = 2
+        ORDER BY doc_id, "offset"
+        """
+    ).df()
+    got = flat.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    oracle = oracle.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert got["kind"].tolist() == oracle["kind"].tolist()
+    assert got["offset"].tolist() == oracle["offset"].tolist()
+    assert got["text"].fillna("∅").tolist() == oracle["text"].fillna("∅").tolist()
+    assert got["media_ref"].fillna("∅").tolist() == oracle["media_ref"].fillna("∅").tolist()
