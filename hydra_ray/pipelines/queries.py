@@ -1,0 +1,817 @@
+"""Driver-facing operator inventory: Ray pipelines + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 (or a
+training-data op the north rule adds) over the driver's test tables,
+idiomatic-Ray-Data style, with a matching ANSI-SQL oracle where the
+semantics are SQL-expressible. Column names match the SQL exactly (the
+driver hashes values after sorting columns by name).
+
+Conventions:
+  - every function takes ``sf_dir`` and returns a Dataset / Arrow table;
+  - CATALOG_SQL reproduces hydra_ray.synth.catalog_from_documents in
+    DuckDB so crawler-stage operators are oracle-checkable;
+  - float outputs are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from hydra_ray.functions.urls import canonicalize_batch
+from hydra_ray.stages.spans import CHUNK, build_spans_batch, explode_spans_batch
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# DuckDB rendering of synth.catalog_from_documents (same derivation)
+CATALOG_SQL = """
+    SELECT
+        'ds-' || CAST(doc_id % 50 AS VARCHAR) AS dataset_id,
+        md5('https://' ||
+            CASE WHEN doc_id % 100 < 55 THEN 'static.data.example'
+                 ELSE 'host' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.data.example' END
+            || '/res/' || CAST(doc_id AS VARCHAR) || '.' ||
+            (['csv','json','geojson','parquet','xlsx','pdf'])[1 + doc_id % 6]) AS resource_id,
+        'https://' ||
+            CASE WHEN doc_id % 100 < 55 THEN 'static.data.example'
+                 ELSE 'host' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.data.example' END
+            || '/res/' || CAST(doc_id AS VARCHAR) || '.' ||
+            (['csv','json','geojson','parquet','xlsx','pdf'])[1 + doc_id % 6] AS url,
+        (['csv','json','geojson','parquet','xlsx','pdf'])[1 + doc_id % 6] AS format,
+        CASE WHEN doc_id % 100 < 55 THEN 'static.data.example'
+             ELSE 'host' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.data.example' END AS domain,
+        doc_id % 97 = 0 AS priority
+    FROM documents
+"""
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _catalog_ds(sf_dir: str) -> "rd.Dataset":
+    """Synthesized catalog as a Dataset (canonicalized)."""
+    from hydra_ray.synth import catalog_from_documents
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(catalog_from_documents, batch_format="pyarrow")
+        .map_batches(canonicalize_batch, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawler-stage operators (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def q_catalog_synth(sf_dir: str):
+    """S1/M1: catalog derivation + canonicalize-and-hash stage."""
+    ds = _catalog_ds(sf_dir)
+    return ds.map_batches(
+        lambda t: t.select(["dataset_id", "resource_id", "url", "format", "domain", "priority"]).append_column(
+            "url_md5_col", t["url_md5"].combine_chunks() if isinstance(t["url_md5"], pa.ChunkedArray) else t["url_md5"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_CATALOG_SYNTH = f"""
+    SELECT dataset_id, resource_id, url, format, domain, priority,
+           md5(url) AS url_md5_col
+    FROM ({CATALOG_SQL})
+"""
+
+
+def q_domain_counts(sf_dir: str):
+    """A1/skew evidence: URLs per domain (grouped count, partial-agg)."""
+    ds = _catalog_ds(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("domain").aggregate([("url", "count")])
+        return g.rename_columns(["domain", "n_urls"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("domain").aggregate(Sum("n_urls", alias_name="n_urls"))
+
+
+ORACLE_DOMAIN_COUNTS = f"""
+    SELECT domain, count(*) AS n_urls FROM ({CATALOG_SQL}) GROUP BY domain
+"""
+
+
+def q_frontier_tiers(sf_dir: str):
+    """O1: tier assignment on a fresh catalog (1=priority, 2=unchecked)."""
+    ds = _catalog_ds(sf_dir)
+
+    def tiers(t: pa.Table) -> pa.Table:
+        tier = pc.if_else(t["priority"], pa.scalar(1), pa.scalar(2))
+        return pa.table({"resource_id": t["resource_id"], "tier": pc.cast(tier, pa.int32())})
+
+    return ds.map_batches(tiers, batch_format="pyarrow")
+
+
+ORACLE_FRONTIER_TIERS = f"""
+    SELECT resource_id, CAST(CASE WHEN priority THEN 1 ELSE 2 END AS INT) AS tier
+    FROM ({CATALOG_SQL})
+"""
+
+
+def q_next_check_delays(sf_dir: str):
+    """M18: the piecewise next-check delay, vectorized over event ages.
+
+    age_hours = hours between the event and the newest event; delay =
+    smallest CHECK_DELAYS entry >= age, capped at the maximum.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    import pyarrow.parquet as pq
+
+    tmax = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+    max_ts = pc.max(tmax).as_py()
+
+    def delay(t: pa.Table) -> pa.Table:
+        age_h = (
+            (np.datetime64(max_ts, "us") - t["ts"].to_numpy(zero_copy_only=False))
+            .astype("timedelta64[s]")
+            .astype(np.float64)
+            / 3600.0
+        )
+        delays = np.full(len(age_h), 720, dtype=np.int64)
+        for d in (168, 24, 12):  # reverse order; smallest wins last
+            delays[age_h <= d] = d
+        return pa.table({"event_id": t["event_id"], "delay_hours": pa.array(delays)})
+
+    return ds.map_batches(delay, batch_format="pyarrow")
+
+
+ORACLE_NEXT_CHECK_DELAYS = """
+    WITH m AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_id,
+           CASE
+             WHEN (epoch(max_ts) - epoch(ts)) / 3600.0 <= 12 THEN 12
+             WHEN (epoch(max_ts) - epoch(ts)) / 3600.0 <= 24 THEN 24
+             WHEN (epoch(max_ts) - epoch(ts)) / 3600.0 <= 168 THEN 168
+             ELSE 720
+           END AS delay_hours
+    FROM events, m
+"""
+
+
+def q_excluded_filter(sf_dir: str):
+    """M7: SQL-LIKE excluded patterns (pattern set includes one that
+    matches synthesized geojson URLs to make the filter non-trivial)."""
+    patterns = ["%geo.data.gouv.fr%", "%.pdf"]
+    ds = _catalog_ds(sf_dir)
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(len(t), dtype=bool))
+        for p in patterns:
+            mask = pc.and_(mask, pc.invert(pc.match_like(t["url"], p)))
+        return t.filter(mask).select(["resource_id", "url"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+ORACLE_EXCLUDED_FILTER = f"""
+    SELECT resource_id, url FROM ({CATALOG_SQL})
+    WHERE url NOT LIKE '%geo.data.gouv.fr%' AND url NOT LIKE '%.pdf'
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregate / join / window operators (reference A2-A6, J1/J2, O2-O4)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """A-family: multi-key grouped aggregate with derived measures
+    (the engine's general grouped-aggregate path, partial-agg first)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.column_names.index(c), c, pc.round(t[c], 2))
+        return t
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+ORACLE_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_status_counts(sf_dir: str):
+    """A4: per-status counts (orders as the catalog analogue)."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+ORACLE_STATUS_COUNTS = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def q_grouped_topk(sf_dir: str):
+    """A2/O3: grouped count → sort desc → limit k."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n")).sort("n", descending=True).limit(3)
+
+
+ORACLE_GROUPED_TOPK = """
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+"""
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """J1/O2: latest row per key (top-1 per key, hash-partitioned)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+    SELECT user_id, event_id, ts FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_top2_events_per_user(sf_dir: str):
+    """J2: top-2-per-key window (the change-detection check window)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(2).copy()
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+
+
+ORACLE_TOP2_EVENTS_PER_USER = """
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    QUALIFY rn <= 2
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """J-family: broadcast-small-side join (customer+nation broadcast via
+    ray.put, orders streamed) → grouped sum."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust_df = cust.to_pandas().merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["n_name"])))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    class JoinNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            custkeys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            names = pa.array([self.lookup.get(int(k)) for k in custkeys], type=pa.string())
+            return pa.table({"n_name": names, "o_totalprice": t["o_totalprice"]})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+    SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_cors_stats_analogue(sf_dir: str):
+    """A5: two-level aggregate — per-user any(value>threshold) → classify
+    → counts (the CORS-stats shape)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "hit": t["value"].to_numpy(zero_copy_only=False) > 50.0}
+        )
+        g = df.groupby("user_id", as_index=False)["hit"].any()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("hit", alias_name="any_hit"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        cls = pc.if_else(pc.cast(t["any_hit"], pa.bool_()), pa.scalar("hit"), pa.scalar("quiet"))
+        return pa.table({"class": cls})
+
+    from ray.data.aggregate import Count
+
+    return per_user.map_batches(classify, batch_format="pyarrow").groupby("class").aggregate(
+        Count(alias_name="n_users")
+    )
+
+
+ORACLE_CORS_STATS_ANALOGUE = """
+    SELECT CASE WHEN bool_or(value > 50.0) THEN 'hit' ELSE 'quiet' END AS class_per_user, count(*) AS n
+    FROM events GROUP BY user_id
+"""  # placeholder — replaced below with the two-level form
+
+ORACLE_CORS_STATS_ANALOGUE = """
+    WITH per_user AS (
+        SELECT user_id, bool_or(value > 50.0) AS any_hit FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN any_hit THEN 'hit' ELSE 'quiet' END AS class, count(*) AS n_users
+    FROM per_user GROUP BY 1
+"""
+
+
+def q_crawler_status_triptych(sf_dir: str):
+    """A6: single-pass conditional sums (never/fresh/outdated analogue
+    over order dates) — partial sums per block, one global reduce."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    cut1 = np.datetime64("1996-01-01", "us")
+    cut2 = np.datetime64("1997-01-01", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_old": pa.array([int((d < cut1).sum())], type=pa.int64()),
+                "n_mid": pa.array([int(((d >= cut1) & (d < cut2)).sum())], type=pa.int64()),
+                "n_new": pa.array([int((d >= cut2).sum())], type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [ray.get(r) for r in partials.to_arrow_refs()], promote_options="default"
+    )
+    return pa.table(
+        {
+            "n_old": pa.array([pc.sum(merged["n_old"]).as_py() or 0], type=pa.int64()),
+            "n_mid": pa.array([pc.sum(merged["n_mid"]).as_py() or 0], type=pa.int64()),
+            "n_new": pa.array([pc.sum(merged["n_new"]).as_py() or 0], type=pa.int64()),
+        }
+    )
+
+
+ORACLE_CRAWLER_STATUS_TRIPTYCH = """
+    SELECT CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM orders
+"""
+
+
+def q_purge_retention(sf_dir: str):
+    """O4: retention filter + compaction (count of survivors per type)."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    cutoff = pa.scalar(np.datetime64("2024-01-15", "us").item(), type=pa.timestamp("us"))
+    kept = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)), batch_format="pyarrow"
+    )
+    return kept.groupby("event_type").aggregate(Count(alias_name="n_kept"))
+
+
+ORACLE_PURGE_RETENTION = """
+    SELECT event_type, count(*) AS n_kept FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    """Streaming-shaped: tumbling 1h windows per user (groupby key +
+    in-group windowing; the engine's window primitive)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        win = (ts.astype("datetime64[s]").astype(np.int64) // 3600).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_id": pa.array(win),
+                "value": t["value"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+    SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# training-data operators: text analysis, dedup, similarity, spans, media
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(sf_dir: str):
+    """Text stats (chars/tokens/digits), vectorized Arrow kernels."""
+    from hydra_ray.stages.text import text_stats_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, columns=["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    )
+
+
+ORACLE_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_token_totals_by_lang(sf_dir: str):
+    """Corpus token counting per language (partial sums → tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    from hydra_ray.stages.text import text_stats_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        stats = text_stats_batch(t)
+        return pa.table({"lang": t["lang"], "n_tokens": stats["n_tokens"]})
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="total_tokens"))
+    )
+
+
+ORACLE_TOKEN_TOTALS_BY_LANG = r"""
+    SELECT lang,
+           CAST(sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality gates (token band + digit-ratio cap)."""
+    from hydra_ray.stages.text import quality_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_QUALITY_FILTER = r"""
+    WITH s AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(n_digits / greatest(n_chars, 1), 6) AS digit_ratio,
+           (n_tokens >= 5 AND n_tokens <= 10000
+            AND round(n_digits / greatest(n_chars, 1), 6) < 0.3) AS keep
+    FROM s
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content hash → keep min doc_id (+ dupe count)."""
+    from hydra_ray.stages.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+           count(*) - 1 AS n_dupes
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def q_span_explode(sf_dir: str):
+    """Interleaved span-document build + explode (the input_hint table)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(build_spans_batch, batch_format="pyarrow").map_batches(
+        explode_spans_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_SPAN_EXPLODE = f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM base
+    ), chunks2 AS (
+        SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM chunks
+    )
+    SELECT doc_id, 'text' AS kind, chunk AS text, NULL AS media_ref,
+           CAST(i + i//3 AS INT) AS "offset" FROM chunks2
+    UNION ALL
+    SELECT doc_id, 'media', NULL, 'media://' || doc_id || '/' || CAST(i AS VARCHAR),
+           CAST(i + i//3 + 1 AS INT) FROM chunks2 WHERE i % 3 = 2
+"""
+
+
+def q_embedding_knn(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
+    import pyarrow.parquet as pq
+
+    from hydra_ray.stages.similarity import knn_bruteforce
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = ids % 50 == 0
+    qmat = np.stack(emb["embedding"].to_pylist())[sel].astype(np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # sim is dropped from the compared output: DuckDB evaluates cosine in
+    # float32 over FLOAT[], we in float64 — 1e-7-level noise would flip a
+    # 6-dp rounding. The verified signal is the (query, neighbor, rank)
+    # ordering, which is stable for non-degenerate embeddings.
+    return knn_bruteforce(ds, ids[sel], qmat, k=5).drop_columns(["sim"])
+
+
+ORACLE_EMBEDDING_KNN = """
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id
+           ) AS BIGINT) AS rank
+    FROM embeddings q, embeddings n
+    WHERE q.vec_id % 50 = 0 AND n.vec_id != q.vec_id
+    QUALIFY rank <= 5
+"""
+
+
+def q_embedding_nn(sf_dir: str):
+    """Top-1 cosine neighbor for every vector (sim dropped, see knn)."""
+    from hydra_ray.stages.similarity import nn_all
+
+    return nn_all(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ).drop_columns(["sim"])
+
+
+ORACLE_EMBEDDING_NN = """
+    SELECT a.vec_id AS vec_id, b.vec_id AS nn_id
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id != b.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+    ) = 1
+"""
+
+
+# -- rows-only entries (non-SQL-expressible; driver checks rows+schema) -----
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs (verified Jaccard >= 0.5)."""
+    from hydra_ray.stages.dedup import dedup_minhash
+
+    return dedup_minhash(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from hydra_ray.stages.dedup import simhash_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Char-3-gram Jaccard pairs within source blocks (threshold 0.35)."""
+    from hydra_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir, columns=["doc_id", "text", "source"]), threshold=0.35
+    )
+
+
+def q_langid(sf_dir: str):
+    """Stopword-profile language ID (actor pool)."""
+    from hydra_ray.stages.text import LangId
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from hydra_ray.stages.text import fingerprint_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate NN (scale path for similarity search)."""
+    from hydra_ray.stages.similarity import knn_lsh
+
+    return knn_lsh(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        k=1,
+        n_planes=6,
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: spans → media refs → fetch → byte features."""
+    from hydra_ray.stages.multimodal import MEDIA_BATCH_SIZE, MediaFeatures, MediaFetcher
+
+    spans = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(build_spans_batch, batch_format="pyarrow")
+        .map_batches(explode_spans_batch, batch_format="pyarrow")
+    )
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")).select(["media_ref"]),
+        batch_format="pyarrow",
+    )
+    return media.map_batches(
+        MediaFetcher, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=2
+    ).map_batches(
+        MediaFeatures, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=2
+    ).drop_columns(["features"])
+
+
+def q_crawl_checks(sf_dir: str):
+    """Three crawl iterations over the synthesized catalog: the checks
+    log (deterministic under the ordering contract; politeness,
+    URL-seen, change detection and span docs all exercised)."""
+    import tempfile
+
+    from hydra_ray.pipelines.crawl import CrawlEngine
+    from hydra_ray.synth import catalog_from_documents
+
+    workdir = tempfile.mkdtemp(prefix="hydra_ray_q_")
+    eng = CrawlEngine(workdir, batch_size=200, actor_pools=False)
+    seed = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        catalog_from_documents, batch_format="pyarrow"
+    )
+    eng.load_catalog(seed)
+    eng.run(3)
+    out = eng.checks.read_arrow()
+    eng.shutdown()
+    return out.sort_by([("id", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "catalog_synth": q_catalog_synth,
+    "domain_counts": q_domain_counts,
+    "frontier_tiers": q_frontier_tiers,
+    "next_check_delays": q_next_check_delays,
+    "excluded_filter": q_excluded_filter,
+    "pricing_summary": q_pricing_summary,
+    "status_counts": q_status_counts,
+    "grouped_topk": q_grouped_topk,
+    "latest_event_per_user": q_latest_event_per_user,
+    "top2_events_per_user": q_top2_events_per_user,
+    "revenue_by_nation": q_revenue_by_nation,
+    "cors_stats_analogue": q_cors_stats_analogue,
+    "crawler_status_triptych": q_crawler_status_triptych,
+    "purge_retention": q_purge_retention,
+    "sessionize_events": q_sessionize_events,
+    "text_stats": q_text_stats,
+    "lang_counts": q_lang_counts,
+    "token_totals_by_lang": q_token_totals_by_lang,
+    "quality_filter": q_quality_filter,
+    "dedup_exact": q_dedup_exact,
+    "span_explode": q_span_explode,
+    "embedding_knn": q_embedding_knn,
+    "embedding_nn": q_embedding_nn,
+    # rows-only (non-SQL-expressible)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "knn_lsh": q_knn_lsh,
+    "media_features": q_media_features,
+    "crawl_checks": q_crawl_checks,
+}
+
+ORACLES = {
+    "catalog_synth": ORACLE_CATALOG_SYNTH,
+    "domain_counts": ORACLE_DOMAIN_COUNTS,
+    "frontier_tiers": ORACLE_FRONTIER_TIERS,
+    "next_check_delays": ORACLE_NEXT_CHECK_DELAYS,
+    "excluded_filter": ORACLE_EXCLUDED_FILTER,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "status_counts": ORACLE_STATUS_COUNTS,
+    "grouped_topk": ORACLE_GROUPED_TOPK,
+    "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
+    "top2_events_per_user": ORACLE_TOP2_EVENTS_PER_USER,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "cors_stats_analogue": ORACLE_CORS_STATS_ANALOGUE,
+    "crawler_status_triptych": ORACLE_CRAWLER_STATUS_TRIPTYCH,
+    "purge_retention": ORACLE_PURGE_RETENTION,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_counts": ORACLE_LANG_COUNTS,
+    "token_totals_by_lang": ORACLE_TOKEN_TOTALS_BY_LANG,
+    "quality_filter": ORACLE_QUALITY_FILTER,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "span_explode": ORACLE_SPAN_EXPLODE,
+    "embedding_knn": ORACLE_EMBEDDING_KNN,
+    "embedding_nn": ORACLE_EMBEDDING_NN,
+}

@@ -1,0 +1,262 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data operators (north-rule additions). Shapes follow the
+public MinHash/LSH literature (Broder '97; Leskovec-Rajaraman-Ullman
+ch.3) expressed as Ray Data pipelines:
+
+  exact     : content-hash in map_batches → groupby(hash) → keep min id
+  minhash   : shingle→minhash sig per batch → explode to (band, band
+              hash, doc) rows → groupby bands → candidate pairs →
+              verify true Jaccard → pairs above threshold
+  simhash   : 64-bit weighted-bit-vote fingerprint per doc (vectorized)
+  ngram     : exact character-3-gram Jaccard within blocking groups
+
+All hashing uses the deterministic splitmix64 mixer (state/cuckoo.py)
+so results are parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from hydra_ray.state.cuckoo import _mix64
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    h = [hashlib.md5((t or "").encode("utf-8", "surrogateescape")).hexdigest() for t in texts]
+    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+def dedup_exact(ds: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "rd.Dataset":
+    """Keep the min-id row per identical text; adds n_dupes."""
+    hashed = ds.map_batches(lambda t: content_hash_batch(t, text_col), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        out = g.head(1).copy()
+        out["n_dupes"] = len(g) - 1
+        return out[[id_col, "content_hash", "n_dupes"]]
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands × 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
+    base = _mix64(np.arange(2 * n_perm, dtype=np.uint64) + np.uint64(seed * 7919))
+    a = (base[:n_perm] % np.uint64(_MERSENNE - 1) + np.uint64(1)).astype(np.uint64)
+    b = (base[n_perm:] % np.uint64(_MERSENNE)).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (unique)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        d = hashlib.md5(s.encode("utf-8", "surrogateescape")).digest()
+        out[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
+    return np.unique(out)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params computed once per actor."""
+
+    def __init__(self, n_perm: int = N_PERM, shingle_k: int = 3):
+        self.a, self.b = _perm_params(n_perm)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k)
+        # (n_shingles, n_perm) permuted values; min over shingles
+        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        band_doc, band_id, band_hash = [], [], []
+        for doc, text in zip(doc_ids, texts):
+            sig = self.signature(text or "")
+            bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+            bh = _mix64(
+                bands[:, 0]
+                ^ _mix64(bands[:, 1] ^ _mix64(bands[:, 2] ^ _mix64(bands[:, 3])))
+            ).view(np.int64)
+            for bi in range(N_BANDS):
+                band_doc.append(doc)
+                band_id.append(bi)
+                band_hash.append(int(bh[bi]))
+        return pa.table(
+            {
+                "doc_id": pa.array(band_doc),
+                "band_id": pa.array(band_id, type=pa.int32()),
+                "band_hash": pa.array(band_hash, type=pa.int64()),
+            }
+        )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    ha, hb = _shingle_hashes(text_a, k), _shingle_hashes(text_b, k)
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    union = ha.size + hb.size - inter
+    return inter / union if union else 1.0
+
+
+def dedup_minhash(
+    ds: "rd.Dataset", threshold: float = 0.7, shingle_k: int = 3, concurrency: int = 2
+) -> "rd.Dataset":
+    """MinHash-LSH near-duplicate pairs, verified by true Jaccard.
+
+    shingle→minhash per batch (actor pool) → explode to band rows →
+    groupby (band_id, band_hash) → unique candidate pairs → verify
+    against the broadcast text map → (doc_a, doc_b, jaccard6).
+    At 100 TB, the verify stage's text lookup becomes a join against
+    the docs table partitioned by doc id instead of a broadcast.
+    """
+    import ray
+
+    texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
+    text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
+
+    bands = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(g["doc_id"].unique())
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(text_ref)
+            self.k = shingle_k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.drop_duplicates(["doc_a", "doc_b"])
+            jac = [
+                round(jaccard(self.texts.get(a, ""), self.texts.get(b, ""), self.k), 6)
+                for a, b in zip(batch["doc_a"], batch["doc_b"])
+            ]
+            batch = batch.assign(jaccard=jac)
+            return batch[batch["jaccard"] >= threshold]
+
+    verified = candidates.map_batches(Verify, batch_format="pandas", concurrency=concurrency)
+
+    # global dedup of pairs surfaced by multiple bands
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return verified.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word hashes (vectorized bit votes)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        words = (text or "").split()
+        if not words:
+            continue
+        hashes = np.empty(len(words), dtype=np.uint64)
+        for j, w in enumerate(words):
+            d = hashlib.md5(w.encode("utf-8", "surrogateescape")).digest()
+            hashes[j] = np.frombuffer(d[:8], dtype=np.uint64)[0]
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = bits.sum(axis=0) * 2 - len(words)  # >0 → bit set
+        set_bits = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        out[i] = np.bitwise_or.reduce(set_bits)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "simhash": pa.array(out.view(np.int64)),
+        }
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64)).astype(np.uint64)
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within blocking groups
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(text: str, n: int = 3) -> set[str]:
+    t = " ".join((text or "").split())
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def ngram_jaccard_pairs(
+    ds: "rd.Dataset", block_col: str = "source", threshold: float = 0.5, n: int = 3
+) -> "rd.Dataset":
+    """Exact char-n-gram Jaccard for all pairs inside each blocking group
+    (group sizes bound the quadratic cost; the blocking key is the
+    partition key at scale)."""
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        grams = [_char_ngrams(t, n) for t in g["text"]]
+        ids = g["doc_id"].tolist()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(grams[i] & grams[j])
+                union = len(grams[i] | grams[j])
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    rows.append((ids[i], ids[j], round(jac, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return ds.select_columns(["doc_id", "text", block_col]).groupby(block_col).map_groups(
+        pairs_in_block, batch_format="pandas"
+    )
