@@ -1,0 +1,221 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline crawl pipeline plus representative queries over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "urls_per_sec": ...}
+
+Headline: N_ITER crawl iterations over a frontier synthesized from the
+documents table (replicated to ~9× the doc count so the batch is
+non-trivial), actor-pool fetch/analyse stages, politeness configured
+like the reference's NO_BACKOFF for the bulk host (the bench measures
+engine throughput, not politeness waiting — the politeness matrices
+are correctness-tested in tests/test_crawler/test_backoff.py).
+
+--scaling: re-runs the headline in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both
+throughputs + scaling efficiency (the N vs 4N cluster-size criterion,
+evidenced via parallelism levels in this single-node sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_ITER = 3
+REPLICAS = 9  # frontier ≈ 9 × documents rows
+BATCH_FRACTION = 0.4  # select ~40% of the frontier per iteration
+
+QUERY_NAMES = [
+    "pricing_summary",
+    "sessionize_events",
+    "revenue_by_nation",
+    "latest_event_per_user",
+    "dedup_exact",
+    "text_stats",
+    "span_explode",
+    "embedding_nn",
+    "minhash_near_dups",
+    "media_features",
+]
+
+
+def expanded_seed(sf_dir: str, replicas: int):
+    """Replicated deterministic seed catalog from the documents table
+    (replica r shifts doc_id by r*10^7 → distinct URLs, same skew)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydra_ray.synth import catalog_from_documents
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False
+    )
+    parts = []
+    for r in range(replicas):
+        shifted = pa.table({"doc_id": pa.array(doc_ids + r * 10_000_000, type=pa.int64())})
+        parts.append(catalog_from_documents(shifted))
+    return pa.concat_tables(parts)
+
+
+def run_crawl(workdir: str) -> dict:
+    from hydra_ray.pipelines.crawl import CrawlEngine
+
+    seed = expanded_seed(SF_DIR, REPLICAS)
+    n_urls = seed.num_rows
+    batch_size = max(1000, int(n_urls * BATCH_FRACTION))
+    eng = CrawlEngine(
+        workdir,
+        batch_size=batch_size,
+        fetch_concurrency=max(2, (NUM_CPUS - 2) // 2),
+        politeness_kwargs={
+            # bench politeness: the bulk host is exempt (as the reference
+            # exempts static.data.gouv.fr) and the per-domain budget is
+            # scaled to batch size so throughput, not waiting, is measured
+            "backoff_nb_req": 10**9,
+        },
+        actor_pools=True,
+    )
+    t0 = time.time()
+    eng.load_catalog(seed)
+    load_sec = time.time() - t0
+
+    t0 = time.time()
+    stats = eng.run(N_ITER)
+    crawl_sec = time.time() - t0
+    checked = sum(s.get("ok", 0) + s.get("timeout", 0) + s.get("error", 0) for s in stats)
+    eng.shutdown()
+    return {
+        "n_urls_frontier": n_urls,
+        "batch_size": batch_size,
+        "n_iterations": N_ITER,
+        "checked": checked,
+        "load_sec": round(load_sec, 3),
+        "crawl_sec": round(crawl_sec, 3),
+        "urls_per_sec": round(checked / crawl_sec, 1) if crawl_sec else None,
+    }
+
+
+def run_queries() -> dict:
+    from hydra_ray.pipelines.queries import QUERIES
+
+    import ray.data as rd
+
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            # consume the stream without materializing on the driver
+            n = 0
+            for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                n += b.num_rows
+        else:
+            n = res.num_rows
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    workdir = f"/tmp/hydra_ray_bench_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    # warm the page cache so we measure compute+shuffle, not first read
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "events", "lineitem", "embeddings", "orders"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    # warm the Ray worker pool (32 python processes importing the library)
+    # so the first timed execution measures the pipeline, not process spawn
+    import ray.data as rd
+
+    def _touch(batch):
+        import hydra_ray.pipelines.crawl  # noqa: F401
+
+        return batch
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(_touch).materialize()
+
+    crawl = run_crawl(workdir)
+    queries = run_queries()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    result = {
+        "metric": "crawl_3iter_plus_queries_wall_sec",
+        "value": round(crawl["crawl_sec"] + sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": {**queries, "crawl_3iter": crawl["crawl_sec"]},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["urls_per_sec"], r_hi["urls_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_urls_per_sec",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "urls_per_sec_lo": tp_lo,
+                "urls_per_sec_hi": tp_hi,
+                "sec_lo": r_lo["crawl"]["crawl_sec"],
+                "sec_hi": r_hi["crawl"]["crawl_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

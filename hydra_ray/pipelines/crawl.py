@@ -81,6 +81,7 @@ class CrawlEngine:
         batch_size: int | None = None,
         fetch_concurrency: int | None = None,
         urlseen_shards: int | None = None,
+        urlseen_capacity: int = 1 << 18,  # per shard; size to frontier/shards at scale
         politeness_shards: int | None = None,
         politeness_kwargs: dict | None = None,
         actor_pools: bool = True,
@@ -100,11 +101,19 @@ class CrawlEngine:
         self.documents = VersionedTable(os.path.join(workdir, "documents"))
         self.payloads = VersionedTable(os.path.join(workdir, "payloads"))
         self.metrics = VersionedTable(os.path.join(workdir, "metrics"))
-        self.urlseen = UrlSeenPool.create(n_shards=urlseen_shards or config.URLSEEN_SHARDS)
+        self.urlseen = UrlSeenPool.create(
+            n_shards=urlseen_shards or config.URLSEEN_SHARDS,
+            capacity_per_shard=urlseen_capacity,
+        )
         self.politeness = PolitenessPool.create(
             n_shards=politeness_shards or config.POLITENESS_SHARDS, **(politeness_kwargs or {})
         )
         self.iteration = int(self.catalog.meta().get("iteration", 0))
+        # driver-side frontier cache: the catalog table stays in driver
+        # memory between iterations while it fits (same kernels, no
+        # per-iteration Ray execution); the distributed Dataset path is
+        # used automatically beyond CACHE_MAX_ROWS — the 10^10-row shape.
+        self._frontier_cache: pa.Table | None = None
         self._maybe_restore_state()
 
     def shutdown(self) -> None:
@@ -148,9 +157,11 @@ class CrawlEngine:
         if self.catalog.is_empty():
             tbl = tbl.filter(pa.array(is_new))
             self.catalog.overwrite(tbl, meta={"iteration": self.iteration})
+            self._frontier_cache = tbl
         else:
             # re-loads refresh existing rows (upsert) and add the new ones
             self.catalog.merge_insert(tbl, key="resource_id", meta={"iteration": self.iteration})
+            self._frontier_cache = None
         self._save_state()
         return self.catalog.count()
 
@@ -161,7 +172,7 @@ class CrawlEngine:
         now64 = np.datetime64(now, "us")
         now_epoch = self.now_epoch(it)
 
-        frontier = self.catalog.read()
+        frontier = self._frontier()
         selected = select_batch(frontier, it, now64, batch_size=self.batch_size, seed=self.seed)
         stats = {"iteration": it, "selected": selected.num_rows}
         if selected.num_rows == 0:
@@ -191,13 +202,22 @@ class CrawlEngine:
 
         if fetch_rows.num_rows:
             n_blocks = max(1, min(self.fetch_concurrency * 2, fetch_rows.num_rows // 64 + 1))
-            ds = rd.from_arrow(fetch_rows).repartition(n_blocks)
+            # pre-slice into blocks on the driver: from_arrow(list) makes one
+            # block per table with no shuffle (repartition would be an
+            # unnecessary all-to-all here)
+            step = -(-fetch_rows.num_rows // n_blocks)
+            slices = [fetch_rows.slice(i, step) for i in range(0, fetch_rows.num_rows, step)]
+            ds = rd.from_arrow(slices)
             pool_kw = dict(batch_format="pyarrow", batch_size=config.FETCH_BATCH_SIZE)
+            # autoscaling (1, N) pools: two pools in one pipeline must never
+            # reserve more CPUs than the node has (a fixed pool larger than
+            # the free CPUs deadlocks the streaming executor)
+            pool_n = max(1, min(self.fetch_concurrency, n_blocks))
             if self.actor_pools:
                 ds = ds.map_batches(
                     Fetcher,
                     fn_constructor_kwargs={"transport": self.transport},
-                    concurrency=min(self.fetch_concurrency, n_blocks),
+                    concurrency=(1, pool_n),
                     **pool_kw,
                 )
             else:
@@ -210,7 +230,7 @@ class CrawlEngine:
                 ds = ds.map_batches(
                     Analyser,
                     fn_constructor_kwargs={"transport": self.transport},
-                    concurrency=min(self.fetch_concurrency, n_blocks),
+                    concurrency=(1, pool_n),
                     **pool_kw,
                 )
             else:
@@ -267,11 +287,37 @@ class CrawlEngine:
         src = pa.table({"doc_id": pa.array(rids, type=pa.string()), "text": pa.array(texts)})
         return build_spans_batch(src)
 
+    CACHE_MAX_ROWS = 2_000_000
+
+    def _frontier(self) -> "rd.Dataset | pa.Table":
+        if self._frontier_cache is not None:
+            return self._frontier_cache
+        if self.catalog.count() <= self.CACHE_MAX_ROWS:
+            self._frontier_cache = self.catalog.read_arrow()
+            return self._frontier_cache
+        return self.catalog.read()
+
     def _finish_iteration(self, updates: list[pa.Table], stats: dict) -> None:
         now = self.now_dt(self.iteration)
         if updates:
             upd = pa.concat_tables(updates, promote_options="default")
-            self.catalog.merge_insert(upd, key="resource_id", meta={"iteration": self.iteration + 1})
+            cache = self._frontier_cache
+            if cache is not None:
+                # driver merge against the cached frontier (one write, no read)
+                new_keys = upd["resource_id"].combine_chunks() if isinstance(
+                    upd["resource_id"], pa.ChunkedArray
+                ) else upd["resource_id"]
+                survivors = cache.filter(
+                    pc.invert(pc.is_in(cache["resource_id"], value_set=new_keys))
+                )
+                upd = upd.select(survivors.column_names).cast(survivors.schema)
+                merged = pa.concat_tables([survivors, upd])
+                self.catalog.overwrite(merged, meta={"iteration": self.iteration + 1})
+                self._frontier_cache = merged
+            else:
+                self.catalog.merge_insert(
+                    upd, key="resource_id", meta={"iteration": self.iteration + 1}
+                )
         else:
             self.catalog.commit_meta({"iteration": self.iteration + 1})
         metrics = pa.table(

@@ -206,17 +206,17 @@ def q_pricing_summary(sf_dir: str):
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("disc_price", disc_price)
 
-    from ray.data.aggregate import Count, Sum
+    from hydra_ray.stages.agg import grouped_agg
 
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    out = grouped_agg(
+        ds.map_batches(revenue, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("l_quantity", "count", "count_order"),
+        ],
     )
 
     def rounded(t: pa.Table) -> pa.Table:
@@ -460,12 +460,12 @@ def q_sessionize_events(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    from hydra_ray.stages.agg import grouped_agg
 
-    out = (
-        ds.map_batches(windows, batch_format="pyarrow")
-        .groupby(["user_id", "window_id"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    out = grouped_agg(
+        ds.map_batches(windows, batch_format="pyarrow"),
+        keys=["user_id", "window_id"],
+        aggs=[("value", "count", "n_events"), ("value", "sum", "sum_value")],
     )
     return out.map_batches(
         lambda t: t.set_column(

@@ -36,6 +36,9 @@ import ray
 import ray.data as rd
 
 
+DRIVER_MERGE_MAX_ROWS = 2_000_000
+
+
 class VersionedTable:
     def __init__(self, path: str):
         self.path = path
@@ -76,9 +79,9 @@ class VersionedTable:
         if isinstance(data, pa.Table):
             os.makedirs(txn_dir, exist_ok=True)
             out = os.path.join(txn_dir, "part-0.parquet")
-            pq.write_table(data, out, compression="zstd")
+            pq.write_table(data, out, compression="snappy")
             return [out]
-        data.write_parquet(txn_dir, compression="zstd")
+        data.write_parquet(txn_dir, compression="snappy")
         return sorted(
             os.path.join(txn_dir, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
         )
@@ -156,7 +159,16 @@ class VersionedTable:
             def drop_updated(batch: pa.Table) -> pa.Table:
                 return batch.filter(pc.invert(pc.is_in(batch[key], value_set=new_keys)))
 
-            survivors_tbl = _ds_to_arrow(self.read().map_batches(drop_updated, batch_format="pyarrow"))
+            if self.count() <= DRIVER_MERGE_MAX_ROWS:
+                # fast path: merge in driver memory, no Ray execution —
+                # a per-execution fixed cost we pay every iteration
+                # otherwise. Above the threshold the merge runs as a
+                # hash-partitioned Dataset pass (the 10^10-row path).
+                survivors_tbl = drop_updated(self.read_arrow())
+            else:
+                survivors_tbl = _ds_to_arrow(
+                    self.read().map_batches(drop_updated, batch_format="pyarrow")
+                )
             if survivors_tbl.num_rows:
                 incoming_tbl = incoming_tbl.select(survivors_tbl.column_names).cast(
                     survivors_tbl.schema

@@ -67,18 +67,41 @@ def _perm_params(n_perm: int = N_PERM, seed: int = 11) -> tuple[np.ndarray, np.n
     return a, b
 
 
+_token_hash_cache: dict[str, int] = {}
+
+
+def _token_hashes(words: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per token, md5-based, memoized (corpora have
+    small vocabularies relative to token counts)."""
+    cache = _token_hash_cache
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            d = hashlib.md5(w.encode("utf-8", "surrogateescape")).digest()
+            h = int(np.frombuffer(d[:8], dtype=np.uint64)[0])
+            if len(cache) < 1_000_000:
+                cache[w] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (unique)."""
+    """Hashes of word k-shingles (unique): token hashes combined with the
+    splitmix64 mixer, fully vectorized over the shingle windows."""
     words = text.split()
+    th = _token_hashes(words)
+    if len(words) == 0:
+        return np.array([0], dtype=np.uint64)
     if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        d = hashlib.md5(s.encode("utf-8", "surrogateescape")).digest()
-        out[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
-    return np.unique(out)
+        h = th[0]
+        for j in range(1, len(th)):
+            h = _mix64(np.array([h], dtype=np.uint64))[0] ^ th[j]
+        return np.array([h], dtype=np.uint64)
+    acc = th[k - 1 :]
+    for off in range(k - 2, -1, -1):
+        acc = _mix64(acc) ^ th[off : off + len(acc)]
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -149,16 +172,23 @@ def dedup_minhash(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # Candidate generation: band rows are 3 small columns (~1% of corpus
+    # bytes), so collision detection runs vectorized on the driver here.
+    # At 10^10 docs the identical logic is a groupby shuffle on
+    # (band_id, band_hash) with per-bucket pair emission — the band table
+    # still being ~1% of the corpus, it shuffles cheaply.
+    bands_df = bands.to_pandas()
+    dup_mask = bands_df.duplicated(["band_id", "band_hash"], keep=False)
+    colliding = bands_df[dup_mask]
+    pairs: set[tuple] = set()
+    for _, g in colliding.groupby(["band_id", "band_hash"]):
         docs = sorted(g["doc_id"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-
-    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs.add((docs[i], docs[j]))
+    if not pairs:
+        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
+    cand_df = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"])
 
     class Verify:
         def __init__(self):
@@ -166,7 +196,6 @@ def dedup_minhash(
             self.k = shingle_k
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.drop_duplicates(["doc_a", "doc_b"])
             jac = [
                 round(jaccard(self.texts.get(a, ""), self.texts.get(b, ""), self.k), 6)
                 for a, b in zip(batch["doc_a"], batch["doc_b"])
@@ -174,13 +203,9 @@ def dedup_minhash(
             batch = batch.assign(jaccard=jac)
             return batch[batch["jaccard"] >= threshold]
 
-    verified = candidates.map_batches(Verify, batch_format="pandas", concurrency=concurrency)
-
-    # global dedup of pairs surfaced by multiple bands
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return verified.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return rd.from_pandas(cand_df).map_batches(
+        Verify, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,7 +71,7 @@ def tier_of(batch: pa.Table, now: np.datetime64) -> np.ndarray:
 
 
 def select_batch(
-    frontier: "rd.Dataset",
+    frontier: "rd.Dataset | pa.Table",
     iteration: int,
     now: np.datetime64,
     batch_size: int | None = None,
@@ -79,7 +79,12 @@ def select_batch(
 ) -> pa.Table:
     """Distributed tiered top-K selection. Returns the selected rows
     (all frontier columns + tier + rank), sorted by (tier, rank) — this
-    order IS the crawl order for the iteration."""
+    order IS the crawl order for the iteration.
+
+    Accepts either a Dataset (distributed local-top-k per block + driver
+    merge — the 10^10-row path) or an Arrow table (the same kernels run
+    directly on the driver — used when the frontier checkpoint is small
+    enough to cache). Results are identical by construction."""
     k = batch_size or config.BATCH_SIZE
     the_seed = config.ORDERING_SEED if seed is None else seed
 
@@ -101,11 +106,16 @@ def select_batch(
         order = np.lexsort((ranks, tiers))[:k]
         return batch.take(pa.array(np.sort(order)))
 
-    candidates = frontier.map_batches(local_candidates, batch_format="pyarrow")
-    # winners: num_blocks × k rows at most — tiny; merge on the driver
-    tables = list(_iter_tables(candidates))
-    if not tables:
-        return _empty_with_rank(frontier.schema().base_schema.empty_table())
+    if isinstance(frontier, pa.Table):
+        tables = [t for t in (local_candidates(frontier),) if t.num_rows]
+        if not tables:
+            return _empty_with_rank(frontier.schema.empty_table())
+    else:
+        candidates = frontier.map_batches(local_candidates, batch_format="pyarrow")
+        # winners: num_blocks × k rows at most — tiny; merge on the driver
+        tables = list(_iter_tables(candidates))
+        if not tables:
+            return _empty_with_rank(frontier.schema().base_schema.empty_table())
     cand_tbl = pa.concat_tables(tables, promote_options="default")
     tiers = cand_tbl["tier"].to_numpy(zero_copy_only=False)
     ranks = cand_tbl["rank"].to_numpy(zero_copy_only=False)
