@@ -1,0 +1,88 @@
+"""Dedup stages: exact keep-first, MinHash-LSH recall on planted
+near-dups, SimHash locality, n-gram Jaccard blocking."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from hydra_ray.stages.dedup import (
+    MinHasher,
+    dedup_exact,
+    dedup_minhash,
+    hamming64,
+    jaccard,
+    ngram_jaccard_pairs,
+    simhash_batch,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill in the late afternoon sun of a quiet town"
+)
+
+
+def corpus():
+    rows = []
+    # near-dup pair: one word changed
+    rows.append((0, BASE, "src0"))
+    rows.append((1, BASE.replace("lazy", "sleepy"), "src0"))
+    # exact dup pair
+    rows.append((2, "identical text content here", "src0"))
+    rows.append((3, "identical text content here", "src0"))
+    # unrelated docs
+    for i in range(4, 14):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(30)), "src1"))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": [r[1] for r in rows],
+            "source": [r[2] for r in rows],
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact(self):
+        out = dedup_exact(rd.from_arrow(corpus())).to_pandas()
+        assert len(out) == 13  # 14 docs, one exact dup collapsed
+        row = out[out["n_dupes"] > 0]
+        assert row["doc_id"].tolist() == [2]  # min id kept
+        assert row["n_dupes"].tolist() == [1]
+
+    def test_minhash_finds_planted_pairs(self):
+        out = dedup_minhash(rd.from_arrow(corpus()), threshold=0.5).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs  # near-dup
+        assert (2, 3) in pairs  # exact dup (jaccard 1.0)
+        # unrelated docs must not pair
+        assert not any(a >= 4 for a, _ in pairs)
+
+    def test_jaccard_bounds(self):
+        assert jaccard(BASE, BASE) == 1.0
+        assert jaccard(BASE, "completely different words") < 0.05
+        j = jaccard(BASE, BASE.replace("lazy", "sleepy"))
+        assert 0.5 < j < 1.0
+
+    def test_simhash_locality(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": [BASE, BASE.replace("lazy", "sleepy"), "totally other content now"],
+            }
+        )
+        h = simhash_batch(t)["simhash"].to_numpy(zero_copy_only=False)
+        d_near = hamming64(h[:1], h[1:2])[0]
+        d_far = hamming64(h[:1], h[2:3])[0]
+        assert d_near < d_far
+        assert d_near <= 12
+
+    def test_minhash_signature_deterministic(self):
+        m1, m2 = MinHasher(), MinHasher()
+        assert (m1.signature(BASE) == m2.signature(BASE)).all()
+
+    def test_ngram_pairs_blocked_by_source(self):
+        out = ngram_jaccard_pairs(rd.from_arrow(corpus()), threshold=0.5).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs and (2, 3) in pairs

@@ -1,0 +1,105 @@
+"""Similarity search: brute-force exactness vs numpy oracle, LSH recall,
+multimodal feature plumbing, partial-agg helper."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from hydra_ray.stages.similarity import hyperplanes, knn_bruteforce, knn_lsh, nn_all
+
+
+def embeddings(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant a near-identical pair
+    m[1] = m[0] + rng.normal(scale=0.01, size=dim).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m], type=pa.list_(pa.float32())),
+        }
+    )
+
+
+def numpy_topk(tbl, query_ids, k):
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = []
+    for q in query_ids:
+        sims = m @ m[list(ids).index(q)]
+        order = np.lexsort((ids, -sims))
+        kept = [int(ids[j]) for j in order if ids[j] != q][:k]
+        out.append((q, kept))
+    return dict(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self):
+        tbl = embeddings()
+        ids = np.array([0, 10, 20], dtype=np.int64)
+        qm = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)[[0, 10, 20]]
+        got = knn_bruteforce(rd.from_arrow(tbl).repartition(4), ids, qm, k=3).to_pandas()
+        want = numpy_topk(tbl, [0, 10, 20], 3)
+        for q in (0, 10, 20):
+            rows = got[got["query_id"] == q].sort_values("rank")
+            assert rows["neighbor_id"].tolist() == want[q]
+
+    def test_nn_all_finds_planted_pair(self):
+        tbl = embeddings()
+        out = nn_all(rd.from_arrow(tbl).repartition(3)).to_pandas().set_index("vec_id")
+        assert out.loc[0, "nn_id"] == 1
+        assert out.loc[1, "nn_id"] == 0
+
+    def test_lsh_buckets_near_identical_together(self):
+        tbl = embeddings()
+        out = knn_lsh(rd.from_arrow(tbl), k=1, n_planes=4).to_pandas()
+        got = out[out["vec_id"] == 0]
+        # planted twin lands in the same half-space bucket w.h.p.
+        assert len(got) == 0 or got["nn_id"].iloc[0] == 1
+
+    def test_hyperplanes_deterministic(self):
+        assert (hyperplanes(8, 4) == hyperplanes(8, 4)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_pipeline_schema_and_determinism():
+    from hydra_ray.stages.multimodal import MediaFeatures, MediaFetcher, decode_image
+
+    refs = pa.table({"media_ref": [f"media://{i}/0" for i in range(5)]})
+    fetched = MediaFetcher()(refs)
+    assert fetched.schema.names == ["media_ref", "media_type", "payload"]
+    assert fetched["payload"].type == pa.binary()
+    feats = MediaFeatures()(fetched)
+    assert feats.schema.names == ["media_ref", "n_bytes", "features"]
+    feats2 = MediaFeatures()(MediaFetcher()(refs))
+    assert feats.equals(feats2)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xxx")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_agg_matches_direct():
+    from hydra_ray.stages.agg import grouped_agg
+
+    t = pa.table(
+        {
+            "k": ["a", "b", "a", "b", "a"],
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    out = (
+        grouped_agg(
+            rd.from_arrow(t).repartition(3),
+            keys=["k"],
+            aggs=[("v", "sum", "sv"), ("v", "count", "n"), ("v", "min", "mn"), ("v", "max", "mx")],
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc["a", "sv"] == 9.0 and out.loc["b", "sv"] == 6.0
+    assert out.loc["a", "n"] == 3 and out.loc["b", "n"] == 2
+    assert out.loc["a", "mn"] == 1.0 and out.loc["a", "mx"] == 5.0

@@ -1,0 +1,87 @@
+"""Text-analysis stages: stats parity with the SQL token contract,
+language ID accuracy, quality gates, fingerprint determinism."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.text import (
+    LangId,
+    fingerprint_batch,
+    quality_batch,
+    text_stats_batch,
+)
+
+
+def docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "the cat and the dog",
+                "",
+                "  spaced   out  tokens  ",
+                "digits 123 456 end",
+            ],
+        }
+    )
+
+
+def test_text_stats_matches_duckdb_token_contract():
+    got = text_stats_batch(docs()).to_pandas().set_index("doc_id")
+    con = duckdb.connect()
+    con.register("documents", docs())
+    want = con.execute(
+        r"""SELECT doc_id, length(text) AS n_chars,
+              CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+            FROM documents"""
+    ).df().set_index("doc_id")
+    assert (got["n_chars"] == want["n_chars"]).all()
+    assert (got["n_tokens"] == want["n_tokens"]).all()
+    assert (got["n_digits"] == want["n_digits"]).all()
+
+
+def test_quality_gates():
+    out = quality_batch(docs()).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"]) is True  # 5 tokens, no digits
+    assert bool(out.loc[2, "keep"]) is False  # empty
+    assert bool(out.loc[4, "keep"]) is False  # digit ratio 6/18 >= 0.3
+
+
+def test_langid_on_clear_samples():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "the cat and the dog is in a house",
+                "le chat et la maison est une merveille",
+                "der Hund und die Katze ist ein Tier",
+            ],
+        }
+    )
+    preds = LangId()(t)["lang_pred"].to_pylist()
+    assert preds == ["en", "fr", "de"]
+
+
+def test_langid_accuracy_on_testdata():
+    """Stopword heuristic beats chance decisively on the synthetic corpus
+    only if texts carry language signal — here they mostly don't, so we
+    only assert valid labels + determinism."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    p1 = LangId()(t)["lang_pred"].to_pylist()
+    p2 = LangId()(t)["lang_pred"].to_pylist()
+    assert p1 == p2
+    assert set(p1) <= {"en", "fr", "de", "es", "zh", "und"}
+
+
+def test_fingerprint_deterministic_and_order_sensitive():
+    a = fingerprint_batch(docs())["fingerprint"].to_pylist()
+    b = fingerprint_batch(docs())["fingerprint"].to_pylist()
+    assert a == b
+    flipped = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()), "text": ["cat the and the dog"]}
+    )
+    assert fingerprint_batch(flipped)["fingerprint"].to_pylist()[0] != a[0]
