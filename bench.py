@@ -33,7 +33,7 @@ warnings.filterwarnings("ignore")
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_ITER = 3
-REPLICAS = 9  # frontier ≈ 9 × documents rows
+REPLICAS = 30  # frontier ≈ 30 × documents rows (~150k URLs at sf0.1)
 BATCH_FRACTION = 0.4  # select ~40% of the frontier per iteration
 
 QUERY_NAMES = [

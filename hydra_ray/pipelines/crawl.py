@@ -44,6 +44,7 @@ from hydra_ray.stages.analysis import Analyser
 from hydra_ray.stages.checks_stage import build_checks_batch
 from hydra_ray.stages.fetcher import Fetcher
 from hydra_ray.stages.frontier import select_batch
+from hydra_ray.stages.sinks import IterationSink
 from hydra_ray.stages.spans import build_spans_batch
 from hydra_ray.state.politeness import PolitenessPool
 from hydra_ray.state.urlseen import UrlSeenPool
@@ -167,6 +168,19 @@ class CrawlEngine:
 
     # -- one iteration -----------------------------------------------------
     def run_iteration(self) -> dict:
+        import time as _time
+
+        profile = bool(os.environ.get("HYDRA_PROFILE"))
+        marks: dict[str, float] = {}
+        _last = _time.time()
+
+        def mark(name: str) -> None:
+            nonlocal _last
+            if profile:
+                now_t = _time.time()
+                marks[f"t_{name}"] = round(now_t - _last, 2)
+                _last = now_t
+
         it = self.iteration
         now = self.now_dt(it)
         now64 = np.datetime64(now, "us")
@@ -174,6 +188,7 @@ class CrawlEngine:
 
         frontier = self._frontier()
         selected = select_batch(frontier, it, now64, batch_size=self.batch_size, seed=self.seed)
+        mark("select")
         stats = {"iteration": it, "selected": selected.num_rows}
         if selected.num_rows == 0:
             self._finish_iteration([], stats)
@@ -186,15 +201,15 @@ class CrawlEngine:
         for d in domains:
             dom_counts[d] = dom_counts.get(d, 0) + 1
         allowed = self.politeness.reserve(list(dom_counts.items()), now_epoch)
-        seen_so_far: dict[str, int] = {}
-        allow_mask = np.zeros(selected.num_rows, dtype=bool)
-        for i, d in enumerate(domains):
-            k = seen_so_far.get(d, 0)
-            allow_mask[i] = k < allowed.get(d, 0)
-            seen_so_far[d] = k + 1
+        # first `allowed[d]` rows per domain in crawl (rank) order — vectorized
+        dom_series = pd.Series(domains)
+        cum = dom_series.groupby(dom_series).cumcount().to_numpy()
+        quota = dom_series.map(allowed).fillna(0).to_numpy()
+        allow_mask = cum < quota
         backoff_rows = selected.filter(pa.array(~allow_mask))
         fetch_rows = selected.filter(pa.array(allow_mask))
         stats["backoff"] = backoff_rows.num_rows
+        mark("politeness")
 
         updates: list[pa.Table] = []
         if backoff_rows.num_rows:
@@ -235,46 +250,72 @@ class CrawlEngine:
                 )
             else:
                 ds = ds.map_batches(Analyser(self.transport), **pool_kw)
+
+            # per-block distributed sinks: checks / payloads / span docs are
+            # written by the workers; only slim frontier columns reach the
+            # driver (the heavy spans + payload strings never move)
+            checks_txn = self.checks.new_txn_dir()
+            payloads_txn = self.payloads.new_txn_dir()
+            docs_txn = self.documents.new_txn_dir()
+            ds = ds.map_batches(
+                IterationSink(checks_txn, payloads_txn, docs_txn, it), batch_format="pyarrow"
+            )
             result = _ds_to_arrow(ds)
+            mark("pipeline")
 
-            # 1. checks log (append-only)
-            checks_tbl = _to_checks_table(result)
-            self.checks.append(checks_tbl)
+            # commit the part files written by the sink stage
+            self.checks.register_files(_txn_files(checks_txn))
+            self.payloads.register_files(_txn_files(payloads_txn))
+            self.documents.register_files(_txn_files(docs_txn))
+            mark("register")
 
-            # 2. interleaved span documents for parsed resources
-            parse_rows = result.filter(pc.equal(result["do_parse"], True))
-            if parse_rows.num_rows:
-                docs = self._build_documents(parse_rows)
-                if self.documents.is_empty():
-                    self.documents.overwrite(docs)
-                else:
-                    self.documents.merge_insert(docs, key="doc_id")
-
-            # 3. webhook payloads (check payloads + analysis payloads)
-            pl = _payload_rows(result, it)
-            if pl.num_rows:
-                self.payloads.append(pl)
-
-            # 4. frontier updates
+            # frontier updates
             updates.append(_frontier_update_fetched(result, now))
 
             # 5. politeness bookkeeping: per-domain completed counts + the
             # latest check's status/ratelimit headers (in crawl order)
             self.politeness.record_agg(_politeness_records(result), now_epoch)
+            mark("record")
 
             out = result["outcome"].to_pylist()
             for o in ("ok", "timeout", "error"):
                 stats[o] = sum(1 for x in out if x == o)
-            stats["parsed"] = int(parse_rows.num_rows)
+            stats["parsed"] = int(pc.sum(pc.cast(result["do_parse"], pa.int32())).as_py() or 0)
             stats["changed"] = int(
                 pc.sum(pc.cast(result["has_changed"], pa.int32())).as_py() or 0
             )
 
+        if profile:
+            stats.update(marks)
         self._finish_iteration(updates, stats)
+        if profile:
+            import time as _t2
+            stats["t_finish"] = round(_t2.time() - _last, 2)
         return stats
 
     def run(self, iterations: int = 1) -> list[dict]:
         return [self.run_iteration() for _ in range(iterations)]
+
+    # -- documents (merge-on-read) ----------------------------------------
+    def read_documents(self) -> pa.Table:
+        """Latest span document per doc_id (resolves the append-only
+        ``_iter`` versions last-wins — Lance-style merge-on-read)."""
+        tbl = self.documents.read_arrow()
+        if "_iter" not in tbl.column_names:
+            return tbl
+        import pandas as pd_
+
+        order = pd_.DataFrame(
+            {"doc_id": tbl["doc_id"].to_pylist(), "_iter": tbl["_iter"].to_pylist()}
+        )
+        keep = (
+            order.reset_index()
+            .sort_values(["doc_id", "_iter", "index"])
+            .groupby("doc_id", as_index=False)
+            .tail(1)["index"]
+            .to_numpy()
+        )
+        return tbl.take(pa.array(np.sort(keep))).drop_columns(["_iter"])
 
     # -- internals ---------------------------------------------------------
     def _build_documents(self, parse_rows: pa.Table) -> pa.Table:
@@ -458,6 +499,12 @@ def _frontier_update_fetched(result: pa.Table, now: datetime) -> pa.Table:
     return out
 
 
+def _txn_files(txn_dir: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(txn_dir, "*.parquet")))
+
+
 def _set_column(tbl: pa.Table, name: str, arr) -> pa.Table:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -466,52 +513,6 @@ def _set_column(tbl: pa.Table, name: str, arr) -> pa.Table:
     return tbl.append_column(name, arr)
 
 
-def _to_checks_table(result: pa.Table) -> pa.Table:
-    cols = {
-        "id": result["check_id"],
-        "resource_id": result["resource_id"],
-        "dataset_id": result["dataset_id"],
-        "url": result["url"],
-        "domain": result["domain"],
-        "created_at": result["created_at"],
-        "status": result["check_status"],
-        "headers": result["check_headers"],
-        "cors_headers": result["check_cors_headers"],
-        "timeout": result["check_timeout"],
-        "response_time": result["response_time"],
-        "error": result["check_error"],
-        "checksum": result["checksum"],
-        "filesize": result["filesize"],
-        "mime_type": result["mime_type"],
-        "analysis_error": result["analysis_error"],
-        "detected_last_modified_at": result["detected_last_modified_at_new"],
-        "parsing_error": pa.nulls(result.num_rows, pa.string()),
-        "parsing_table": pc.if_else(
-            result["do_parse"], result["url_md5"], pa.nulls(result.num_rows, pa.string())
-        ),
-        "next_check_at": result["next_check_at"],
-    }
-    return pa.table({k: (v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v) for k, v in cols.items()})
-
-
-def _payload_rows(result: pa.Table, iteration: int) -> pa.Table:
-    rows_rid, rows_did, rows_kind, rows_payload = [], [], [], []
-    rids = result["resource_id"].to_pylist()
-    dids = result["dataset_id"].to_pylist()
-    for j, (cp, ap) in enumerate(zip(result["payload"].to_pylist(), result["analysis_payload"].to_pylist())):
-        if cp:
-            rows_rid.append(rids[j]); rows_did.append(dids[j]); rows_kind.append("check"); rows_payload.append(cp)
-        if ap:
-            rows_rid.append(rids[j]); rows_did.append(dids[j]); rows_kind.append("analysis"); rows_payload.append(ap)
-    return pa.table(
-        {
-            "iteration": pa.array([iteration] * len(rows_rid), type=pa.int64()),
-            "dataset_id": pa.array(rows_did, type=pa.string()),
-            "resource_id": pa.array(rows_rid, type=pa.string()),
-            "kind": pa.array(rows_kind, type=pa.string()),
-            "payload": pa.array(rows_payload, type=pa.string()),
-        }
-    )
 
 
 def _politeness_records(result: pa.Table) -> list[tuple]:

@@ -405,10 +405,10 @@ def q_crawler_status_triptych(sf_dir: str):
             }
         )
 
+    from hydra_ray.sources.store import ds_to_tables
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        [ray.get(r) for r in partials.to_arrow_refs()], promote_options="default"
-    )
+    merged = pa.concat_tables(ds_to_tables(partials), promote_options="default")
     return pa.table(
         {
             "n_old": pa.array([pc.sum(merged["n_old"]).as_py() or 0], type=pa.int64()),

@@ -86,6 +86,23 @@ class VersionedTable:
             os.path.join(txn_dir, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
         )
 
+    def new_txn_dir(self) -> str:
+        """Directory for externally written part files (distributed sinks
+        write here; ``register_files`` commits them atomically)."""
+        path = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def register_files(self, files: list[str], meta: dict | None = None) -> int:
+        """Commit externally written part files as a new version (the
+        write-tasks-then-commit-manifest pattern: files not registered
+        are invisible; a crashed run leaves only garbage, never a
+        partial version)."""
+        files = [f for f in files if os.path.exists(f)]
+        parent = self.latest_version()
+        prev = self._load_manifest(parent)
+        return self._commit(prev["files"] + sorted(files), meta, parent)
+
     def append(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
@@ -181,7 +198,20 @@ class VersionedTable:
         return self.overwrite(merged, meta=meta)
 
 
+def ds_to_tables(ds: "rd.Dataset") -> list[pa.Table]:
+    """Execute a Dataset exactly once and return its blocks.
+
+    ``Dataset.to_arrow_refs()`` on a lazy dataset runs the pipeline
+    TWICE in Ray 2.49 (an eager schema pass plus the real execution) —
+    fatal for stages with side-effecting sinks and a silent 2× cost
+    everywhere else. ``materialize()`` runs once; refs off the
+    materialized dataset are then free.
+    """
+    mat = ds.materialize()
+    return [ray.get(ref) for ref in mat.to_arrow_refs()]
+
+
 def _ds_to_arrow(ds: "rd.Dataset") -> pa.Table:
-    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = ds_to_tables(ds)
     tables = [t for t in tables if t.num_rows] or tables[:1]
     return pa.concat_tables(tables, promote_options="default")

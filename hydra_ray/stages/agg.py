@@ -57,9 +57,9 @@ def grouped_agg(
     # pays a full sort-shuffle fixed cost that dwarfs small finals).
     # Larger partial sets (huge key cardinality) fall back to the
     # distributed groupby.
-    import ray
+    from hydra_ray.sources.store import ds_to_tables
 
-    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ds_to_tables(partials) if t.num_rows]
     if not tables:
         return rd.from_arrow(_empty_final(keys, aggs))
     merged = pa.concat_tables(tables, promote_options="default")

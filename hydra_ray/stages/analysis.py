@@ -62,11 +62,24 @@ def _max_size_for(fmt: str | None) -> int:
 
 class Analyser:
     """One transport per actor; batch body is a per-row loop over the
-    change-detection decision tree (branchy row logic, not a kernel)."""
+    change-detection decision tree (branchy row logic, not a kernel).
 
-    def __init__(self, transport: dict | None = None, force_analysis: bool = False):
+    With ``parse_content=True`` (default) rows routed to a parseable
+    format run the full content analysis inside this distributed stage:
+    synthetic download → csv-detective-style inspection → typed Arrow
+    cast → interleaved span-document build (the reference's CsvLike
+    .analyse path, csv_like/__init__.py:60-159). The resulting spans
+    ride out as a list<struct> column (null for unparsed rows)."""
+
+    def __init__(
+        self,
+        transport: dict | None = None,
+        force_analysis: bool = False,
+        parse_content: bool = True,
+    ):
         self.transport = make_transport(transport or {"kind": "synthetic"})
         self.force = force_analysis
+        self.parse_content = parse_content
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -197,6 +210,13 @@ class Analyser:
             else:
                 out_payload.append(None)
 
+        # full content analysis for parseable, changed resources — the
+        # heavy distributed work (inspection, typed cast, span build)
+        spans_col = None
+        parsing_tables: list[str | None] = [None] * n
+        if self.parse_content:
+            spans_col, parsing_tables = self._parse_contents(batch, out_parse)
+
         out = batch
         for name, arr in (
             ("change_status", pa.array(out_change, type=pa.string())),
@@ -213,4 +233,49 @@ class Analyser:
             if name in out.column_names:
                 out = out.drop_columns([name])
             out = out.append_column(name, arr)
+        if spans_col is not None:
+            if "spans" in out.column_names:
+                out = out.drop_columns(["spans"])
+            out = out.append_column("spans", spans_col)
         return out
+
+    def _parse_contents(self, batch: pa.Table, do_parse: list[bool]):
+        """Inspect + cast + span-build for parse-routed rows; returns the
+        spans list<struct> column (nulls elsewhere) and parsing-table names."""
+        from hydra_ray.schemas import SPAN_STRUCT
+        from hydra_ray.stages.inspection import csv_text_to_table, inspect_csv_text
+        from hydra_ray.stages.spans import build_spans_batch
+
+        urls = batch["url"].to_pylist()
+        rids = batch["resource_id"].to_pylist()
+        md5s = batch["url_md5"].to_pylist() if "url_md5" in batch.column_names else [None] * len(urls)
+        epoch = getattr(self.transport, "epoch", 0)
+
+        from hydra_ray import synth
+
+        sub_ids, sub_texts, sub_rows = [], [], []
+        for j, parse in enumerate(do_parse):
+            if not parse:
+                continue
+            text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=200)
+            insp = inspect_csv_text(text)
+            csv_text_to_table(text, insp)  # the typed-cast cost (result feeds parsed-table sinks)
+            sub_ids.append(rids[j])
+            sub_texts.append(text)
+            sub_rows.append(j)
+
+        parsing_tables: list[str | None] = [None] * len(urls)
+        for j in sub_rows:
+            parsing_tables[j] = md5s[j]
+
+        if not sub_rows:
+            return pa.nulls(len(urls), pa.list_(SPAN_STRUCT)), parsing_tables
+
+        built = build_spans_batch(
+            pa.table({"doc_id": pa.array(sub_ids, type=pa.string()), "text": pa.array(sub_texts)})
+        )
+        spans_lists = built["spans"].to_pylist()
+        full: list = [None] * len(urls)
+        for pos, j in enumerate(sub_rows):
+            full[j] = spans_lists[pos]
+        return pa.array(full, type=pa.list_(SPAN_STRUCT)), parsing_tables

@@ -124,10 +124,9 @@ def select_batch(
 
 
 def _iter_tables(ds: "rd.Dataset"):
-    import ray
+    from hydra_ray.sources.store import ds_to_tables
 
-    for ref in ds.to_arrow_refs():
-        t = ray.get(ref)
+    for t in ds_to_tables(ds):
         if t.num_rows:
             yield t
 

@@ -129,8 +129,10 @@ def nn_all(ds: "rd.Dataset", id_col: str = "vec_id", emb_col: str = "embedding")
             }
         )
 
+    from hydra_ray.sources.store import ds_to_tables
+
     return pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()],
+        ds_to_tables(ds.map_batches(local, batch_format="pyarrow")),
         promote_options="default",
     )
 

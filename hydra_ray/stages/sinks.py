@@ -1,0 +1,136 @@
+"""Distributed per-block sinks for the crawl iteration.
+
+``IterationSink`` runs as the last ``map_batches`` stage of the
+iteration pipeline: each block writes its own checks / payloads /
+span-document part files straight from the worker (no driver
+materialization of the heavy columns), then passes on only the slim
+frontier-update columns. The engine registers the written files into
+the versioned tables' manifests after the pipeline completes — the
+standard write-then-commit pattern, so a crashed iteration leaves only
+unregistered garbage, never a partial version.
+
+Span documents are appended with an ``_iter`` column and resolved
+last-wins on read (merge-on-read), avoiding a rewrite of the whole
+documents table per iteration.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+HEAVY_COLS = ("spans", "payload", "analysis_payload", "do_parse")
+
+
+def to_checks_table(result: pa.Table) -> pa.Table:
+    """Fetch/analysis output rows → the checks-log schema."""
+    cols = {
+        "id": result["check_id"],
+        "resource_id": result["resource_id"],
+        "dataset_id": result["dataset_id"],
+        "url": result["url"],
+        "domain": result["domain"],
+        "created_at": result["created_at"],
+        "status": result["check_status"],
+        "headers": result["check_headers"],
+        "cors_headers": result["check_cors_headers"],
+        "timeout": result["check_timeout"],
+        "response_time": result["response_time"],
+        "error": result["check_error"],
+        "checksum": result["checksum"],
+        "filesize": result["filesize"],
+        "mime_type": result["mime_type"],
+        "analysis_error": result["analysis_error"],
+        "detected_last_modified_at": result["detected_last_modified_at_new"],
+        "parsing_error": pa.nulls(result.num_rows, pa.string()),
+        "parsing_table": pc.if_else(
+            result["do_parse"], result["url_md5"], pa.nulls(result.num_rows, pa.string())
+        ),
+        "next_check_at": result["next_check_at"],
+    }
+    return pa.table(
+        {k: (v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v) for k, v in cols.items()}
+    )
+
+
+def payload_rows(result: pa.Table, iteration: int) -> pa.Table:
+    """Non-null check/analysis payloads → webhook-notification rows."""
+    parts = []
+    for kind, col in (("check", "payload"), ("analysis", "analysis_payload")):
+        sub = result.filter(pc.is_valid(result[col]))
+        if sub.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "iteration": pa.array([iteration] * sub.num_rows, type=pa.int64()),
+                        "dataset_id": sub["dataset_id"].cast(pa.string()),
+                        "resource_id": sub["resource_id"].cast(pa.string()),
+                        "kind": pa.array([kind] * sub.num_rows, type=pa.string()),
+                        "payload": sub[col].cast(pa.string()),
+                    }
+                )
+            )
+    if not parts:
+        return pa.table(
+            {
+                "iteration": pa.array([], type=pa.int64()),
+                "dataset_id": pa.array([], type=pa.string()),
+                "resource_id": pa.array([], type=pa.string()),
+                "kind": pa.array([], type=pa.string()),
+                "payload": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def docs_table(result: pa.Table, iteration: int) -> pa.Table:
+    """Parsed rows → (doc_id, spans, _iter) span documents."""
+    parse_rows = result.filter(pc.equal(result["do_parse"], True))
+    spans = parse_rows["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": parse_rows["resource_id"].cast(pa.string()),
+            "spans": spans,
+            "_iter": pa.array([iteration] * parse_rows.num_rows, type=pa.int64()),
+        }
+    )
+
+
+class IterationSink:
+    """Per-block sink + projection to the slim frontier columns."""
+
+    def __init__(self, checks_dir: str, payloads_dir: str, docs_dir: str, iteration: int):
+        self.checks_dir = checks_dir
+        self.payloads_dir = payloads_dir
+        self.docs_dir = docs_dir
+        self.iteration = iteration
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            blk = uuid.uuid4().hex[:12]
+            pq.write_table(
+                to_checks_table(batch),
+                os.path.join(self.checks_dir, f"part-{blk}.parquet"),
+                compression="snappy",
+            )
+            pl = payload_rows(batch, self.iteration)
+            if pl.num_rows:
+                pq.write_table(
+                    pl, os.path.join(self.payloads_dir, f"part-{blk}.parquet"), compression="snappy"
+                )
+            if "spans" in batch.column_names:
+                docs = docs_table(batch, self.iteration)
+                if docs.num_rows:
+                    pq.write_table(
+                        docs,
+                        os.path.join(self.docs_dir, f"part-{blk}.parquet"),
+                        compression="snappy",
+                    )
+        drop = [c for c in HEAVY_COLS if c in batch.column_names and c != "do_parse"]
+        return batch.drop_columns(drop)
