@@ -78,6 +78,10 @@ class Config:
     # reserved PG column budget (reference config_default.toml:17)
     NAMEDATALEN: int = 64
 
+    # udata API base; enables 404 stable-URL recovery when set
+    # (reference config UDATA_URI + crawl/check_resources.py:203)
+    UDATA_URI: str = ""
+
     # -- engine-specific (no reference counterpart) -- #
     ORDERING_SEED: int = 42  # replaces ORDER BY random(); see frontier.py
     URLSEEN_SHARDS: int = 8

@@ -228,15 +228,16 @@ class CrawlEngine:
             # reserve more CPUs than the node has (a fixed pool larger than
             # the free CPUs deadlocks the streaming executor)
             pool_n = max(1, min(self.fetch_concurrency, n_blocks))
+            fetch_kwargs = {"transport": self.transport, "udata_uri": config.UDATA_URI}
             if self.actor_pools:
                 ds = ds.map_batches(
                     Fetcher,
-                    fn_constructor_kwargs={"transport": self.transport},
+                    fn_constructor_kwargs=fetch_kwargs,
                     concurrency=(1, pool_n),
                     **pool_kw,
                 )
             else:
-                ds = ds.map_batches(Fetcher(self.transport), **pool_kw)
+                ds = ds.map_batches(Fetcher(**fetch_kwargs), **pool_kw)
             ds = ds.map_batches(
                 lambda b: build_checks_batch(b, iteration=it, now=now.replace(tzinfo=timezone.utc)),
                 batch_format="pyarrow",
@@ -295,6 +296,42 @@ class CrawlEngine:
 
     def run(self, iterations: int = 1) -> list[dict]:
         return [self.run_iteration() for _ in range(iterations)]
+
+    def clean_up_statuses(self) -> int:
+        """T7 parity (db/resource.py:172-192): resources stuck in a
+        non-null status whose last activity is older than
+        STUCK_THRESHOLD_SECONDS return to the frontier (status → NULL).
+        Returns the number of rows cleaned. Run at catalog load like the
+        reference (cli/catalog.py:91-92)."""
+        from datetime import timedelta
+
+        cat = self._frontier()
+        if not isinstance(cat, pa.Table):
+            cat = self.catalog.read_arrow()
+        now = self.now_dt()
+        threshold = np.datetime64(now - timedelta(seconds=config.STUCK_THRESHOLD_SECONDS), "us")
+        status_set = pc.invert(pc.is_null(cat["status"]))
+        since = cat["status_since"]
+        stale = pc.and_(
+            status_set,
+            pc.fill_null(
+                pc.less(since, pa.scalar(threshold.item(), type=pa.timestamp("us"))), True
+            ),
+        )
+        n_stuck = int(pc.sum(pc.cast(stale, pa.int32())).as_py() or 0)
+        if n_stuck:
+            new_status = pc.if_else(stale, pa.nulls(len(cat), pa.string()), cat["status"])
+            cat = _set_column(cat, "status", new_status)
+            cat = _set_column(
+                cat,
+                "status_since",
+                pc.if_else(
+                    stale, pa.array([now] * len(cat), type=pa.timestamp("us")), cat["status_since"]
+                ),
+            )
+            self.catalog.overwrite(cat, meta={"iteration": self.iteration})
+            self._frontier_cache = cat
+        return n_stuck
 
     # -- documents (merge-on-read) ----------------------------------------
     def read_documents(self) -> pa.Table:
@@ -476,7 +513,8 @@ def _frontier_update_backoff(rows: pa.Table, now: datetime) -> pa.Table:
 
 def _frontier_update_fetched(result: pa.Table, now: datetime) -> pa.Table:
     """Post-check frontier row: status reset, priority reset, last-check
-    columns replaced by the new check's values."""
+    columns replaced by the new check's values; 404-recovered resources
+    get their catalog url updated + re-canonicalized (J5)."""
     n = result.num_rows
     out = result.select([c for c in _FRONTIER_COLS if c in result.column_names])
     out = _set_column(out, "status", pa.nulls(n, pa.string()))

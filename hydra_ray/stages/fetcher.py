@@ -92,10 +92,44 @@ def make_transport(spec: dict) -> Any:
     raise ValueError(f"unknown transport kind {kind}")
 
 
-def fetch_one(url: str, domain: str, transport: Any) -> dict:
+def fetch_one(
+    url: str,
+    domain: str,
+    transport: Any,
+    resource_id: str | None = None,
+    udata_uri: str | None = None,
+    _recovered: bool = False,
+) -> dict:
     """One URL's check fields (pure given a transport). Returns dict with
     outcome, status, headers(dict), cors_headers(dict|None), timeout,
-    error, method."""
+    error, method, url (the checked url), new_url (set when 404 recovery
+    found a moved resource — reference check_resources.py:237-259)."""
+    res = _fetch_raw(url, domain, transport)
+    res["url"] = url
+    res["new_url"] = None
+    if (
+        not _recovered
+        and udata_uri
+        and resource_id
+        and res["outcome"] == OUTCOME_ERROR
+        and res.get("status") == 404
+    ):
+        # 404 stable-URL recovery: HEAD the stable udata URL, follow its
+        # location, update the catalog url and re-check the actual URL
+        stable = f"{udata_uri.replace('api/2', 'api/1')}/datasets/r/{resource_id}"
+        probe = transport.request(stable, "head")
+        if probe.get("kind") == "ok" and 200 <= int(probe.get("status", 0)) < 400:
+            location = (probe.get("headers") or {}).get("location")
+            if location and location != url:
+                from hydra_ray.functions.urls import url_domain
+
+                rec = fetch_one(location, url_domain(location), transport, _recovered=True)
+                rec["new_url"] = location
+                return rec
+    return res
+
+
+def _fetch_raw(url: str, domain: str, transport: Any) -> dict:
     if not domain:
         return {
             "outcome": OUTCOME_ERROR,
@@ -172,19 +206,27 @@ def fetch_one(url: str, domain: str, transport: Any) -> dict:
 
 
 class Fetcher:
-    """Actor-pool stage body. One transport per actor (created once)."""
+    """Actor-pool stage body. One transport per actor (created once).
 
-    def __init__(self, transport: dict | None = None):
+    ``udata_uri`` must be passed explicitly (captured driver-side):
+    worker processes have their own config module, so driver-side
+    config overrides are not visible here.
+    """
+
+    def __init__(self, transport: dict | None = None, udata_uri: str | None = None):
         self.transport = make_transport(transport or {"kind": "synthetic"})
+        self.udata_uri = udata_uri
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         domains = batch["domain"].to_pylist()
+        rids = batch["resource_id"].to_pylist() if "resource_id" in batch.column_names else [None] * len(urls)
         keys = batch["url_key"].to_numpy(zero_copy_only=False)
 
-        outcome, status, headers_js, cors_js, timeout, error = [], [], [], [], [], []
-        for url, domain in zip(urls, domains):
-            r = fetch_one(url, domain, self.transport)
+        outcome, status, headers_js, cors_js, timeout, error, new_urls = [], [], [], [], [], [], []
+        for url, domain, rid in zip(urls, domains, rids):
+            r = fetch_one(url, domain, self.transport, resource_id=rid, udata_uri=self.udata_uri)
+            new_urls.append(r["new_url"])
             outcome.append(r["outcome"])
             status.append(r["status"])
             headers_js.append(json.dumps(r["headers"], sort_keys=True) if r["headers"] is not None else None)
@@ -206,6 +248,19 @@ class Fetcher:
             ("check_timeout", pa.array(timeout, type=pa.bool_())),
             ("check_error", pa.array(error, type=pa.string())),
             ("response_time", pa.array(response_time)),
+            ("new_url", pa.array(new_urls, type=pa.string())),
         ):
             out = out.append_column(name, arr)
+        if any(u is not None for u in new_urls):
+            # 404-recovered rows: the check + catalog carry the actual URL
+            # (reference updates catalog.url then re-checks) — refresh the
+            # url and its derived domain/md5/key columns
+            import pyarrow.compute as pc
+
+            from hydra_ray.functions.urls import canonicalize_batch
+
+            fixed = pc.coalesce(out["new_url"], out["url"])
+            idx = out.column_names.index("url")
+            out = out.set_column(idx, "url", fixed)
+            out = canonicalize_batch(out)
         return out
