@@ -324,7 +324,7 @@ def q_revenue_by_nation(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"))
     )
@@ -687,7 +687,7 @@ def q_langid(sf_dir: str):
     from hydra_ray.stages.text import LangId
 
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
     )
 
 
@@ -724,9 +724,9 @@ def q_media_features(sf_dir: str):
         batch_format="pyarrow",
     )
     return media.map_batches(
-        MediaFetcher, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=2
+        MediaFetcher, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2)
     ).map_batches(
-        MediaFeatures, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=2
+        MediaFeatures, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2)
     ).drop_columns(["features"])
 
 
@@ -815,3 +815,66 @@ ORACLES = {
     "embedding_knn": ORACLE_EMBEDDING_KNN,
     "embedding_nn": ORACLE_EMBEDDING_NN,
 }
+
+
+def q_purge_orphans(sf_dir: str):
+    """J6/D3: anti-join — parsed-table names not referenced by any
+    catalog row (the reference's orphan-table purge, cli/purge.py:36-80).
+    'Parsed tables' = md5(url) of parseable-format rows plus synthetic
+    legacy tables (doc_id % 11 == 0); orphans are exactly the legacy set.
+    Broadcast the catalog key set, anti-filter in map_batches."""
+    import pyarrow.parquet as pq
+
+    from hydra_ray.synth import catalog_from_documents
+
+    cat = catalog_from_documents(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+    catalog_keys = set(
+        hashlib.md5(u.encode()).hexdigest() for u in cat["url"].to_pylist()
+    )
+    keys_ref = ray.put(catalog_keys)
+
+    def parsed_tables(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        names = []
+        for d in doc_ids:
+            d = int(d)
+            if d % 6 in (0, 3, 4):  # csv / parquet / xlsx → parsed
+                dom = (
+                    "static.data.example"
+                    if d % 100 < 55
+                    else f"host{d % 20:02d}.data.example"
+                )
+                fmt = ["csv", "json", "geojson", "parquet", "xlsx", "pdf"][d % 6]
+                names.append(hashlib.md5(f"https://{dom}/res/{d}.{fmt}".encode()).hexdigest())
+            if d % 11 == 0:  # legacy table no longer in the catalog
+                names.append(hashlib.md5(f"legacy://{d}".encode()).hexdigest())
+        return pa.table({"parsing_table": pa.array(names, type=pa.string())})
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [name not in keys for name in t["parsing_table"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(parsed_tables, batch_format="pyarrow")
+        .map_batches(anti_join, batch_format="pyarrow")
+    )
+
+
+ORACLE_PURGE_ORPHANS = f"""
+    WITH parsed AS (
+        SELECT md5(url) AS parsing_table FROM ({CATALOG_SQL}) WHERE format IN ('csv','parquet','xlsx')
+        UNION ALL
+        SELECT md5('legacy://' || CAST(doc_id AS VARCHAR)) FROM documents WHERE doc_id % 11 = 0
+    ), catalog_tables AS (
+        SELECT md5(url) AS parsing_table FROM ({CATALOG_SQL})
+    )
+    SELECT parsing_table FROM parsed
+    WHERE parsing_table NOT IN (SELECT parsing_table FROM catalog_tables)
+"""
+
+QUERIES["purge_orphans"] = q_purge_orphans
+ORACLES["purge_orphans"] = ORACLE_PURGE_ORPHANS

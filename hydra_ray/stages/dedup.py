@@ -150,7 +150,7 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def dedup_minhash(
-    ds: "rd.Dataset", threshold: float = 0.7, shingle_k: int = 3, concurrency: int = 2
+    ds: "rd.Dataset", threshold: float = 0.7, shingle_k: int = 3, concurrency: tuple = (1, 2)
 ) -> "rd.Dataset":
     """MinHash-LSH near-duplicate pairs, verified by true Jaccard.
 

@@ -1,0 +1,58 @@
+"""Catalog CSV ingest (S1) + OGC analysis stub (S14)."""
+
+import pyarrow as pa
+import pytest
+
+from hydra_ray.config import config_override
+from hydra_ray.sources.catalog import load_catalog_from_csv, read_catalog_csv
+from hydra_ray.stages.ogc import analyse_ogc, detect_layer_name
+
+CSV = """dataset.id;id;url;type;format;title;dataset.archived;harvest.modified_at
+d1;r1;https://a.example/x.csv;main;csv;file x;False;2024-01-02T10:00:00
+d1;r2;https://a.example/y.csv;main;csv;file y;True;
+d2;r3;https://b.example/z.json;main;json;file z;False;
+"""
+
+
+def test_read_catalog_csv_filters_archived(tmp_path):
+    p = tmp_path / "catalog.csv"
+    p.write_text(CSV)
+    t = read_catalog_csv(str(p))
+    assert t.num_rows == 2  # archived r2 dropped
+    assert set(t["resource_id"].to_pylist()) == {"r1", "r3"}
+    assert "archived" not in t.column_names
+    hm = t["harvest_modified_at"].to_pylist()
+    assert hm[0] is not None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_load_catalog_from_csv_e2e(tmp_path, make_crawl_engine):
+    p = tmp_path / "catalog.csv"
+    p.write_text(CSV)
+    eng = make_crawl_engine(str(tmp_path / "wd"), batch_size=10, actor_pools=False)
+    n = load_catalog_from_csv(eng, str(p))
+    assert n == 2
+    cat = eng.catalog.read_arrow()
+    assert sorted(cat["domain"].to_pylist()) == ["a.example", "b.example"]
+    # re-load upserts, not duplicates
+    assert load_catalog_from_csv(eng, str(p)) == 2
+
+
+def test_ogc_layer_name_detection():
+    assert detect_layer_name("https://a/wfs?typeName=ns:roads&x=1", None) == "ns:roads"
+    assert detect_layer_name("https://a/wfs?typenames=ns:rivers", "t") == "ns:rivers"
+    assert detect_layer_name("https://a/wfs", "ns:valid_name") == "ns:valid_name"
+    assert detect_layer_name("https://a/wfs", "not a layer name!") is None
+
+
+def test_ogc_analyse_gated_and_deterministic():
+    check = {"url": "https://a.example/geoserver/wfs?typeName=ns:roads", "format": "wfs"}
+    assert analyse_ogc(check) is None  # disabled by default
+    with config_override(OGC_ANALYSIS_ENABLED=True):
+        meta = analyse_ogc(check)
+        assert meta["service_type"] == "wfs"
+        assert meta["detected_layer"] == "ns:roads"
+        assert meta["layers"] and meta["version"] in ("2.0.0", "1.1.0", "1.0.0")
+        assert analyse_ogc(check) == meta  # deterministic
+        # non-OGC rows pass through
+        assert analyse_ogc({"url": "https://a/x.csv", "format": "csv"}) is None
