@@ -69,12 +69,14 @@ def expanded_seed(sf_dir: str, replicas: int):
     return pa.concat_tables(parts)
 
 
-def run_crawl(workdir: str) -> dict:
+def run_crawl(
+    workdir: str, n_iter: int = N_ITER, batch_fraction: float = BATCH_FRACTION, content_rows: int = 200
+) -> dict:
     from hydra_ray.pipelines.crawl import CrawlEngine
 
     seed = expanded_seed(SF_DIR, REPLICAS)
     n_urls = seed.num_rows
-    batch_size = max(1000, int(n_urls * BATCH_FRACTION))
+    batch_size = max(1000, int(n_urls * batch_fraction))
     eng = CrawlEngine(
         workdir,
         batch_size=batch_size,
@@ -86,20 +88,21 @@ def run_crawl(workdir: str) -> dict:
             "backoff_nb_req": 10**9,
         },
         actor_pools=True,
+        analysis_content_rows=content_rows,
     )
     t0 = time.time()
     eng.load_catalog(seed)
     load_sec = time.time() - t0
 
     t0 = time.time()
-    stats = eng.run(N_ITER)
+    stats = eng.run(n_iter)
     crawl_sec = time.time() - t0
     checked = sum(s.get("ok", 0) + s.get("timeout", 0) + s.get("error", 0) for s in stats)
     eng.shutdown()
     return {
         "n_urls_frontier": n_urls,
         "batch_size": batch_size,
-        "n_iterations": N_ITER,
+        "n_iterations": n_iter,
         "checked": checked,
         "load_sec": round(load_sec, 3),
         "crawl_sec": round(crawl_sec, 3),
@@ -182,11 +185,44 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def scaling_worker() -> None:
+    """One scaling measurement in this process: a single full-frontier
+    crawl iteration (the unit whose throughput the north rule scales)
+    with realistic per-resource parse depth (content_rows=800)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+
+    def _touch(batch):
+        import hydra_ray.pipelines.crawl  # noqa: F401
+
+        return batch
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(_touch).materialize()
+    workdir = f"/tmp/hydra_ray_scale_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    crawl = run_crawl(workdir, n_iter=1, batch_fraction=1.0, content_rows=800)
+    shutil.rmtree(workdir, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps({"num_cpus": NUM_CPUS, "crawl": crawl, "urls_per_sec": crawl["urls_per_sec"]}))
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
             env=env,
             capture_output=True,
             text=True,
@@ -215,7 +251,9 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        scaling_worker()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()

@@ -86,7 +86,9 @@ class CrawlEngine:
         politeness_shards: int | None = None,
         politeness_kwargs: dict | None = None,
         actor_pools: bool = True,
+        analysis_content_rows: int = 200,
     ):
+        self.analysis_content_rows = analysis_content_rows
         # actor_pools=False runs fetch/analyse as stateless tasks — faster
         # startup for tiny batches (tests); production keeps actor pools so
         # per-actor state (HTTP session) is created once.
@@ -242,15 +244,19 @@ class CrawlEngine:
                 lambda b: build_checks_batch(b, iteration=it, now=now.replace(tzinfo=timezone.utc)),
                 batch_format="pyarrow",
             )
+            analyse_kwargs = {
+                "transport": self.transport,
+                "content_rows": self.analysis_content_rows,
+            }
             if self.actor_pools:
                 ds = ds.map_batches(
                     Analyser,
-                    fn_constructor_kwargs={"transport": self.transport},
+                    fn_constructor_kwargs=analyse_kwargs,
                     concurrency=(1, pool_n),
                     **pool_kw,
                 )
             else:
-                ds = ds.map_batches(Analyser(self.transport), **pool_kw)
+                ds = ds.map_batches(Analyser(**analyse_kwargs), **pool_kw)
 
             # per-block distributed sinks: checks / payloads / span docs are
             # written by the workers; only slim frontier columns reach the

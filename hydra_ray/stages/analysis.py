@@ -76,10 +76,15 @@ class Analyser:
         transport: dict | None = None,
         force_analysis: bool = False,
         parse_content: bool = True,
+        content_rows: int = 200,
     ):
         self.transport = make_transport(transport or {"kind": "synthetic"})
         self.force = force_analysis
         self.parse_content = parse_content
+        # synthetic downloaded-file size (CSV rows) — the per-resource
+        # inspection/cast/span cost; bench raises it to approximate real
+        # file sizes
+        self.content_rows = content_rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -257,7 +262,7 @@ class Analyser:
         for j, parse in enumerate(do_parse):
             if not parse:
                 continue
-            text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=200)
+            text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=self.content_rows)
             insp = inspect_csv_text(text)
             csv_text_to_table(text, insp)  # the typed-cast cost (result feeds parsed-table sinks)
             sub_ids.append(rids[j])

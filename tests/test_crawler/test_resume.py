@@ -79,7 +79,9 @@ def test_docs_span_invariant_across_runs(tmp_path, make_crawl_engine):
     b = make_crawl_engine(str(tmp_path / "d2"), batch_size=60, fetch_concurrency=3, actor_pools=False)
     b.load_catalog(small_seed())
     b.run(2)
-    da, db = a.documents.read_arrow(), b.documents.read_arrow()
+    da, db = a.read_documents(), b.read_documents()
     ok, bad = span_sequences_equal(da, db)
     assert ok, f"span mismatch for {bad[:5]}"
     assert da.num_rows > 0
+    # merge-on-read resolution: one row per doc_id
+    assert len(set(da["doc_id"].to_pylist())) == da.num_rows
