@@ -878,3 +878,57 @@ ORACLE_PURGE_ORPHANS = f"""
 
 QUERIES["purge_orphans"] = q_purge_orphans
 ORACLES["purge_orphans"] = ORACLE_PURGE_ORPHANS
+
+
+def q_geojson_features(sf_dir: str):
+    """S9/S10/M11/M12: table → GeoJSON Feature rows (points derived
+    deterministically from event values; properties = other columns)."""
+    from hydra_ray.stages.geo import features_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def add_coords(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        lat = np.round(np.mod(v, 180.0) - 90.0, 4)
+        lon = np.round(np.mod(v * 2.0, 360.0) - 180.0, 4)
+        return t.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+
+    geo = {"kind": "latlon_pair", "columns": ["lat", "lon"]}
+    return ds.map_batches(add_coords, batch_format="pyarrow").map_batches(
+        lambda t: features_batch(t.drop_columns(["value"]), geo), batch_format="pyarrow"
+    )
+
+
+def q_ogc_capabilities(sf_dir: str):
+    """S14/M17: OGC GetCapabilities probing for WFS-style service URLs
+    (deterministic synthetic capabilities; layer detection from query
+    params). One row per probed service."""
+    import json as _json
+
+    from hydra_ray.config import config_override
+    from hydra_ray.stages.ogc import analyse_ogc
+
+    def probe(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rows_id, rows_meta = [], []
+        with config_override(OGC_ANALYSIS_ENABLED=True):
+            for d in doc_ids:
+                d = int(d)
+                if d % 10 != 0:
+                    continue
+                url = f"https://geo{d % 7}.data.example/geoserver/wfs?service=wfs&typeName=ns:layer_{d % 13}"
+                meta = analyse_ogc({"url": url, "format": "wfs"})
+                rows_id.append(d)
+                rows_meta.append(_json.dumps(meta, sort_keys=True))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_id, type=pa.int64()),
+                "ogc_metadata": pa.array(rows_meta, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(probe, batch_format="pyarrow")
+
+
+QUERIES["geojson_features"] = q_geojson_features
+QUERIES["ogc_capabilities"] = q_ogc_capabilities
