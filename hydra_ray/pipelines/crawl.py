@@ -87,8 +87,11 @@ class CrawlEngine:
         politeness_kwargs: dict | None = None,
         actor_pools: bool = True,
         analysis_content_rows: int = 200,
+        resource_exceptions: set | None = None,
     ):
         self.analysis_content_rows = analysis_content_rows
+        # per-resource overrides (size-cap exemptions), J3 broadcast side
+        self.resource_exceptions = resource_exceptions or set()
         # actor_pools=False runs fetch/analyse as stateless tasks — faster
         # startup for tiny batches (tests); production keeps actor pools so
         # per-actor state (HTTP session) is created once.
@@ -247,6 +250,7 @@ class CrawlEngine:
             analyse_kwargs = {
                 "transport": self.transport,
                 "content_rows": self.analysis_content_rows,
+                "exceptions": self.resource_exceptions,
             }
             if self.actor_pools:
                 ds = ds.map_batches(

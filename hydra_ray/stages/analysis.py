@@ -77,10 +77,15 @@ class Analyser:
         force_analysis: bool = False,
         parse_content: bool = True,
         content_rows: int = 200,
+        exceptions: set | None = None,
     ):
         self.transport = make_transport(transport or {"kind": "synthetic"})
         self.force = force_analysis
         self.parse_content = parse_content
+        # resources_exceptions (J3, reference db/resource_exception.py):
+        # exempted resource_ids skip the per-format size cap — broadcast
+        # as a small set captured at stage construction
+        self.exceptions = exceptions or set()
         # synthetic downloaded-file size (CSV rows) — the per-resource
         # inspection/cast/span cost; bench raises it to approximate real
         # file sizes
@@ -89,6 +94,7 @@ class Analyser:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         urls = batch["url"].to_pylist()
+        rids = batch["resource_id"].to_pylist() if "resource_id" in batch.column_names else [None] * n
         formats = batch["format"].to_pylist()
         headers_js = batch["check_headers"].to_pylist()
         created_at = batch["created_at"].to_pylist()
@@ -158,7 +164,9 @@ class Analyser:
             dl: dict = {}
             if change != Change.HAS_NOT_CHANGED or self.force:
                 content_len = int(headers.get("content-length") or 0)
-                max_allowed = _max_size_for(fmt)
+                max_allowed = (
+                    (1 << 62) if rids[j] in self.exceptions else _max_size_for(fmt)
+                )
                 if content_len > max_allowed:
                     dl["analysis:error"] = "File too large to download"
                 else:
