@@ -188,7 +188,7 @@ def main() -> None:
 def scaling_worker() -> None:
     """One scaling measurement in this process: a single full-frontier
     crawl iteration (the unit whose throughput the north rule scales)
-    with realistic per-resource parse depth (content_rows=1400,
+    with realistic per-resource parse depth (content_rows=2600,
     approximating the reference benchmark's 45k-row files)."""
     import ray
 
@@ -213,7 +213,7 @@ def scaling_worker() -> None:
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(_touch).materialize()
     workdir = f"/tmp/hydra_ray_scale_{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
-    crawl = run_crawl(workdir, n_iter=1, batch_fraction=1.0, content_rows=1400)
+    crawl = run_crawl(workdir, n_iter=1, batch_fraction=1.0, content_rows=2600)
     shutil.rmtree(workdir, ignore_errors=True)
     ray.shutdown()
     print(json.dumps({"num_cpus": NUM_CPUS, "crawl": crawl, "urls_per_sec": crawl["urls_per_sec"]}))
