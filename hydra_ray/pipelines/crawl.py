@@ -221,7 +221,11 @@ class CrawlEngine:
             updates.append(_frontier_update_backoff(backoff_rows, now))
 
         if fetch_rows.num_rows:
-            n_blocks = max(1, min(self.fetch_concurrency * 2, fetch_rows.num_rows // 64 + 1))
+            # fine-grained fixed block budget: identical work decomposition
+            # at every parallelism level (scaling measurements compare like
+            # with like) and good straggler balance — content sizes vary
+            # ~30× between resources
+            n_blocks = max(1, min(128, max(self.fetch_concurrency * 4, fetch_rows.num_rows // 256 + 1)))
             # pre-slice into blocks on the driver: from_arrow(list) makes one
             # block per table with no shuffle (repartition would be an
             # unnecessary all-to-all here)

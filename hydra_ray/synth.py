@@ -154,7 +154,7 @@ def synthetic_text(url: str, epoch: int = 0, max_rows: int = 40) -> str:
     """Deterministic pseudo-CSV text content for a resource (the stand-in
     for a downloaded tabular file in the sandbox)."""
     digest = hashlib.md5(f"{url}#{epoch}".encode()).digest()
-    nrows = 5 + digest[0] % max_rows
+    nrows = 5 + (digest[0] * 256 + digest[1]) % max_rows
     lines = ["id,name,value"]
     acc = int.from_bytes(digest[:8], "big")
     for i in range(nrows):
