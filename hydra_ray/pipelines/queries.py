@@ -932,3 +932,171 @@ def q_ogc_capabilities(sf_dir: str):
 
 QUERIES["geojson_features"] = q_geojson_features
 QUERIES["ogc_capabilities"] = q_ogc_capabilities
+
+
+def q_url_key_parity(sf_dir: str):
+    """Hash-derivation parity: the 60-bit url key (md5-prefix integer)
+    computed by the canonicalize stage matches SQL exactly — the shard
+    routing / cuckoo keying contract."""
+    ds = _catalog_ds(sf_dir)
+
+    def key60(t: pa.Table) -> pa.Table:
+        md5s = t["url_md5"].to_pylist()
+        keys = [int(h[:15], 16) for h in md5s]
+        return pa.table(
+            {
+                "resource_id": t["resource_id"],
+                "url_key60": pa.array(keys, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(key60, batch_format="pyarrow")
+
+
+ORACLE_URL_KEY_PARITY = f"""
+    SELECT resource_id,
+           CAST(('0x' || substring(md5(url), 1, 15)) AS BIGINT) AS url_key60
+    FROM ({CATALOG_SQL})
+"""
+
+
+def q_top_spenders(sf_dir: str):
+    """Join + grouped sum + global top-k (A/O composite)."""
+    import pyarrow.parquet as pq
+
+    from hydra_ray.stages.agg import grouped_agg
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    per_cust = grouped_agg(ds, keys=["o_custkey"], aggs=[("o_totalprice", "sum", "total_spent")])
+
+    def topk(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(int(k)) for k in t["o_custkey"].to_pylist()]
+        t = t.append_column("c_name", pa.array(names, type=pa.string()))
+        t = t.set_column(
+            t.column_names.index("total_spent"), "total_spent", pc.round(t["total_spent"], 2)
+        )
+        import numpy as np_
+
+        spent = t["total_spent"].to_numpy(zero_copy_only=False)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np_.lexsort((keys, -spent))[:10]
+        return t.take(pa.array(np_.sort(order))).select(["o_custkey", "c_name", "total_spent"])
+
+    # per_cust is small (one row per customer) — single-partition topk
+    return per_cust.repartition(1).map_batches(topk, batch_format="pyarrow")
+
+
+ORACLE_TOP_SPENDERS = """
+    SELECT o_custkey, c_name, round(sum(o_totalprice), 2) AS total_spent
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey, c_name
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 10
+"""
+
+
+def q_part_type_stats(sf_dir: str):
+    from hydra_ray.stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice", "p_size"])
+    out = grouped_agg(
+        ds,
+        keys=["p_type"],
+        aggs=[
+            ("p_retailprice", "sum", "sum_price"),
+            ("p_size", "max", "max_size"),
+            ("p_retailprice", "count", "n_parts"),
+        ],
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_price"), "sum_price", pc.round(t["sum_price"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_PART_TYPE_STATS = """
+    SELECT p_type, round(sum(p_retailprice), 2) AS sum_price,
+           max(p_size) AS max_size, count(*) AS n_parts
+    FROM part GROUP BY p_type
+"""
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Bucketized length distribution (histogram shape over documents)."""
+    from hydra_ray.stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"])
+        bucket = pc.cast(pc.floor(pc.divide(pc.cast(n, pa.float64()), 200.0)), pa.int64())
+        return pa.table({"bucket": bucket, "doc_id": t["doc_id"]})
+
+    return grouped_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["bucket"],
+        aggs=[("doc_id", "count", "n_docs")],
+    )
+
+
+ORACLE_DOC_LENGTH_HISTOGRAM = """
+    SELECT CAST(floor(length(text) / 200.0) AS BIGINT) AS bucket, count(*) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
+
+def q_supplier_balances(sf_dir: str):
+    """Small-side joins chained: supplier ⋈ nation ⋈ region → balances."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def to_region(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(int(k)) for k in t["s_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]})
+
+    from hydra_ray.stages.agg import grouped_agg
+
+    out = grouped_agg(
+        ds.map_batches(to_region, batch_format="pyarrow"),
+        keys=["r_name"],
+        aggs=[("s_acctbal", "sum", "total_balance"), ("s_acctbal", "count", "n_suppliers")],
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_balance"), "total_balance", pc.round(t["total_balance"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SUPPLIER_BALANCES = """
+    SELECT r_name, round(sum(s_acctbal), 2) AS total_balance, count(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+QUERIES["url_key_parity"] = q_url_key_parity
+ORACLES["url_key_parity"] = ORACLE_URL_KEY_PARITY
+QUERIES["top_spenders"] = q_top_spenders
+ORACLES["top_spenders"] = ORACLE_TOP_SPENDERS
+QUERIES["part_type_stats"] = q_part_type_stats
+ORACLES["part_type_stats"] = ORACLE_PART_TYPE_STATS
+QUERIES["doc_length_histogram"] = q_doc_length_histogram
+ORACLES["doc_length_histogram"] = ORACLE_DOC_LENGTH_HISTOGRAM
+QUERIES["supplier_balances"] = q_supplier_balances
+ORACLES["supplier_balances"] = ORACLE_SUPPLIER_BALANCES
