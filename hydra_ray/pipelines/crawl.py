@@ -278,10 +278,13 @@ class CrawlEngine:
             result = _ds_to_arrow(ds)
             mark("pipeline")
 
-            # commit the part files written by the sink stage
-            self.checks.register_files(_txn_files(checks_txn))
+            # commit the part files written by the sink stage + record
+            # per-partition lineage (file, row-count) into metrics
+            checks_files = _txn_files(checks_txn)
+            self.checks.register_files(checks_files)
             self.payloads.register_files(_txn_files(payloads_txn))
             self.documents.register_files(_txn_files(docs_txn))
+            self._record_lineage(it, checks_files, now)
             mark("register")
 
             # frontier updates
@@ -424,6 +427,28 @@ class CrawlEngine:
         self.metrics.append(metrics)
         self.iteration += 1
         self._save_state()
+
+    def _record_lineage(self, iteration: int, files: list[str], now: datetime) -> None:
+        """Per-partition lineage rows (north rule): one metrics row per
+        committed checks part file with its row count (from the parquet
+        footer — no data read)."""
+        if not files:
+            return
+        import pyarrow.parquet as pq
+
+        rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
+        n = len(files)
+        self.metrics.append(
+            pa.table(
+                {
+                    "iteration": pa.array([iteration] * n, type=pa.int64()),
+                    "partition": pa.array(list(range(n)), type=pa.int32()),
+                    "metric": pa.array([f"lineage:{os.path.basename(f)}" for f in files]),
+                    "value": pa.array([float(r) for r in rows], type=pa.float64()),
+                    "created_at": pa.array([now] * n, type=pa.timestamp("us")),
+                }
+            )
+        )
 
     def _state_path(self, iteration: int) -> str:
         return os.path.join(self.workdir, "state", f"iter{iteration:06d}.pkl")
