@@ -12,10 +12,11 @@ like the reference's NO_BACKOFF for the bulk host (the bench measures
 engine throughput, not politeness waiting — the politeness matrices
 are correctness-tested in tests/test_crawler/test_backoff.py).
 
---scaling: re-runs the headline in two fresh processes at
-RAY_GRAFT_CPUS=8 and 32 on the same input and reports both
-throughputs + scaling efficiency (the N vs 4N cluster-size criterion,
-evidenced via parallelism levels in this single-node sandbox).
+--scaling: runs one full-frontier crawl iteration in fresh processes
+at two parallelism levels (N and 4N CPUs — 4 and 16, chosen so the
+upper level fits inside this host's physically available cores; see
+BASELINE.md) on the same input and reports both throughputs + scaling
+efficiency, best-of-2 per level to damp the host's CPU-steal noise.
 """
 
 from __future__ import annotations
