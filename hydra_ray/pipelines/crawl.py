@@ -88,7 +88,12 @@ class CrawlEngine:
         actor_pools: bool = True,
         analysis_content_rows: int = 200,
         resource_exceptions: set | None = None,
+        partition_by_domain: bool = False,
     ):
+        # hash-partition fetch blocks by domain with hot-host salting
+        # (stages/partitioning.py) instead of row-range slicing — the
+        # multi-node layout (connection reuse per partition, skew bounded)
+        self.partition_by_domain = partition_by_domain
         self.analysis_content_rows = analysis_content_rows
         # per-resource overrides (size-cap exemptions), J3 broadcast side
         self.resource_exceptions = resource_exceptions or set()
@@ -226,11 +231,16 @@ class CrawlEngine:
             # with like) and good straggler balance — content sizes vary
             # ~30× between resources
             n_blocks = max(1, min(128, max(self.fetch_concurrency * 4, fetch_rows.num_rows // 256 + 1)))
-            # pre-slice into blocks on the driver: from_arrow(list) makes one
-            # block per table with no shuffle (repartition would be an
-            # unnecessary all-to-all here)
-            step = -(-fetch_rows.num_rows // n_blocks)
-            slices = [fetch_rows.slice(i, step) for i in range(0, fetch_rows.num_rows, step)]
+            if self.partition_by_domain:
+                from hydra_ray.stages.partitioning import detect_hot_domains, partition_slices
+
+                hot = detect_hot_domains(fetch_rows, n_blocks)
+                slices = partition_slices(fetch_rows, n_blocks, hot_domains=hot)
+            else:
+                # pre-slice into row-range blocks on the driver:
+                # from_arrow(list) makes one block per table, no shuffle
+                step = -(-fetch_rows.num_rows // n_blocks)
+                slices = [fetch_rows.slice(i, step) for i in range(0, fetch_rows.num_rows, step)]
             ds = rd.from_arrow(slices)
             pool_kw = dict(batch_format="pyarrow", batch_size=config.FETCH_BATCH_SIZE)
             # autoscaling (1, N) pools: two pools in one pipeline must never

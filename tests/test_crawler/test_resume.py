@@ -70,6 +70,21 @@ def test_results_identical_across_parallelism(tmp_path, make_crawl_engine):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_results_identical_with_domain_partitioning(tmp_path, make_crawl_engine):
+    """Row-range slicing vs hash-partitioned + hot-salted blocks → same
+    checks (partitioning is a physical layout choice, not semantics)."""
+    a = make_crawl_engine(str(tmp_path / "rows"), batch_size=60, actor_pools=False)
+    a.load_catalog(small_seed())
+    a.run(2)
+    b = make_crawl_engine(
+        str(tmp_path / "parts"), batch_size=60, actor_pools=False, partition_by_domain=True
+    )
+    b.load_catalog(small_seed())
+    b.run(2)
+    assert checks_fingerprint(a) == checks_fingerprint(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_docs_span_invariant_across_runs(tmp_path, make_crawl_engine):
     from hydra_ray.stages.spans import span_sequences_equal
 
