@@ -112,6 +112,7 @@ class CrawlEngine:
         self.documents = VersionedTable(os.path.join(workdir, "documents"))
         self.payloads = VersionedTable(os.path.join(workdir, "payloads"))
         self.metrics = VersionedTable(os.path.join(workdir, "metrics"))
+        self.tables_index = VersionedTable(os.path.join(workdir, "tables_index"))
         self.urlseen = UrlSeenPool.create(
             n_shards=urlseen_shards or config.URLSEEN_SHARDS,
             capacity_per_shard=urlseen_capacity,
@@ -282,8 +283,10 @@ class CrawlEngine:
             checks_txn = self.checks.new_txn_dir()
             payloads_txn = self.payloads.new_txn_dir()
             docs_txn = self.documents.new_txn_dir()
+            tables_txn = self.tables_index.new_txn_dir()
             ds = ds.map_batches(
-                IterationSink(checks_txn, payloads_txn, docs_txn, it), batch_format="pyarrow"
+                IterationSink(checks_txn, payloads_txn, docs_txn, it, tables_dir=tables_txn),
+                batch_format="pyarrow",
             )
             result = _ds_to_arrow(ds)
             mark("pipeline")
@@ -294,6 +297,7 @@ class CrawlEngine:
             self.checks.register_files(checks_files)
             self.payloads.register_files(_txn_files(payloads_txn))
             self.documents.register_files(_txn_files(docs_txn))
+            self.tables_index.register_files(_txn_files(tables_txn))
             self._record_lineage(it, checks_files, now)
             mark("register")
 

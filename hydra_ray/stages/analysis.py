@@ -227,6 +227,7 @@ class Analyser:
         # heavy distributed work (inspection, typed cast, span build)
         spans_col = None
         parsing_tables: list[str | None] = [None] * n
+        self._last_inspections = [None] * n
         if self.parse_content:
             spans_col, parsing_tables = self._parse_contents(batch, out_parse)
 
@@ -250,6 +251,9 @@ class Analyser:
             if "spans" in out.column_names:
                 out = out.drop_columns(["spans"])
             out = out.append_column("spans", spans_col)
+            out = out.append_column(
+                "inspection", pa.array(self._last_inspections, type=pa.string())
+            )
         return out
 
     def _parse_contents(self, batch: pa.Table, do_parse: list[bool]):
@@ -267,12 +271,14 @@ class Analyser:
         from hydra_ray import synth
 
         sub_ids, sub_texts, sub_rows = [], [], []
+        inspections: list[str | None] = [None] * len(urls)
         for j, parse in enumerate(do_parse):
             if not parse:
                 continue
             text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=self.content_rows)
             insp = inspect_csv_text(text)
             csv_text_to_table(text, insp)  # the typed-cast cost (result feeds parsed-table sinks)
+            inspections[j] = json.dumps(insp, sort_keys=True)
             sub_ids.append(rids[j])
             sub_texts.append(text)
             sub_rows.append(j)
@@ -281,6 +287,7 @@ class Analyser:
         for j in sub_rows:
             parsing_tables[j] = md5s[j]
 
+        self._last_inspections = inspections  # consumed by __call__ below
         if not sub_rows:
             return pa.nulls(len(urls), pa.list_(SPAN_STRUCT)), parsing_tables
 

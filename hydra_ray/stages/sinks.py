@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-HEAVY_COLS = ("spans", "payload", "analysis_payload", "do_parse")
+HEAVY_COLS = ("spans", "payload", "analysis_payload", "inspection", "do_parse")
 
 
 def to_checks_table(result: pa.Table) -> pa.Table:
@@ -102,13 +102,44 @@ def docs_table(result: pa.Table, iteration: int) -> pa.Table:
     )
 
 
+def tables_index_rows(result: pa.Table, iteration: int) -> pa.Table:
+    """Parsed rows → tables_index registry rows (reference
+    analysis/tables_index.py:39-61: parsing_table, inspection,
+    resource/dataset/url, created_at)."""
+    parsed = result.filter(pc.equal(result["do_parse"], True))
+    n = parsed.num_rows
+    return pa.table(
+        {
+            "parsing_table": pc.if_else(
+                pc.is_valid(parsed["url_md5"]), parsed["url_md5"], pa.nulls(n, pa.string())
+            ),
+            "csv_detective": parsed["inspection"]
+            if "inspection" in parsed.column_names
+            else pa.nulls(n, pa.string()),
+            "resource_id": parsed["resource_id"].cast(pa.string()),
+            "dataset_id": parsed["dataset_id"].cast(pa.string()),
+            "url": parsed["url"].cast(pa.string()),
+            "created_at": parsed["created_at"],
+            "_iter": pa.array([iteration] * n, type=pa.int64()),
+        }
+    )
+
+
 class IterationSink:
     """Per-block sink + projection to the slim frontier columns."""
 
-    def __init__(self, checks_dir: str, payloads_dir: str, docs_dir: str, iteration: int):
+    def __init__(
+        self,
+        checks_dir: str,
+        payloads_dir: str,
+        docs_dir: str,
+        iteration: int,
+        tables_dir: str | None = None,
+    ):
         self.checks_dir = checks_dir
         self.payloads_dir = payloads_dir
         self.docs_dir = docs_dir
+        self.tables_dir = tables_dir
         self.iteration = iteration
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -132,5 +163,13 @@ class IterationSink:
                         os.path.join(self.docs_dir, f"part-{blk}.parquet"),
                         compression="snappy",
                     )
+                if self.tables_dir is not None:
+                    ti = tables_index_rows(batch, self.iteration)
+                    if ti.num_rows:
+                        pq.write_table(
+                            ti,
+                            os.path.join(self.tables_dir, f"part-{blk}.parquet"),
+                            compression="snappy",
+                        )
         drop = [c for c in HEAVY_COLS if c in batch.column_names and c != "do_parse"]
         return batch.drop_columns(drop)
