@@ -60,6 +60,11 @@ class MockTransport:
 
     ``responses`` maps (method, url) → response dict or list of dicts
     consumed in order (last one repeats). Unknown URLs → 404.
+
+    Caveat: transports are reconstructed per task/actor from the spec
+    dict, so list sequences only advance *within* one pipeline
+    execution; to change the world between crawl iterations, swap
+    ``engine.transport`` (or use SyntheticTransport epochs).
     """
 
     def __init__(self, responses: dict[tuple[str, str], Any] | None = None, bodies: dict | None = None):
