@@ -1100,3 +1100,17 @@ QUERIES["doc_length_histogram"] = q_doc_length_histogram
 ORACLES["doc_length_histogram"] = ORACLE_DOC_LENGTH_HISTOGRAM
 QUERIES["supplier_balances"] = q_supplier_balances
 ORACLES["supplier_balances"] = ORACLE_SUPPLIER_BALANCES
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate clusters: MinHash-LSH pairs → connected components
+    (cluster_id = min doc_id per component)."""
+    import pandas as pd_
+
+    from hydra_ray.stages.dedup import dedup_minhash, duplicate_clusters
+
+    pairs = dedup_minhash(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5).to_pandas()
+    return pa.Table.from_pandas(duplicate_clusters(pairs), preserve_index=False)
+
+
+QUERIES["dup_clusters"] = q_dup_clusters

@@ -208,6 +208,38 @@ def dedup_minhash(
     )
 
 
+def duplicate_clusters(pairs: pd.DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> pd.DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id,
+    cluster_id) with cluster_id = min doc id in the component.
+
+    Iterative min-label propagation (converges in O(diameter) rounds);
+    at 10^10 scale each round is a groupby-min shuffle over the pair
+    table — here the pair table is small by construction (LSH output),
+    so it runs vectorized in pandas.
+    """
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    edges = pd.concat(
+        [
+            pairs[[id_a, id_b]].rename(columns={id_a: "u", id_b: "v"}),
+            pairs[[id_b, id_a]].rename(columns={id_b: "u", id_a: "v"}),
+        ]
+    )
+    label = {d: d for d in set(edges["u"])}
+    for _ in range(64):  # diameter bound; real clusters are tiny
+        merged = edges.assign(lu=edges["u"].map(label), lv=edges["v"].map(label))
+        new_min = merged.groupby("u")["lv"].min()
+        changed = False
+        for d, lv in new_min.items():
+            if lv < label[d]:
+                label[d] = lv
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame({"doc_id": list(label.keys()), "cluster_id": list(label.values())})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

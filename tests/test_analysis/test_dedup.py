@@ -86,3 +86,16 @@ class TestDedup:
         out = ngram_jaccard_pairs(rd.from_arrow(corpus()), threshold=0.5).to_pandas()
         pairs = set(zip(out["doc_a"], out["doc_b"]))
         assert (0, 1) in pairs and (2, 3) in pairs
+
+
+def test_duplicate_clusters():
+    import pandas as pd
+
+    from hydra_ray.stages.dedup import duplicate_clusters
+
+    # components: {1,2,3} via chain, {7,9}, singleton pairs absent
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7], "doc_b": [2, 3, 9]})
+    out = duplicate_clusters(pairs).set_index("doc_id")["cluster_id"]
+    assert out.loc[1] == 1 and out.loc[2] == 1 and out.loc[3] == 1
+    assert out.loc[7] == 7 and out.loc[9] == 7
+    assert duplicate_clusters(pd.DataFrame({"doc_a": [], "doc_b": []})).empty
