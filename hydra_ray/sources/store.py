@@ -149,6 +149,26 @@ class VersionedTable:
     def count(self, version: int | None = None) -> int:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in self.files(version))
 
+    # -- maintenance -------------------------------------------------------
+    def gc(self, keep_versions: int = 1) -> int:
+        """Remove data files not referenced by the newest ``keep_versions``
+        manifests (crashed-iteration txn garbage + compacted-away
+        versions). Returns the number of files removed."""
+        latest = self.latest_version()
+        keep = set()
+        for v in range(max(1, latest - keep_versions + 1), latest + 1):
+            keep.update(self._load_manifest(v)["files"])
+        removed = 0
+        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+            for f in files:
+                path = os.path.join(root, f)
+                if f.endswith(".parquet") and path not in keep:
+                    os.remove(path)
+                    removed += 1
+            if root != self.data_dir and not os.listdir(root):
+                os.rmdir(root)
+        return removed
+
     # -- upsert -----------------------------------------------------------
     def merge_insert(self, data: "rd.Dataset | pa.Table", key: str, meta: dict | None = None) -> int:
         """Last-wins upsert by ``key`` (new rows shadow existing ones).
