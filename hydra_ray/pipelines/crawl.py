@@ -89,7 +89,10 @@ class CrawlEngine:
         analysis_content_rows: int = 200,
         resource_exceptions: set | None = None,
         partition_by_domain: bool = False,
+        robots: bool = False,
     ):
+        # robots.txt gate in the fetch stage (north-rule component)
+        self.robots = robots
         # hash-partition fetch blocks by domain with hot-host salting
         # (stages/partitioning.py) instead of row-range slicing — the
         # multi-node layout (connection reuse per partition, skew bounded)
@@ -248,7 +251,11 @@ class CrawlEngine:
             # reserve more CPUs than the node has (a fixed pool larger than
             # the free CPUs deadlocks the streaming executor)
             pool_n = max(1, min(self.fetch_concurrency, n_blocks))
-            fetch_kwargs = {"transport": self.transport, "udata_uri": config.UDATA_URI}
+            fetch_kwargs = {
+                "transport": self.transport,
+                "udata_uri": config.UDATA_URI,
+                "robots": self.robots,
+            }
             if self.actor_pools:
                 ds = ds.map_batches(
                     Fetcher,

@@ -54,6 +54,9 @@ class SyntheticTransport:
     def body(self, url: str, max_bytes: int) -> bytes:
         return synth.synthetic_body(url, epoch=self.epoch, max_bytes=max_bytes)
 
+    def robots(self, domain: str) -> str:
+        return synth.synthetic_robots(domain)
+
 
 class MockTransport:
     """Scripted responses for tests (the aioresponses equivalent).
@@ -86,6 +89,12 @@ class MockTransport:
 
     def body(self, url: str, max_bytes: int) -> bytes:
         return self.bodies.get(url, b"")[:max_bytes]
+
+    def robots(self, domain: str) -> str:
+        resp = self.responses.get(("robots", domain))
+        if resp:
+            return resp[0] if isinstance(resp, list) else resp
+        return ""
 
 
 def make_transport(spec: dict) -> Any:
@@ -218,9 +227,29 @@ class Fetcher:
     config overrides are not visible here.
     """
 
-    def __init__(self, transport: dict | None = None, udata_uri: str | None = None):
+    def __init__(
+        self,
+        transport: dict | None = None,
+        udata_uri: str | None = None,
+        robots: bool = False,
+    ):
         self.transport = make_transport(transport or {"kind": "synthetic"})
         self.udata_uri = udata_uri
+        # robots.txt gate (north-rule component): rules fetched once per
+        # domain per actor and cached; disallowed URLs produce an error
+        # check without touching the resource
+        self.robots = robots
+        self._robots_cache: dict[str, list] = {}
+
+    def _robots_allowed(self, url: str, domain: str) -> bool:
+        from hydra_ray.functions.robots import is_allowed, parse_robots
+
+        rules = self._robots_cache.get(domain)
+        if rules is None:
+            text = self.transport.robots(domain) if hasattr(self.transport, "robots") else ""
+            rules = parse_robots(text)
+            self._robots_cache[domain] = rules
+        return is_allowed(url, rules)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -230,7 +259,20 @@ class Fetcher:
 
         outcome, status, headers_js, cors_js, timeout, error, new_urls = [], [], [], [], [], [], []
         for url, domain, rid in zip(urls, domains, rids):
-            r = fetch_one(url, domain, self.transport, resource_id=rid, udata_uri=self.udata_uri)
+            if self.robots and domain and not self._robots_allowed(url, domain):
+                r = {
+                    "outcome": OUTCOME_ERROR,
+                    "status": None,
+                    "headers": {},
+                    "cors_headers": None,
+                    "timeout": False,
+                    "error": "Blocked by robots.txt",
+                    "method": None,
+                    "url": url,
+                    "new_url": None,
+                }
+            else:
+                r = fetch_one(url, domain, self.transport, resource_id=rid, udata_uri=self.udata_uri)
             new_urls.append(r["new_url"])
             outcome.append(r["outcome"])
             status.append(r["status"])

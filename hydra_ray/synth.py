@@ -150,6 +150,15 @@ def synthetic_body(url: str, epoch: int = 0, max_bytes: int = 1 << 16) -> bytes:
     return (seed * reps)[:max_bytes]
 
 
+def synthetic_robots(domain: str) -> str:
+    """Deterministic robots.txt per domain: ~25% of hosts disallow one
+    /res/<digit> prefix; the rest allow everything."""
+    digest = hashlib.md5(f"robots:{domain}".encode()).digest()
+    if digest[0] % 4 == 0:
+        return f"User-agent: *\nDisallow: /res/{digest[1] % 10}\n"
+    return "User-agent: *\nDisallow:\n"
+
+
 def synthetic_text(url: str, epoch: int = 0, max_rows: int = 40) -> str:
     """Deterministic pseudo-CSV text content for a resource (the stand-in
     for a downloaded tabular file in the sandbox)."""

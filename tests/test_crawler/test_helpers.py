@@ -87,3 +87,39 @@ def test_is_valid_status(status, expected):
 )
 def test_has_nice_head(status, headers, expected):
     assert has_nice_head(status, headers) is expected
+
+
+# -- robots.txt (north-rule component) --------------------------------------
+
+from hydra_ray.functions.robots import is_allowed, parse_robots  # noqa: E402
+
+ROBOTS = """
+# comment
+User-agent: other-bot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/open
+Disallow:
+"""
+
+
+def test_parse_robots_sections():
+    rules = parse_robots(ROBOTS, user_agent="hydra-ray")
+    assert ("/private", False) in rules
+    assert ("/private/open", True) in rules
+    assert ("/", False) not in rules  # other-bot's section ignored
+
+
+def test_is_allowed_longest_match():
+    rules = parse_robots(ROBOTS)
+    assert is_allowed("https://a/x", rules)
+    assert not is_allowed("https://a/private/data.csv", rules)
+    assert is_allowed("https://a/private/open/data.csv", rules)  # Allow wins
+
+
+def test_agent_prefix_section():
+    text = "User-agent: hydra\nDisallow: /blocked\n"
+    rules = parse_robots(text, user_agent="hydra-ray")
+    assert not is_allowed("https://a/blocked/x", rules)

@@ -103,3 +103,44 @@ def test_stuck_status_cleanup(tmp_workdir, make_crawl_engine):
     eng.catalog.overwrite(cat2, meta={"iteration": eng.iteration})
     eng._frontier_cache = cat2
     assert eng.clean_up_statuses() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_gate_e2e(tmp_workdir, make_crawl_engine):
+    """robots=True: disallowed URLs get an error check without a fetch;
+    allowed URLs proceed normally."""
+    blocked = "https://r.example/private/x.csv"
+    open_url = "https://r.example/pub/y.csv"
+    responses = {
+        ("robots", "r.example"): "User-agent: *\nDisallow: /private\n",
+        ("head", open_url): {
+            "kind": "ok",
+            "status": 200,
+            "headers": {"content-type": "text/csv", "content-length": "10"},
+        },
+        # NOTE: no ("head", blocked) entry — a fetch would 404; the gate
+        # must prevent the request entirely
+    }
+    eng = make_crawl_engine(
+        tmp_workdir,
+        transport={"kind": "mock", "responses": responses},
+        batch_size=10,
+        actor_pools=False,
+        robots=True,
+    )
+    eng.load_catalog(
+        pa.table(
+            {
+                "dataset_id": ["ds-0", "ds-0"],
+                "resource_id": [url_md5(blocked), url_md5(open_url)],
+                "url": [blocked, open_url],
+                "format": ["csv", "csv"],
+            }
+        )
+    )
+    stats = eng.run_iteration()
+    assert stats["ok"] == 1 and stats["error"] == 1
+    checks = eng.checks.read_arrow()
+    by_url = dict(zip(checks["url"].to_pylist(), checks["error"].to_pylist()))
+    assert by_url[blocked] == "Blocked by robots.txt"
+    assert by_url[open_url] is None
