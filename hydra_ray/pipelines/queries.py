@@ -263,13 +263,18 @@ ORACLE_GROUPED_TOPK = """
 
 
 def q_latest_event_per_user(sf_dir: str):
-    """J1/O2: latest row per key (top-1 per key, hash-partitioned)."""
+    """J1/O2: latest row per key — hash-partition by user, then ONE
+    vectorized sort + drop_duplicates per partition (stages/keyed.py),
+    not a Python call per user."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort")
+        return df.drop_duplicates("user_id", keep="first")
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    return keyed_map_partitions(ds, ["user_id"], latest)
 
 
 ORACLE_LATEST_EVENT_PER_USER = """
@@ -280,14 +285,19 @@ ORACLE_LATEST_EVENT_PER_USER = """
 
 def q_top2_events_per_user(sf_dir: str):
     """J2: top-2-per-key window (the change-detection check window)."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(2).copy()
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def top2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], ascending=[True, False, False], kind="mergesort"
+        )
+        rn = df.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        df = df.assign(rn=rn.astype(np.int64))
+        return df[df["rn"] <= 2]
 
-    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+    return keyed_map_partitions(ds, ["user_id"], top2)
 
 
 ORACLE_TOP2_EVENTS_PER_USER = """
@@ -308,17 +318,23 @@ def q_revenue_by_nation(sf_dir: str):
     cust_df = cust.to_pandas().merge(
         nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
     )[["c_custkey", "n_name"]]
-    lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["n_name"])))
+    lookup_ref = ray.put(
+        (
+            pa.array(cust_df["c_custkey"].to_numpy(), type=pa.int64()),
+            pa.array(cust_df["n_name"], type=pa.string()),
+        )
+    )
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     class JoinNation:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.names = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            custkeys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            names = pa.array([self.lookup.get(int(k)) for k in custkeys], type=pa.string())
+            # vectorized hash probe: index_in + take, no per-row Python
+            idx = pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=self.keys)
+            names = pc.take(self.names, idx)
             return pa.table({"n_name": names, "o_totalprice": t["o_totalprice"]})
 
     from ray.data.aggregate import Sum
@@ -833,7 +849,7 @@ def q_purge_orphans(sf_dir: str):
     catalog_keys = set(
         hashlib.md5(u.encode()).hexdigest() for u in cat["url"].to_pylist()
     )
-    keys_ref = ray.put(catalog_keys)
+    keys_ref = ray.put(pa.array(sorted(catalog_keys), type=pa.string()))
 
     def parsed_tables(t: pa.Table) -> pa.Table:
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -854,8 +870,8 @@ def q_purge_orphans(sf_dir: str):
 
     def anti_join(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        mask = [name not in keys for name in t["parsing_table"].to_pylist()]
-        return t.filter(pa.array(mask))
+        mask = pc.invert(pc.is_in(t["parsing_table"], value_set=keys))
+        return t.filter(mask)
 
     return (
         _docs(sf_dir, columns=["doc_id"])
@@ -967,15 +983,15 @@ def q_top_spenders(sf_dir: str):
     from hydra_ray.stages.agg import grouped_agg
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    lookup_ref = ray.put((pc.cast(cust["c_custkey"], pa.int64()).combine_chunks(), cust["c_name"].combine_chunks()))
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     per_cust = grouped_agg(ds, keys=["o_custkey"], aggs=[("o_totalprice", "sum", "total_spent")])
 
     def topk(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(int(k)) for k in t["o_custkey"].to_pylist()]
-        t = t.append_column("c_name", pa.array(names, type=pa.string()))
+        keys, cnames = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=keys)
+        t = t.append_column("c_name", pc.take(cnames, idx))
         t = t.set_column(
             t.column_names.index("total_spent"), "total_spent", pc.round(t["total_spent"], 2)
         )
@@ -1057,14 +1073,20 @@ def q_supplier_balances(sf_dir: str):
     region = pq.read_table(f"{sf_dir}/region.parquet")
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    nkeys = sorted(n2r)
+    lookup_ref = ray.put(
+        (
+            pa.array(nkeys, type=pa.int64()),
+            pa.array([r2name[n2r[k]] for k in nkeys], type=pa.string()),
+        )
+    )
 
     ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def to_region(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(int(k)) for k in t["s_nationkey"].to_pylist()]
-        return pa.table({"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]})
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=keys)
+        return pa.table({"r_name": pc.take(names, idx), "s_acctbal": t["s_acctbal"]})
 
     from hydra_ray.stages.agg import grouped_agg
 

@@ -22,6 +22,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from hydra_ray.state.cuckoo import _mix64
@@ -38,16 +39,29 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def dedup_exact(ds: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "rd.Dataset":
-    """Keep the min-id row per identical text; adds n_dupes."""
-    hashed = ds.map_batches(lambda t: content_hash_batch(t, text_col), batch_format="pyarrow")
+    """Keep the min-id row per identical text; adds n_dupes.
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        out = g.head(1).copy()
-        out["n_dupes"] = len(g) - 1
-        return out[[id_col, "content_hash", "n_dupes"]]
+    Only (id, content_hash) rows enter the shuffle — document bytes
+    stay in the map stage. The per-key keep-first reduction runs
+    vectorized once per hash-co-located partition (stages/keyed.py),
+    not once per tiny group.
+    """
+    from hydra_ray.stages.keyed import keyed_map_partitions
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    hashed = ds.map_batches(
+        lambda t: content_hash_batch(t, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+    )
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["content_hash", id_col], kind="mergesort")
+        sizes = df.groupby("content_hash", sort=False)[id_col].transform("size")
+        out = df.assign(n_dupes=(sizes - 1).astype("int64"))
+        return out.drop_duplicates("content_hash", keep="first")[
+            [id_col, "content_hash", "n_dupes"]
+        ]
+
+    return keyed_map_partitions(hashed, ["content_hash"], keep_first)
 
 
 # ---------------------------------------------------------------------------
@@ -149,46 +163,159 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 1.0
 
 
+BROADCAST_DOCS_MAX = 20_000  # below this, texts broadcast for verify
+
+
+def lsh_candidate_pairs(bands: "rd.Dataset", num_parts: int = 32) -> "rd.Dataset":
+    """Band rows → globally-unique candidate pairs, fully distributed.
+
+    Hash-partition by (band_id, band_hash) so every bucket is whole in
+    one partition; emit pairs per bucket with a vectorized self-merge;
+    then hash-partition by (doc_a, doc_b) to drop pairs that collided
+    in several bands. No band row ever reaches the driver.
+    """
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+        if dup.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=df["doc_id"].dtype), "doc_b": pd.Series(dtype=df["doc_id"].dtype)}
+            )
+        m = dup.merge(dup, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+
+    cands = keyed_map_partitions(bands, ["band_id", "band_hash"], emit_pairs, num_parts)
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    return keyed_map_partitions(cands, ["doc_a", "doc_b"], uniq, num_parts)
+
+
+def _verify_distributed(
+    ds: "rd.Dataset",
+    pairs: "rd.Dataset",
+    threshold: float,
+    shingle_k: int,
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Verify candidate pairs against the docs table WITHOUT any driver
+    materialization: texts are attached by co-partitioning pair-halves
+    with the docs table on doc id (one shuffle of the corpus text, two
+    shuffles of the tiny pair table), then the two halves meet under a
+    (doc_a, doc_b) co-partition where true Jaccard is computed.
+
+    Requires an int64-castable id column (the broadcast path has no such
+    constraint). side: 0=doc row, 1=pair half keyed on doc_a, 2=on doc_b.
+    """
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def pairs_to_halves(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pc.cast(t["doc_b"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "doc_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "side": pa.array([1] * n + [2] * n, type=pa.int8()),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    def docs_to_u(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "key": pc.cast(t["doc_id"], pa.int64()),
+                "doc_a": pa.array([-1] * n, type=pa.int64()),
+                "doc_b": pa.array([-1] * n, type=pa.int64()),
+                "side": pa.array([0] * n, type=pa.int8()),
+                "text": pc.cast(t["text"], pa.string()),
+            }
+        )
+
+    u = pairs.map_batches(pairs_to_halves, batch_format="pyarrow").union(
+        ds.map_batches(docs_to_u, batch_format="pyarrow")
+    )
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["side"] == 0][["key", "text"]]
+        p = df[df["side"] != 0].drop(columns=["text"])
+        out = p.merge(d, on="key", how="left")
+        return out[["doc_a", "doc_b", "side", "text"]]
+
+    halves = keyed_map_partitions(u, ["key"], attach_text, num_parts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_a"})
+        b = df[df["side"] == 2][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_b"})
+        m = a.merge(b, on=["doc_a", "doc_b"])
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        jac = [
+            round(
+                jaccard(
+                    ta if isinstance(ta, str) else "",
+                    tb if isinstance(tb, str) else "",
+                    shingle_k,
+                ),
+                6,
+            )
+            for ta, tb in zip(m["text_a"], m["text_b"])
+        ]
+        m = m.assign(jaccard=jac)
+        return m[m["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+
+    return keyed_map_partitions(halves, ["doc_a", "doc_b"], verify, num_parts)
+
+
 def dedup_minhash(
-    ds: "rd.Dataset", threshold: float = 0.7, shingle_k: int = 3, concurrency: tuple = (1, 2)
+    ds: "rd.Dataset",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    concurrency: tuple = (1, 2),
+    distributed: bool | None = None,
 ) -> "rd.Dataset":
     """MinHash-LSH near-duplicate pairs, verified by true Jaccard.
 
-    shingle→minhash per batch (actor pool) → explode to band rows →
-    groupby (band_id, band_hash) → unique candidate pairs → verify
-    against the broadcast text map → (doc_a, doc_b, jaccard6).
-    At 100 TB, the verify stage's text lookup becomes a join against
-    the docs table partitioned by doc id instead of a broadcast.
+    shingle→minhash per batch (actor pool) → band rows → distributed
+    bucket-collision pair emission (lsh_candidate_pairs) → verify.
+
+    Verify routing: above BROADCAST_DOCS_MAX docs (or distributed=True)
+    texts are attached by co-partitioned joins — no driver
+    materialization anywhere, driver memory O(1). Below the threshold a
+    broadcast text map is cheaper (one ray.put, no text shuffle).
     """
     import ray
 
-    texts_tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
-    text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
+    mat = ds.materialize()  # consumed 2-3 times (bands + verify)
+    if distributed is None:
+        distributed = mat.count() > BROADCAST_DOCS_MAX
 
-    bands = ds.map_batches(
+    bands = mat.map_batches(
         MinHasher,
         fn_constructor_kwargs={"shingle_k": shingle_k},
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    pairs = lsh_candidate_pairs(bands)
 
-    # Candidate generation: band rows are 3 small columns (~1% of corpus
-    # bytes), so collision detection runs vectorized on the driver here.
-    # At 10^10 docs the identical logic is a groupby shuffle on
-    # (band_id, band_hash) with per-bucket pair emission — the band table
-    # still being ~1% of the corpus, it shuffles cheaply.
-    bands_df = bands.to_pandas()
-    dup_mask = bands_df.duplicated(["band_id", "band_hash"], keep=False)
-    colliding = bands_df[dup_mask]
-    pairs: set[tuple] = set()
-    for _, g in colliding.groupby(["band_id", "band_hash"]):
-        docs = sorted(g["doc_id"].unique())
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                pairs.add((docs[i], docs[j]))
-    if not pairs:
-        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
-    cand_df = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"])
+    if distributed:
+        return _verify_distributed(mat, pairs, threshold, shingle_k)
+
+    texts_tbl = mat.select_columns(["doc_id", "text"]).to_pandas()
+    text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
 
     class Verify:
         def __init__(self):
@@ -196,6 +323,8 @@ def dedup_minhash(
             self.k = shingle_k
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return batch.assign(jaccard=pd.Series(dtype="float64"))
             jac = [
                 round(jaccard(self.texts.get(a, ""), self.texts.get(b, ""), self.k), 6)
                 for a, b in zip(batch["doc_a"], batch["doc_b"])
@@ -203,7 +332,7 @@ def dedup_minhash(
             batch = batch.assign(jaccard=jac)
             return batch[batch["jaccard"] >= threshold]
 
-    return rd.from_pandas(cand_df).map_batches(
+    return pairs.map_batches(
         Verify, batch_format="pandas", batch_size=2048, concurrency=concurrency
     )
 

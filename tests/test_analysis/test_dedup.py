@@ -82,6 +82,27 @@ class TestDedup:
         m1, m2 = MinHasher(), MinHasher()
         assert (m1.signature(BASE) == m2.signature(BASE)).all()
 
+    def test_minhash_distributed_matches_broadcast(self):
+        """The co-partitioned verify path (no driver materialization,
+        no text broadcast) must produce byte-identical pairs to the
+        broadcast path."""
+        b = (
+            dedup_minhash(rd.from_arrow(corpus()), threshold=0.5, distributed=False)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        d = (
+            dedup_minhash(rd.from_arrow(corpus()), threshold=0.5, distributed=True)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert b.astype({"doc_a": "int64", "doc_b": "int64"}).equals(
+            d.astype({"doc_a": "int64", "doc_b": "int64"})
+        )
+        assert len(b) >= 2
+
     def test_ngram_pairs_blocked_by_source(self):
         out = ngram_jaccard_pairs(rd.from_arrow(corpus()), threshold=0.5).to_pandas()
         pairs = set(zip(out["doc_a"], out["doc_b"]))
