@@ -375,27 +375,36 @@ def duplicate_clusters(pairs: pd.DataFrame, id_a: str = "doc_a", id_b: str = "do
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over word hashes (vectorized bit votes)."""
-    doc_ids = batch["doc_id"].to_pylist()
+    """64-bit SimHash over word hashes.
+
+    Vectorized over the whole batch: words are hashed once each through
+    the memoized md5 token cache (shared with MinHasher), bit votes are
+    a single segmented reduction over the flat (token, bit) matrix —
+    no per-document recomputation.
+    """
     texts = batch[text_col].to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
+    n = len(texts)
+    words: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
     for i, text in enumerate(texts):
-        words = (text or "").split()
-        if not words:
-            continue
-        hashes = np.empty(len(words), dtype=np.uint64)
-        for j, w in enumerate(words):
-            d = hashlib.md5(w.encode("utf-8", "surrogateescape")).digest()
-            hashes[j] = np.frombuffer(d[:8], dtype=np.uint64)[0]
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        ws = (text or "").split()
+        words.extend(ws)
+        counts[i] = len(ws)
+    out = np.zeros(n, dtype=np.uint64)
+    if words:
+        h = _token_hashes(words)
+        bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+        votes_flat = (((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32) * 2 - 1).astype(
             np.int64
         )
-        votes = bits.sum(axis=0) * 2 - len(words)  # >0 → bit set
-        set_bits = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        out[i] = np.bitwise_or.reduce(set_bits)
+        nz = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+        votes = np.add.reduceat(votes_flat, starts, axis=0)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[nz] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids),
+            "doc_id": batch["doc_id"],
             "simhash": pa.array(out.view(np.int64)),
         }
     )

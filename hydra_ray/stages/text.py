@@ -102,23 +102,87 @@ class LangId:
 
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1000003
+_M61 = np.uint64(_FP_MOD)
+_LO31 = np.uint64((1 << 31) - 1)
+_LO30 = np.uint64((1 << 30) - 1)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x (< 2^64) mod 2^61-1, vectorized (two Mersenne folds)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _mulmod61(a: np.ndarray, b) -> np.ndarray:
+    """(a * b) mod 2^61-1 for a, b < 2^61 without 128-bit ints.
+
+    Splits both operands at 31 bits; uses 2^61 ≡ 1 (mod M) so the
+    cross terms re-enter below 64 bits. Standard Mersenne-prime trick.
+    """
+    a = a.astype(np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a0, a1 = a & _LO31, a >> np.uint64(31)
+    b0, b1 = b & _LO31, b >> np.uint64(31)
+    # cross = (a1*b0 + a0*b1) * 2^31 mod M
+    t = a1 * b0 + a0 * b1  # < 2^62
+    t = (t & _M61) + (t >> np.uint64(61))  # < 2^61 + 2
+    t0, t1 = t & _LO30, t >> np.uint64(30)
+    cross = t1 + (t0 << np.uint64(31))  # t*2^31 ≡ t1*2^61 + t0*2^31 ≡ t1 + t0*2^31
+    r = np.uint64(2) * a1 * b1 + a0 * b0 + cross  # a1*b1*2^62 ≡ 2*a1*b1
+    return _mod61(r)
+
+
+def _token_fp_hashes(words: list[str]) -> np.ndarray:
+    """h(token) = splitmix64 of the first 8 utf-8 bytes zero-padded
+    (little-endian), computed once per unique token, vectorized."""
+    from hydra_ray.state.cuckoo import _mix64
+
+    uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+    buf = b"".join(t.encode("utf-8")[:8].ljust(8, b"\0") for t in uniq)
+    hu = _mix64(np.frombuffer(buf, dtype=np.uint64))
+    return hu[inv]
 
 
 def fingerprint_batch(batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Rolling polynomial hash over tokens (document fingerprint):
-    fp = sum(base^i * h(token_i)) mod 2^61-1, h = stable 64-bit token hash."""
-    from hydra_ray.state.cuckoo import _mix64
+    fp = sum(base^(n-1-i) * h(token_i)) mod 2^61-1.
 
+    Fully vectorized: unique tokens hashed once, per-token powers from a
+    precomputed base-power table, weighted terms reduced per document
+    with a 32-bit-limb segmented sum (no per-token Python)."""
     tokens = _tokens_arr(
         batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
     ).to_pylist()
-    fps = []
-    for toks in tokens:
-        acc = 0
-        for tok in toks or []:
-            h = int(_mix64(np.frombuffer(tok.encode("utf-8").ljust(8, b"\0")[:8], dtype=np.uint64))[0])
-            acc = (acc * _FP_BASE + h) % _FP_MOD
-        fps.append(acc)
+    n = len(tokens)
+    flat: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        toks = toks or []
+        flat.extend(toks)
+        counts[i] = len(toks)
+    fps = np.zeros(n, dtype=np.uint64)
+    if flat:
+        h = _mod61(_token_fp_hashes(flat))
+        maxlen = int(counts.max())
+        pows = np.empty(maxlen, dtype=np.uint64)  # pows[k] = base^k mod M
+        acc = np.uint64(1)
+        for k in range(maxlen):
+            pows[k] = acc
+            acc = _mulmod61(np.array([acc]), np.uint64(_FP_BASE))[0]
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        doc_of = np.repeat(np.arange(n), counts)
+        pos = np.arange(len(flat)) - offsets[doc_of]
+        exp = counts[doc_of] - 1 - pos
+        terms = _mulmod61(h, pows[exp])  # < 2^61 each
+        # segmented sum without overflow: split into 32-bit limbs
+        nz = counts > 0
+        starts = offsets[nz]
+        lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts)
+        hi = np.add.reduceat(terms >> np.uint64(32), starts)
+        # total ≡ hi*2^32 + lo (mod M); hi,lo sums < n_tokens*2^32 < 2^64
+        total = _mod61(_mulmod61(_mod61(hi), np.uint64(1) << np.uint64(32)) + _mod61(lo))
+        fps[nz] = total
     return pa.table(
-        {"doc_id": batch[doc_id_col], "fingerprint": pa.array(fps, type=pa.int64())}
+        {"doc_id": batch[doc_id_col], "fingerprint": pa.array(fps.view(np.int64))}
     )
