@@ -719,11 +719,13 @@ def q_knn_lsh(sf_dir: str):
     """LSH-bucketed approximate NN (scale path for similarity search)."""
     from hydra_ray.stages.similarity import knn_lsh
 
+    # sim dropped from the compared output (rank ordering is the signal;
+    # see q_embedding_knn note on float32-vs-float64 rounding)
     return knn_lsh(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
         k=1,
         n_planes=6,
-    )
+    ).drop_columns(["sim"])
 
 
 def q_media_features(sf_dir: str):
@@ -1125,14 +1127,323 @@ ORACLES["supplier_balances"] = ORACLE_SUPPLIER_BALANCES
 
 
 def q_dup_clusters(sf_dir: str):
-    """Near-duplicate clusters: MinHash-LSH pairs → connected components
-    (cluster_id = min doc_id per component)."""
-    import pandas as pd_
+    """Near-duplicate clusters: pair graph → connected components
+    (cluster_id = min doc_id per component). Pairs come from the
+    blocked n-gram-Jaccard op so the whole chain is oracle-checkable
+    (the reference operator is the clustering, not the pair source;
+    MinHash-sourced clusters are exercised by minhash_near_dups +
+    tests)."""
+    from hydra_ray.stages.dedup import duplicate_clusters, ngram_jaccard_pairs
 
-    from hydra_ray.stages.dedup import dedup_minhash, duplicate_clusters
-
-    pairs = dedup_minhash(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5).to_pandas()
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir, columns=["doc_id", "text", "source"]), threshold=0.35
+    ).to_pandas()
     return pa.Table.from_pandas(duplicate_clusters(pairs), preserve_index=False)
 
 
 QUERIES["dup_clusters"] = q_dup_clusters
+
+
+# ---------------------------------------------------------------------------
+# round-2 oracles for previously rows-only queries
+# ---------------------------------------------------------------------------
+
+# n-gram sets per doc: whitespace-normalized text, char-3-grams
+# (single-gram {t} when len(t) < 3, empty set for empty t)
+_NGRAM_SETS_SQL = r"""
+    norm AS (
+        SELECT doc_id, source, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    g1 AS (
+        SELECT doc_id, source,
+               CASE WHEN length(t) < 3 THEN t ELSE substring(t, i, 3) END AS g
+        FROM (
+            SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i
+            FROM norm WHERE t <> ''
+        )
+    ),
+    gsets AS (
+        SELECT n.doc_id, n.source,
+               COALESCE(x.cnt, 0) AS n_grams, x.gs
+        FROM norm n
+        LEFT JOIN (
+            SELECT doc_id, count(DISTINCT g) AS cnt, list(DISTINCT g) AS gs
+            FROM g1 GROUP BY doc_id
+        ) x USING (doc_id)
+    ),
+    ngram_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COALESCE(len(list_intersect(a.gs, b.gs)), 0) AS inter,
+               a.n_grams + b.n_grams AS tot
+        FROM gsets a JOIN gsets b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    ngram_jac AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN tot - inter = 0 THEN 1.0
+                    ELSE inter * 1.0 / (tot - inter) END AS jac
+        FROM ngram_pairs
+    )
+"""
+
+ORACLE_NGRAM_JACCARD = f"""
+    WITH {_NGRAM_SETS_SQL}
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM ngram_jac WHERE jac >= 0.35
+"""
+
+ORACLES["ngram_jaccard"] = ORACLE_NGRAM_JACCARD
+
+ORACLE_DUP_CLUSTERS = f"""
+    WITH RECURSIVE {_NGRAM_SETS_SQL},
+    kept AS (SELECT doc_a, doc_b FROM ngram_jac WHERE jac >= 0.35),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM kept
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM kept
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    comp(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.v, c.label FROM comp c JOIN edges e ON e.u = c.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node
+"""
+
+ORACLES["dup_clusters"] = ORACLE_DUP_CLUSTERS
+
+
+def _langid_values_sql() -> str:
+    from hydra_ray.stages.text import STOPWORDS
+
+    rows = []
+    for lang in sorted(STOPWORDS):
+        for w in sorted(STOPWORDS[lang]):
+            rows.append(f"('{lang}', '{w}')")
+    return ", ".join(rows)
+
+
+# tie-break parity with stages/text.py LangId: langs scanned in sorted
+# order, a later lang needs a STRICTLY greater score → order by
+# (score DESC, lang ASC); zero hits → 'und'
+ORACLE_LANGID = rf"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+        FROM documents
+    ),
+    sw(lang, w) AS (VALUES {_langid_values_sql()}),
+    scores AS (
+        SELECT t.doc_id, s.lang, count(*) AS score
+        FROM tok t JOIN sw s ON t.w = s.w GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+    FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+ORACLES["langid"] = ORACLE_LANGID
+
+# geojson feature string parity: DuckDB's DOUBLE→VARCHAR cast is
+# shortest-round-trip, identical to Python repr, so the exact
+# json.dumps(..., sort_keys=True) bytes are reproducible by concat
+ORACLE_GEOJSON_FEATURES = """
+    WITH coords AS (
+        SELECT event_id, user_id,
+               round(value % 180.0 - 90.0, 4) AS lat,
+               round((value * 2.0) % 360.0 - 180.0, 4) AS lon
+        FROM events
+    )
+    SELECT '{"geometry": {"coordinates": [' || CAST(lon AS VARCHAR) || ', '
+           || CAST(lat AS VARCHAR) || '], "type": "Point"}, "properties": {"event_id": '
+           || CAST(event_id AS VARCHAR) || ', "user_id": ' || CAST(user_id AS VARCHAR)
+           || '}, "type": "Feature"}' AS feature
+    FROM coords
+"""
+
+ORACLES["geojson_features"] = ORACLE_GEOJSON_FEATURES
+
+
+def _le64_sql(hex16_expr: str) -> str:
+    """SQL: little-endian uint64 from the first 16 hex chars of an
+    expression (mirrors np.frombuffer(bytes[:8], '<u8'))."""
+    h = hex16_expr
+    return (
+        f"CAST(('0x' || substr({h},15,2) || substr({h},13,2) || substr({h},11,2) || "
+        f"substr({h},9,2) || substr({h},7,2) || substr({h},5,2) || substr({h},3,2) || "
+        f"substr({h},1,2)) AS UBIGINT)"
+    )
+
+
+def _mulwrap_sql(col: str, c: int) -> str:
+    """SQL: (col * c) mod 2^64 — 32-bit limb split in HUGEINT so the
+    uint64 wraparound of splitmix64 is exact."""
+    return (
+        f"CAST((((CAST({col} AS HUGEINT) % 4294967296) * {c} + "
+        f"(((CAST({col} AS HUGEINT) // 4294967296) * {c}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616) AS UBIGINT)"
+    )
+
+
+_M61_SQL = (1 << 61) - 1
+
+# SimHash parity: per-word md5 → little-endian uint64 → ±1 bit votes
+# with multiplicity → bit set where votes > 0; empty-token filter
+# mirrors str.split() semantics; uint64 → int64 two's complement.
+ORACLE_SIMHASH = rf"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    ),
+    wh AS (
+        SELECT doc_id, {_le64_sql('md5(w)')} AS hv FROM words WHERE w <> ''
+    ),
+    bits AS (
+        SELECT doc_id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM (SELECT doc_id, hv, unnest(generate_series(0, 63)) AS b FROM wh)
+    ),
+    votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
+    sh AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INT) AS HUGEINT)
+                   ELSE 0 END) AS u
+        FROM votes GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN COALESCE(s.u, 0) >= 9223372036854775808
+                     THEN COALESCE(s.u, 0) - 18446744073709551616
+                     ELSE COALESCE(s.u, 0) END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sh s USING (doc_id)
+"""
+
+ORACLES["simhash"] = ORACLE_SIMHASH
+
+# Fingerprint parity: splitmix64 of the zero-padded first 8 utf-8
+# bytes per token (exact uint64 wraparound via _mulwrap_sql), rolling
+# polynomial sum(h_i * base^(n-1-i)) mod 2^61-1 with a recursive
+# base-power table.
+ORACLE_FINGERPRINT = rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+    ),
+    maxn AS (SELECT max(len(arr)) AS m FROM toks),
+    pows(k, p) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT k + 1, (p * 1000003) % {_M61_SQL} FROM pows WHERE k + 1 < (SELECT m FROM maxn)
+    ),
+    tok AS (
+        SELECT doc_id, n, i, arr[i] AS w
+        FROM (SELECT doc_id, len(arr) AS n, unnest(generate_series(1, len(arr))) AS i, arr
+              FROM toks)
+    ),
+    t0 AS (
+        SELECT doc_id, n, i, {_le64_sql("substr(rpad(hex(w), 16, '0'), 1, 16)")} AS x FROM tok
+    ),
+    t1 AS (SELECT doc_id, n, i, xor(x, x >> 30) AS a FROM t0),
+    t2 AS (SELECT doc_id, n, i, {_mulwrap_sql('a', 0xBF58476D1CE4E5B9)} AS b FROM t1),
+    t3 AS (SELECT doc_id, n, i, xor(b, b >> 27) AS c FROM t2),
+    t4 AS (SELECT doc_id, n, i, {_mulwrap_sql('c', 0x94D049BB133111EB)} AS d FROM t3),
+    t5 AS (SELECT doc_id, n, i, xor(d, d >> 31) AS h64 FROM t4),
+    terms AS (
+        SELECT t.doc_id, ((CAST(t.h64 AS HUGEINT) % {_M61_SQL}) * p.p) % {_M61_SQL} AS term
+        FROM t5 t JOIN pows p ON p.k = t.n - t.i
+    )
+    SELECT doc_id, CAST(sum(term) % {_M61_SQL} AS BIGINT) AS fingerprint
+    FROM terms GROUP BY doc_id
+"""
+
+ORACLES["fingerprint"] = ORACLE_FINGERPRINT
+
+# media plumbing parity: synthetic payload size is md5-derived from the
+# media_ref (multimodal.py synthetic_media_bytes); the span derivation
+# mirrors ORACLE_SPAN_EXPLODE's media branch
+ORACLE_MEDIA_FEATURES = f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i FROM base
+    ), media AS (
+        SELECT 'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref
+        FROM chunks WHERE i % 3 = 2
+    )
+    SELECT media_ref,
+           CAST(256 + CAST(('0x' || substr(md5(media_ref), 1, 2)) AS INT) * 13 AS BIGINT) AS n_bytes
+    FROM media
+"""
+
+ORACLES["media_features"] = ORACLE_MEDIA_FEATURES
+
+# OGC probing parity: every capability field of the deterministic
+# synthetic GetCapabilities document (stages/ogc.py) is md5-derived,
+# so the sorted-key JSON is reproducible with string concat
+ORACLE_OGC_CAPABILITIES = """
+    WITH probes AS (
+      SELECT doc_id,
+             'https://geo' || CAST(doc_id % 7 AS VARCHAR)
+             || '.data.example/geoserver/wfs?service=wfs&typeName=ns:layer_'
+             || CAST(doc_id % 13 AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 10 = 0
+    ), dg AS (
+      SELECT doc_id, md5('wfs:' || url) AS h, CAST(doc_id % 13 AS VARCHAR) AS lyr FROM probes
+    ), f AS (
+      SELECT doc_id, lyr,
+        1 + (CAST(('0x'||substr(h,1,2)) AS INT) % 5) AS n_layers,
+        CAST(CAST(('0x'||substr(h,3,2)) AS INT) % 97 AS VARCHAR) AS lbase,
+        CAST(('0x'||substr(h,5,2)) AS INT) % 3 AS vidx,
+        1 + (CAST(('0x'||substr(h,7,2)) AS INT) % 2) AS n_crs,
+        1 + (CAST(('0x'||substr(h,9,2)) AS INT) % 2) AS n_fmt
+      FROM dg
+    )
+    SELECT doc_id,
+      '{"crs": ["EPSG:4326"' || CASE WHEN n_crs = 2 THEN ', "EPSG:3857"' ELSE '' END || '], ' ||
+      '"detected_layer": "ns:layer_' || lyr || '", ' ||
+      '"layers": ["ns:layer_' || lbase || '_0"' ||
+         CASE WHEN n_layers >= 2 THEN ', "ns:layer_' || lbase || '_1"' ELSE '' END ||
+         CASE WHEN n_layers >= 3 THEN ', "ns:layer_' || lbase || '_2"' ELSE '' END ||
+         CASE WHEN n_layers >= 4 THEN ', "ns:layer_' || lbase || '_3"' ELSE '' END ||
+         CASE WHEN n_layers >= 5 THEN ', "ns:layer_' || lbase || '_4"' ELSE '' END ||
+      '], "output_formats": ["application/json"' || CASE WHEN n_fmt = 2 THEN ', "GML2"' ELSE '' END || '], ' ||
+      '"service_type": "wfs", "version": "' ||
+      CASE vidx WHEN 0 THEN '2.0.0' WHEN 1 THEN '1.1.0' ELSE '1.0.0' END || '"}' AS ogc_metadata
+    FROM f
+"""
+
+ORACLES["ogc_capabilities"] = ORACLE_OGC_CAPABILITIES
+
+
+def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """LSH bucket assignment with the hyperplane matrix inlined as
+    double literals (repr round-trips exactly into DuckDB), exact
+    cosine re-rank within buckets in DOUBLE precision; sim column is
+    dropped on both sides (rank ordering is the verified signal)."""
+    from hydra_ray.stages.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+
+    def lit(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {lit(planes[b])}) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(n_planes)
+    )
+    return f"""
+        WITH be AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings)
+        SELECT a.vec_id AS vec_id, b.vec_id AS nn_id
+        FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) = 1
+    """
+
+
+ORACLES["knn_lsh"] = _knn_lsh_oracle_sql()

@@ -49,8 +49,10 @@ class VersionedTable:
 
     # -- version bookkeeping ---------------------------------------------
     def latest_version(self) -> int:
+        # parse the full stem (zero-padding is only for sort-friendly
+        # listings): v100000.json must not truncate to 10000
         versions = [
-            int(f[1:6]) for f in os.listdir(self.versions_dir) if f.endswith(".json")
+            int(f[1:].split(".")[0]) for f in os.listdir(self.versions_dir) if f.endswith(".json")
         ]
         return max(versions, default=0)
 
