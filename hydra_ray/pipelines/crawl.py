@@ -174,7 +174,41 @@ class CrawlEngine:
             self.catalog.overwrite(tbl, meta={"iteration": self.iteration})
             self._frontier_cache = tbl
         else:
-            # re-loads refresh existing rows (upsert) and add the new ones
+            # re-loads refresh existing rows (upsert by resource_id) and
+            # add new ones — with the SAME URL-uniqueness contract as the
+            # fresh-load path: a row is kept iff its URL is new OR its
+            # resource_id already exists (a refresh of itself). Without
+            # this, a reload could insert a second resource pointing at
+            # an already-seen URL. Above the driver-merge threshold the
+            # membership probe runs over the resource_id column only.
+            from hydra_ray.sources.store import DRIVER_MERGE_MAX_ROWS
+
+            if self.catalog.count() <= DRIVER_MERGE_MAX_ROWS:
+                existing = self.catalog.read_arrow(columns=["resource_id"])["resource_id"]
+            else:
+                # semi-join probe: broadcast the (small) incoming id set,
+                # stream the catalog, return only matching ids — the full
+                # id column never reaches the driver
+                import ray as _ray
+
+                inc_ref = _ray.put(tbl["resource_id"].combine_chunks())
+
+                def probe(b: pa.Table) -> pa.Table:
+                    return b.filter(pc.is_in(b["resource_id"], value_set=_ray.get(inc_ref)))
+
+                existing = _ds_to_arrow(
+                    self.catalog.read(columns=["resource_id"]).map_batches(
+                        probe, batch_format="pyarrow"
+                    )
+                )["resource_id"]
+            known_rid = pc.is_in(
+                tbl["resource_id"],
+                value_set=existing.combine_chunks()
+                if isinstance(existing, pa.ChunkedArray)
+                else existing,
+            )
+            keep = pc.or_(pa.array(is_new), known_rid)
+            tbl = tbl.filter(keep)
             self.catalog.merge_insert(tbl, key="resource_id", meta={"iteration": self.iteration})
             self._frontier_cache = None
         self._save_state()
@@ -415,6 +449,11 @@ class CrawlEngine:
 
     def _finish_iteration(self, updates: list[pa.Table], stats: dict) -> None:
         now = self.now_dt(self.iteration)
+        # persist politeness/URL-seen state for iteration+1 BEFORE the
+        # catalog manifest advances to iteration+1: a crash in between
+        # then leaves meta=N with state files for both N and N+1 (restore
+        # at N uses N), never meta=N+1 with only iterN.pkl on disk
+        self._save_state(self.iteration + 1)
         if updates:
             upd = pa.concat_tables(updates, promote_options="default")
             cache = self._frontier_cache
@@ -447,7 +486,6 @@ class CrawlEngine:
         )
         self.metrics.append(metrics)
         self.iteration += 1
-        self._save_state()
 
     def _record_lineage(self, iteration: int, files: list[str], now: datetime) -> None:
         """Per-partition lineage rows (north rule): one metrics row per
@@ -474,13 +512,14 @@ class CrawlEngine:
     def _state_path(self, iteration: int) -> str:
         return os.path.join(self.workdir, "state", f"iter{iteration:06d}.pkl")
 
-    def _save_state(self) -> None:
+    def _save_state(self, iteration: int | None = None) -> None:
+        it = self.iteration if iteration is None else iteration
         blob = {
-            "iteration": self.iteration,
+            "iteration": it,
             "politeness": self.politeness.serialize(),
             "urlseen": self.urlseen.serialize(),
         }
-        path = self._state_path(self.iteration)
+        path = self._state_path(it)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(blob, f)
@@ -488,11 +527,34 @@ class CrawlEngine:
 
     def _maybe_restore_state(self) -> None:
         path = self._state_path(self.iteration)
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                blob = pickle.load(f)
-            self.politeness.restore(blob["politeness"])
-            self.urlseen.restore(blob["urlseen"])
+        if not os.path.exists(path):
+            # crash-window fallback: the newest state file at or before
+            # the committed iteration (never silently restart with empty
+            # politeness windows / URL-seen filters mid-crawl)
+            import glob as _glob
+
+            def _it_of(p: str) -> int:
+                return int(os.path.basename(p)[4:].split(".")[0])
+
+            cands = sorted(
+                (p for p in _glob.glob(os.path.join(self.workdir, "state", "iter*.pkl"))
+                 if _it_of(p) <= self.iteration),
+                key=_it_of,
+            )
+            if cands:
+                path = cands[-1]
+            elif self.iteration:
+                raise RuntimeError(
+                    f"catalog is at iteration {self.iteration} but no crawl state "
+                    f"file <= {self._state_path(self.iteration)} exists — refusing "
+                    "to resume with empty politeness/URL-seen state"
+                )
+            else:
+                return
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.politeness.restore(blob["politeness"])
+        self.urlseen.restore(blob["urlseen"])
 
 
 # ---------------------------------------------------------------------------

@@ -142,34 +142,35 @@ class IterationSink:
         self.tables_dir = tables_dir
         self.iteration = iteration
 
+    @staticmethod
+    def _write(table: pa.Table, out_dir: str, blk: str) -> None:
+        """Atomic + idempotent part write: the name derives from block
+        content, so a Ray task RE-EXECUTION (worker crash, lineage
+        reconstruction) overwrites its own file instead of adding a
+        duplicate that the post-execution register_files glob would
+        commit twice. tmp+rename keeps half-written files out of the
+        txn dir glob."""
+        path = os.path.join(out_dir, f"part-{blk}.parquet")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, path)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            blk = uuid.uuid4().hex[:12]
-            pq.write_table(
-                to_checks_table(batch),
-                os.path.join(self.checks_dir, f"part-{blk}.parquet"),
-                compression="snappy",
-            )
+            # deterministic block name: check ids are unique per row and
+            # blocks are disjoint, so the min id identifies the block
+            blk = f"{int(pc.min(batch['check_id']).as_py()) & 0xFFFFFFFFFFFFFFFF:016x}"
+            self._write(to_checks_table(batch), self.checks_dir, blk)
             pl = payload_rows(batch, self.iteration)
             if pl.num_rows:
-                pq.write_table(
-                    pl, os.path.join(self.payloads_dir, f"part-{blk}.parquet"), compression="snappy"
-                )
+                self._write(pl, self.payloads_dir, blk)
             if "spans" in batch.column_names:
                 docs = docs_table(batch, self.iteration)
                 if docs.num_rows:
-                    pq.write_table(
-                        docs,
-                        os.path.join(self.docs_dir, f"part-{blk}.parquet"),
-                        compression="snappy",
-                    )
+                    self._write(docs, self.docs_dir, blk)
                 if self.tables_dir is not None:
                     ti = tables_index_rows(batch, self.iteration)
                     if ti.num_rows:
-                        pq.write_table(
-                            ti,
-                            os.path.join(self.tables_dir, f"part-{blk}.parquet"),
-                            compression="snappy",
-                        )
+                        self._write(ti, self.tables_dir, blk)
         drop = [c for c in HEAVY_COLS if c in batch.column_names and c != "do_parse"]
         return batch.drop_columns(drop)

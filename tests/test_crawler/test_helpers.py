@@ -123,3 +123,30 @@ def test_agent_prefix_section():
     text = "User-agent: hydra\nDisallow: /blocked\n"
     rules = parse_robots(text, user_agent="hydra-ray")
     assert not is_allowed("https://a/blocked/x", rules)
+
+
+def test_robots_wildcards():
+    # RFC 9309 '*' and trailing '$' wildcards
+    text = "User-agent: *\nDisallow: /*?\nDisallow: /tmp/*.csv$\nAllow: /a*z\n"
+    rules = parse_robots(text)
+    assert not is_allowed("https://a/page?q=1", rules)  # '/*?' blocks queries
+    assert is_allowed("https://a/page", rules)
+    assert not is_allowed("https://a/tmp/x.csv", rules)  # '$' anchors the end
+    assert is_allowed("https://a/tmp/x.csv.gz", rules)  # not at end → no match
+    assert is_allowed("https://a/abcz", rules)
+
+
+def test_robots_multiple_user_agent_lines():
+    # a group applies if ANY of its consecutive User-agent lines matches
+    text = "User-agent: hydra\nUser-agent: other-bot\nDisallow: /x\n"
+    rules = parse_robots(text, user_agent="hydra-ray")
+    assert not is_allowed("https://a/x/y", rules)
+    # order-independent: matching line first, non-matching last
+    text2 = "User-agent: other-bot\nUser-agent: hydra\nDisallow: /x\n"
+    rules2 = parse_robots(text2, user_agent="hydra-ray")
+    assert not is_allowed("https://a/x/y", rules2)
+    # a rule line ENDS the group header: a later User-agent starts fresh
+    text3 = "User-agent: hydra\nDisallow: /x\nUser-agent: other-bot\nDisallow: /y\n"
+    rules3 = parse_robots(text3, user_agent="hydra-ray")
+    assert not is_allowed("https://a/x/1", rules3)
+    assert is_allowed("https://a/y/1", rules3)

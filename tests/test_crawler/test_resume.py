@@ -57,6 +57,58 @@ def test_kill_and_resume_equals_straight_run(tmp_path, make_crawl_engine):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_crash_window_falls_back_to_older_state(tmp_path, make_crawl_engine):
+    """Catalog manifest at iteration N but the exact iterN.pkl missing
+    (the commit/save crash window): resume must restore the newest
+    state file <= N, never silently start with empty politeness /
+    URL-seen state."""
+    import os
+
+    wd = str(tmp_path / "cw")
+    e = make_crawl_engine(wd, batch_size=30, actor_pools=False)
+    e.load_catalog(small_seed())
+    e.run(2)
+    e.shutdown()
+    # simulate the crash window: newest state file gone, manifest ahead
+    newest = e._state_path(e.iteration)
+    os.remove(newest)
+    e2 = make_crawl_engine(wd, batch_size=30, actor_pools=False)
+    assert e2.iteration == 2
+    # URL-seen state restored from iter1 (non-empty): reloading the same
+    # catalog must not treat already-seen URLs as new
+    tbl = e2.catalog.read_arrow()
+    keys = tbl["url_key"].to_numpy(zero_copy_only=False).astype("int64")
+    assert not any(e2.urlseen.add_if_new(keys[:20]))
+    e2.shutdown()
+
+    # no state file at all for a nonzero iteration → loud failure
+    import glob
+    for p in glob.glob(os.path.join(wd, "state", "iter*.pkl")):
+        os.remove(p)
+    with pytest.raises(RuntimeError, match="refusing"):
+        make_crawl_engine(wd, batch_size=30, actor_pools=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sink_part_names_deterministic(tmp_path, make_crawl_engine):
+    """Part files are named from block content (min check id), so a
+    re-executed sink task overwrites instead of duplicating: two
+    identical runs produce identical part-file name sets."""
+    import os
+
+    names = []
+    for sub in ("s1", "s2"):
+        e = make_crawl_engine(str(tmp_path / sub), batch_size=40, actor_pools=False)
+        e.load_catalog(small_seed())
+        e.run(2)
+        files = sorted(os.path.basename(f) for f in e.checks.files())
+        names.append(files)
+        e.shutdown()
+        assert all(n.startswith("part-") and len(n) == len("part-") + 16 + len(".parquet") for n in files)
+    assert names[0] == names[1]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_results_identical_across_parallelism(tmp_path, make_crawl_engine):
     """Same seed catalog, different fetch parallelism → byte-identical
     checks (the scaling-criterion determinism prerequisite)."""
