@@ -728,6 +728,23 @@ def q_knn_lsh(sf_dir: str):
     ).drop_columns(["sim"])
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF (k-means inverted-file) approximate all-pairs NN — the
+    auto-routed scale path for nn_all above BRUTE_FORCE_MAX_ROWS.
+    nprobe=7/8 here because the synthetic embeddings are uniform
+    (IVF's worst case: recall ≈ nprobe/n_centroids); clustered real
+    embeddings reach the same recall with nprobe ≪ n_centroids.
+    Recall vs brute force is asserted ≥0.95 in tests."""
+    from hydra_ray.stages.similarity import knn_ivf
+
+    return knn_ivf(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        k=1,
+        n_centroids=8,
+        nprobe=7,
+    ).drop_columns(["sim"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: spans → media refs → fetch → byte features."""
     from hydra_ray.stages.multimodal import MEDIA_BATCH_SIZE, MediaFeatures, MediaFetcher
@@ -804,6 +821,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "media_features": q_media_features,
     "crawl_checks": q_crawl_checks,
 }

@@ -94,12 +94,30 @@ def knn_bruteforce(
     )
 
 
-def nn_all(ds: "rd.Dataset", id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:
+BRUTE_FORCE_MAX_ROWS = 2_000_000  # above: nn_all auto-routes to IVF
+
+
+def nn_all(
+    ds: "rd.Dataset",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    brute_force_max: int = BRUTE_FORCE_MAX_ROWS,
+) -> pa.Table:
     """Top-1 neighbor for every vector (self-join shape).
 
-    The full normalized matrix is broadcast (fine up to ~10M×64 fp32);
-    beyond that the IVF/LSH variant partitions the corpus.
+    Below ``brute_force_max`` rows the full normalized matrix is
+    broadcast and the answer is exact. Above it the corpus cannot be
+    a broadcast self-join — the call auto-routes to the IVF variant
+    (``knn_ivf``: k-means buckets + nprobe exact re-rank), the
+    approximate-but-partitioned 100-TB path.
     """
+    mat_ds = ds.materialize()
+    if mat_ds.count() > brute_force_max:
+        out = knn_ivf(mat_ds, k=1, id_col=id_col, emb_col=emb_col)
+        from hydra_ray.sources.store import ds_to_tables
+
+        return pa.concat_tables(ds_to_tables(out), promote_options="default")
+    ds = mat_ds
     full = ds.select_columns([id_col, emb_col]).to_pandas()
     ids_all = full[id_col].to_numpy().astype(np.int64)
     mat = np.stack(full[emb_col].to_numpy()).astype(np.float64)
@@ -190,3 +208,118 @@ def knn_lsh(
         return pd.DataFrame(rows, columns=["vec_id", "nn_id", "sim"])
 
     return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means inverted file) variant — the default scale path
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(mat: np.ndarray, k: int, iters: int = 10, seed: int = 3) -> np.ndarray:
+    """Deterministic spherical k-means over normalized rows: seeded
+    initial pick via the splitmix64 mixer, cosine assignment, mean +
+    renormalize updates. Runs on a bounded driver-side SAMPLE only."""
+    mat = _normalize(mat.astype(np.float64))
+    pick = np.argsort(_mix64(np.arange(len(mat), dtype=np.uint64) + np.uint64(seed * 7919)))
+    cents = mat[pick[:k]].copy()
+    for _ in range(iters):
+        assign = (cents @ mat.T).argmax(axis=0)
+        for c in range(k):
+            pts = mat[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(
+    ds: "rd.Dataset",
+    k: int = 1,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "rd.Dataset":
+    """Approximate all-pairs NN via an IVF index, fully distributed.
+
+    Centroids are trained on a bounded sample (driver); every vector
+    is then emitted once as a MEMBER of its primary centroid's list and
+    ``nprobe`` times as a PROBE of its nearest centroid lists. Lists
+    are co-partitioned by centroid id; per list an exact cosine re-rank
+    scores probes against members, and a final per-vector reduction
+    keeps the global top-k. Recall is tuned by (n_centroids, nprobe);
+    the per-list work is corpus_size/n_centroids — the sub-quadratic
+    scale path (public IVF design; Jégou et al., PAMI 2011).
+    """
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    sample = ds.limit(sample_rows).to_pandas()
+    cents = kmeans_centroids(np.stack(sample[emb_col].to_numpy()), n_centroids)
+    cents_ref = ray.put(cents)
+
+    def emit(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_matrix_of(t, emb_col))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(-(m @ c.T), axis=1, kind="stable")
+        n, probes = len(ids), min(nprobe, c.shape[0])
+        # role 0 = member of the primary list; role 1 = probe copy
+        cent = np.concatenate([order[:, 0]] + [order[:, p] for p in range(probes)])
+        vid = np.concatenate([ids] * (probes + 1))
+        role = np.concatenate([np.zeros(n, np.int8), np.ones(n * probes, np.int8)])
+        emb = np.concatenate([m] * (probes + 1), axis=0)
+        return pa.table(
+            {
+                "cent": pa.array(cent.astype(np.int32)),
+                id_col: pa.array(vid),
+                "role": pa.array(role),
+                emb_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1)), emb.shape[1]
+                ),
+            }
+        )
+
+    listed = ds.map_batches(emit, batch_format="pyarrow")
+
+    def per_list(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "nn_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        out = []
+        for _, lst in g.groupby("cent", sort=False):
+            mem = lst[lst["role"] == 0]
+            prb = lst[lst["role"] == 1]
+            if mem.empty or prb.empty:
+                continue
+            mm = np.stack(mem[emb_col].to_numpy())
+            pm = np.stack(prb[emb_col].to_numpy())
+            mids = mem[id_col].to_numpy().astype(np.int64)
+            pids = prb[id_col].to_numpy().astype(np.int64)
+            sims = pm @ mm.T
+            sims[pids[:, None] == mids[None, :]] = -np.inf  # mask self
+            kk = min(k, sims.shape[1])
+            for r in range(len(pids)):
+                order = np.lexsort((mids, -sims[r]))[:kk]
+                for j in order:
+                    if np.isfinite(sims[r, j]):
+                        out.append((int(pids[r]), int(mids[j]), float(sims[r, j])))
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["vec_id", "nn_id", "sim"])
+
+    cands = keyed_map_partitions(listed, ["cent"], per_list, num_parts=max(8, n_centroids))
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vec_id", "sim", "nn_id"], ascending=[True, False, True], kind="mergesort")
+        df = df.drop_duplicates(["vec_id", "nn_id"])
+        rn = df.groupby("vec_id", sort=False).cumcount()
+        df = df[rn < k].copy()
+        df["sim"] = df["sim"].round(6)
+        return df
+
+    return keyed_map_partitions(cands, ["vec_id"], global_topk)

@@ -63,6 +63,41 @@ class TestSimilarity:
     def test_hyperplanes_deterministic(self):
         assert (hyperplanes(8, 4) == hyperplanes(8, 4)).all()
 
+    def test_ivf_recall_vs_bruteforce_sf0001(self):
+        """knn_ivf recall@1 >= 0.95 against exact brute force on the
+        sf0.001 embeddings (uniform vectors — IVF's worst case, hence
+        nprobe=7/8; clustered embeddings need far fewer probes)."""
+        from hydra_ray.stages.similarity import knn_ivf
+
+        path = "/root/testdata/sf0.001/embeddings.parquet"
+        brute = (
+            nn_all(rd.read_parquet(path, columns=["vec_id", "embedding"]))
+            .to_pandas()
+            .set_index("vec_id")["nn_id"]
+        )
+        ivf = (
+            knn_ivf(
+                rd.read_parquet(path, columns=["vec_id", "embedding"]),
+                k=1,
+                n_centroids=8,
+                nprobe=7,
+            )
+            .to_pandas()
+            .set_index("vec_id")["nn_id"]
+        )
+        assert len(ivf) == len(brute)  # every vector got a neighbor
+        recall = float((brute.loc[ivf.index] == ivf).mean())
+        assert recall >= 0.95, f"IVF recall {recall:.3f} < 0.95"
+
+    def test_nn_all_auto_routes_to_ivf(self):
+        """Above brute_force_max, nn_all returns the IVF result —
+        same schema, full coverage, and the planted twin still found."""
+        tbl = embeddings()
+        out = nn_all(rd.from_arrow(tbl).repartition(3), brute_force_max=10)
+        df = out.to_pandas().set_index("vec_id")
+        assert set(df.columns) == {"nn_id", "sim"}
+        assert df.loc[0, "nn_id"] == 1 and df.loc[1, "nn_id"] == 0
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_media_pipeline_schema_and_determinism():
