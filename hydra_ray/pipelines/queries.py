@@ -1288,6 +1288,48 @@ ORACLE_GEOJSON_FEATURES = """
 ORACLES["geojson_features"] = ORACLE_GEOJSON_FEATURES
 
 
+def q_xlsx_inspect(sf_dir: str):
+    """S4 (Excel ingestion): per batch, a deterministic workbook is
+    built from the doc ids, round-tripped through the stdlib XLSX
+    reader (sources/xlsx.py) and the shared csv-detective typing +
+    smart_cast pipeline; the oracle computes the same typed values
+    directly — verifying shared-string/bool/number decoding and the
+    int/float/bool/date casts at value level."""
+    from datetime import date as _date
+
+    from hydra_ray.sources.xlsx import write_xlsx, xlsx_to_table
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows: list[list] = [["id", "name", "score", "flag", "day"]]
+        for d in ids:
+            d = int(d)
+            rows.append(
+                [d, f"res-{d}", d * 0.5, d % 2 == 0, _date(2024, 1, 1 + d % 28).isoformat()]
+            )
+        tbl = xlsx_to_table(write_xlsx(rows))
+        assert tbl["id"].type == pa.int64() and tbl["score"].type == pa.float64()
+        assert tbl["flag"].type == pa.bool_() and tbl["day"].type == pa.date32()
+        return tbl.set_column(
+            tbl.column_names.index("day"), "day", pc.cast(tbl["day"], pa.string())
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_XLSX_INSPECT = """
+    SELECT doc_id AS id, 'res-' || CAST(doc_id AS VARCHAR) AS name,
+           doc_id * 0.5 AS score, doc_id % 2 = 0 AS flag,
+           strftime(DATE '2024-01-01' + CAST(doc_id % 28 AS INT), '%Y-%m-%d') AS day
+    FROM documents
+"""
+
+QUERIES["xlsx_inspect"] = q_xlsx_inspect
+ORACLES["xlsx_inspect"] = ORACLE_XLSX_INSPECT
+
+
 def _le64_sql(hex16_expr: str) -> str:
     """SQL: little-endian uint64 from the first 16 hex chars of an
     expression (mirrors np.frombuffer(bytes[:8], '<u8'))."""

@@ -270,14 +270,25 @@ class Analyser:
 
         from hydra_ray import synth
 
+        fmts = batch["format"].to_pylist() if "format" in batch.column_names else [None] * len(urls)
         sub_ids, sub_texts, sub_rows = [], [], []
         inspections: list[str | None] = [None] * len(urls)
         for j, parse in enumerate(do_parse):
             if not parse:
                 continue
             text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=self.content_rows)
-            insp = inspect_csv_text(text)
-            csv_text_to_table(text, insp)  # the typed-cast cost (result feeds parsed-table sinks)
+            if fmts[j] in ("xls", "xlsx"):
+                # Excel route (S4): the synthetic download is materialized
+                # as a real workbook and ingested through the stdlib XLSX
+                # reader — same inspection shape + typed cast as CSV
+                from hydra_ray.sources.xlsx import inspect_xlsx, write_xlsx, xlsx_to_table
+
+                blob = write_xlsx([line.split(",") for line in text.splitlines()])
+                insp = inspect_xlsx(blob)
+                xlsx_to_table(blob, insp)  # the typed-cast cost
+            else:
+                insp = inspect_csv_text(text)
+                csv_text_to_table(text, insp)  # typed-cast cost (feeds parsed-table sinks)
             inspections[j] = json.dumps(insp, sort_keys=True)
             sub_ids.append(rids[j])
             sub_texts.append(text)

@@ -20,8 +20,11 @@ Components:
                             (data_formats/parquet/__init__.py:35-62,
                             PYARROW_TYPE_TO_PYTHON semantics)
 
-XLS/XLSX engines are gated behind import-try (openpyxl/xlrd absent in
-this container) — ``Reader`` raises a clear error for them.
+XLSX ingestion is first-class via the stdlib zip+XML reader in
+``hydra_ray.sources.xlsx`` (no openpyxl needed); workbook rows feed the
+same detect_types + smart_cast pipeline, so an .xlsx and its CSV twin
+produce identical typed tables. Legacy binary .xls (BIFF) remains
+unsupported without xlrd.
 """
 
 from __future__ import annotations
