@@ -90,6 +90,8 @@ class CrawlEngine:
         resource_exceptions: set | None = None,
         partition_by_domain: bool = False,
         robots: bool = False,
+        catalog_parts: int = 16,
+        catalog_partition_min_rows: int = 50_000,
     ):
         # robots.txt gate in the fetch stage (north-rule component)
         self.robots = robots
@@ -110,7 +112,15 @@ class CrawlEngine:
         self.fetch_concurrency = fetch_concurrency or config.FETCH_CONCURRENCY
         self.transport = transport or {"kind": "synthetic"}
         os.makedirs(os.path.join(workdir, "state"), exist_ok=True)
-        self.catalog = VersionedTable(os.path.join(workdir, "catalog"))
+        # hash-partitioned checkpoint files (above the row threshold):
+        # merge_insert rewrites only the partitions an iteration touches,
+        # so per-iteration checkpoint I/O is O(checked rows), not O(frontier)
+        self.catalog = VersionedTable(
+            os.path.join(workdir, "catalog"),
+            partition_key="resource_id",
+            n_parts=catalog_parts,
+            partition_min_rows=catalog_partition_min_rows,
+        )
         self.checks = VersionedTable(os.path.join(workdir, "checks"))
         self.documents = VersionedTable(os.path.join(workdir, "documents"))
         self.payloads = VersionedTable(os.path.join(workdir, "payloads"))
@@ -458,7 +468,7 @@ class CrawlEngine:
             upd = pa.concat_tables(updates, promote_options="default")
             cache = self._frontier_cache
             if cache is not None:
-                # driver merge against the cached frontier (one write, no read)
+                # driver merge against the cached frontier (no read)
                 new_keys = upd["resource_id"].combine_chunks() if isinstance(
                     upd["resource_id"], pa.ChunkedArray
                 ) else upd["resource_id"]
@@ -467,7 +477,17 @@ class CrawlEngine:
                 )
                 upd = upd.select(survivors.column_names).cast(survivors.schema)
                 merged = pa.concat_tables([survivors, upd])
-                self.catalog.overwrite(merged, meta={"iteration": self.iteration + 1})
+                if (
+                    not self.catalog.is_empty()
+                    and self.catalog._partitioned_layout(self.catalog.files()) is not None
+                ):
+                    # incremental checkpoint: rewrite only touched
+                    # partitions; the in-memory cache stays authoritative
+                    self.catalog.merge_insert(
+                        upd, key="resource_id", meta={"iteration": self.iteration + 1}
+                    )
+                else:
+                    self.catalog.overwrite(merged, meta={"iteration": self.iteration + 1})
                 self._frontier_cache = merged
             else:
                 self.catalog.merge_insert(

@@ -40,8 +40,24 @@ DRIVER_MERGE_MAX_ROWS = 2_000_000
 
 
 class VersionedTable:
-    def __init__(self, path: str):
+    def __init__(
+        self,
+        path: str,
+        partition_key: str | None = None,
+        n_parts: int = 16,
+        partition_min_rows: int = 50_000,
+    ):
+        """``partition_key`` turns on hash-partitioned checkpoint files:
+        every version >= ``partition_min_rows`` is stored as ``n_parts``
+        key-hash-bucketed part files, and ``merge_insert`` rewrites ONLY
+        the partitions the incoming batch touches — untouched part files
+        are re-referenced by the new manifest. This is what makes a
+        10^10-row frontier checkpoint incremental: per-iteration write
+        I/O is O(touched partitions), not O(table)."""
         self.path = path
+        self.partition_key = partition_key
+        self.n_parts = n_parts
+        self.partition_min_rows = partition_min_rows
         self.versions_dir = os.path.join(path, "_versions")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.versions_dir, exist_ok=True)
@@ -113,8 +129,64 @@ class VersionedTable:
 
     def overwrite(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
         parent = self.latest_version()
-        files = self._write_data(data)
+        if (
+            self.partition_key is not None
+            and isinstance(data, pa.Table)
+            and data.num_rows >= self.partition_min_rows
+        ):
+            files = self._write_partitioned(data)
+        else:
+            files = self._write_data(data)
         return self._commit(files, meta, parent)
+
+    # -- hash-partitioned layout ------------------------------------------
+    _PART_RE = None  # compiled lazily
+
+    def _part_ids(self, tbl: pa.Table):
+        import numpy as np
+        import pandas as pd
+
+        kh = (
+            pd.util.hash_pandas_object(tbl[self.partition_key].to_pandas(), index=False)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        return (kh % np.uint64(self.n_parts)).astype(np.int64)
+
+    def _write_partitioned(self, tbl: pa.Table, only_parts: set[int] | None = None) -> list[str]:
+        """Split by key hash and write one file per (touched) partition;
+        the partition id is carried in the file name."""
+        import numpy as np
+
+        txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
+        os.makedirs(txn_dir, exist_ok=True)
+        parts = self._part_ids(tbl)
+        files = []
+        for p in range(self.n_parts):
+            if only_parts is not None and p not in only_parts:
+                continue
+            sub = tbl.filter(pa.array(parts == p))
+            out = os.path.join(txn_dir, f"part-p{p:04d}-{uuid.uuid4().hex[:8]}.parquet")
+            pq.write_table(sub, out, compression="snappy")
+            files.append(out)
+        return files
+
+    @staticmethod
+    def _file_part(path: str) -> int | None:
+        import re
+
+        m = re.match(r"part-p(\d{4})-", os.path.basename(path))
+        return int(m.group(1)) if m else None
+
+    def _partitioned_layout(self, files: list[str]) -> dict[int, list[str]] | None:
+        """files → {part: [files]} if EVERY file carries a part tag."""
+        out: dict[int, list[str]] = {}
+        for f in files:
+            p = self._file_part(f)
+            if p is None:
+                return None
+            out.setdefault(p, []).append(f)
+        return out
 
     def commit_meta(self, meta: dict) -> int:
         """New version with same files, updated metadata (checkpoint cursor)."""
@@ -190,6 +262,14 @@ class VersionedTable:
             idx = np.sort(len(keys) - 1 - first_in_reversed)
             incoming_tbl = incoming_tbl.take(pa.array(idx))
 
+        # incremental path: when the stored layout is hash-partitioned on
+        # this key, only the touched partitions are read + rewritten; the
+        # untouched part files are re-referenced as-is
+        if self.partition_key == key and not self.is_empty():
+            by_part = self._partitioned_layout(self.files())
+            if by_part is not None:
+                return self._merge_insert_partitioned(incoming_tbl, key, by_part, meta)
+
         if not self.is_empty():
             new_keys = incoming_tbl[key].combine_chunks() if isinstance(
                 incoming_tbl[key], pa.ChunkedArray
@@ -218,6 +298,43 @@ class VersionedTable:
         else:
             merged = incoming_tbl
         return self.overwrite(merged, meta=meta)
+
+    def _merge_insert_partitioned(
+        self, incoming_tbl: pa.Table, key: str, by_part: dict[int, list[str]], meta: dict | None
+    ) -> int:
+        """Upsert against a partitioned layout: per touched partition,
+        read its files, drop updated keys, append the incoming slice,
+        write one replacement file. Untouched partitions carry over."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        parts = self._part_ids(incoming_tbl)
+        touched = sorted(set(int(p) for p in parts))
+        txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
+        os.makedirs(txn_dir, exist_ok=True)
+        new_files: list[str] = []
+        for p, fs in by_part.items():
+            if p not in touched:
+                new_files.extend(fs)
+        for p in touched:
+            inc = incoming_tbl.filter(pa.array(parts == p))
+            prev_files = by_part.get(p, [])
+            if prev_files:
+                prev = pa.concat_tables(
+                    [pq.read_table(f) for f in prev_files], promote_options="default"
+                )
+                inc_keys = inc[key].combine_chunks() if isinstance(
+                    inc[key], pa.ChunkedArray
+                ) else inc[key]
+                survivors = prev.filter(pc.invert(pc.is_in(prev[key], value_set=inc_keys)))
+                inc = inc.select(survivors.column_names).cast(survivors.schema)
+                merged = pa.concat_tables([survivors, inc])
+            else:
+                merged = inc
+            out = os.path.join(txn_dir, f"part-p{p:04d}-{uuid.uuid4().hex[:8]}.parquet")
+            pq.write_table(merged, out, compression="snappy")
+            new_files.append(out)
+        return self._commit(sorted(new_files), meta, self.latest_version())
 
 
 def ds_to_tables(ds: "rd.Dataset") -> list[pa.Table]:
