@@ -379,6 +379,144 @@ class CrawlEngine:
     def run(self, iterations: int = 1) -> list[dict]:
         return [self.run_iteration() for _ in range(iterations)]
 
+    def run_continuous(
+        self,
+        iterations: int | None = None,
+        gc_every: int = 25,
+        keep_versions: int = 2,
+        keep_state: int = 3,
+        stop_when_drained: bool = False,
+    ) -> list[dict]:
+        """The streaming driver loop (``run(iterations=∞)``):
+        crawl → checkpoint → periodic GC, forever (or ``iterations``).
+        GC keeps disk and driver state bounded across unbounded soaks:
+        superseded catalog versions + orphaned txn dirs are reclaimed,
+        old manifests and per-iteration state pickles pruned."""
+        stats: list[dict] = []
+        i = 0
+        while iterations is None or i < iterations:
+            s = self.run_iteration()
+            stats.append(s)
+            i += 1
+            if gc_every and i % gc_every == 0:
+                self.gc(keep_versions=keep_versions, keep_state=keep_state)
+            if stop_when_drained and s.get("selected", 0) == 0:
+                break
+        return stats
+
+    def gc(self, keep_versions: int = 2, keep_state: int = 3) -> dict:
+        """Reclaim storage: superseded catalog versions (the only table
+        whose versions rewrite data), stale manifests on every table,
+        orphaned txn dirs, and old state pickles. Append-only tables
+        (checks/documents/...) lose no data — their latest manifest
+        references every live file."""
+        import glob as _glob
+
+        removed = {"catalog_files": self.catalog.gc(keep_versions=keep_versions)}
+        pruned = 0
+        for table in (
+            self.catalog,
+            self.checks,
+            self.documents,
+            self.payloads,
+            self.metrics,
+            self.tables_index,
+        ):
+            pruned += table.prune_manifests(keep=max(keep_versions, 8))
+        removed["manifests"] = pruned
+        state_files = sorted(
+            _glob.glob(os.path.join(self.workdir, "state", "iter*.pkl")),
+            key=lambda p: int(os.path.basename(p)[4:].split(".")[0]),
+        )
+        for p in state_files[:-keep_state]:
+            os.remove(p)
+        removed["state_files"] = max(0, len(state_files) - keep_state)
+        return removed
+
+    def check_resource_now(self, resource_id: str) -> dict:
+        """On-demand synchronous check for one resource — the engine's
+        ``POST /api/checks`` equivalent (reference routes/checks.py:59-96:
+        an API request triggers an immediate check outside the crawl
+        loop). Runs the same fetch → check-build → analyse → sink stages
+        inline on the single row, commits the check, updates politeness
+        counters and upserts the frontier columns (so the row leaves the
+        'unchecked' tier and the loop won't re-check it this iteration).
+        Returns the check row as a dict."""
+        frontier = self._frontier()
+        if not isinstance(frontier, pa.Table):
+            frontier = _ds_to_arrow(
+                frontier.map_batches(
+                    lambda t: t.filter(pc.equal(t["resource_id"], resource_id)),
+                    batch_format="pyarrow",
+                )
+            )
+            row = frontier
+        else:
+            row = frontier.filter(pc.equal(frontier["resource_id"], resource_id))
+        if row.num_rows == 0:
+            raise KeyError(f"resource {resource_id!r} not in catalog")
+        it = self.iteration
+        now = self.now_dt(it)
+        fetch_kwargs = {
+            "transport": self.transport,
+            "udata_uri": config.UDATA_URI,
+            "robots": self.robots,
+        }
+        analyse_kwargs = {
+            "transport": self.transport,
+            "content_rows": self.analysis_content_rows,
+            "exceptions": self.resource_exceptions,
+        }
+        b = Fetcher(**fetch_kwargs)(row)
+        b = build_checks_batch(b, iteration=it, now=now.replace(tzinfo=timezone.utc))
+        b = Analyser(**analyse_kwargs)(b)
+        checks_txn = self.checks.new_txn_dir()
+        payloads_txn = self.payloads.new_txn_dir()
+        docs_txn = self.documents.new_txn_dir()
+        tables_txn = self.tables_index.new_txn_dir()
+        result = IterationSink(checks_txn, payloads_txn, docs_txn, it, tables_dir=tables_txn)(b)
+        self.checks.register_files(_txn_files(checks_txn))
+        self.payloads.register_files(_txn_files(payloads_txn))
+        self.documents.register_files(_txn_files(docs_txn))
+        self.tables_index.register_files(_txn_files(tables_txn))
+        self.politeness.record_agg(_politeness_records(result), self.now_epoch(it))
+        upd = _frontier_update_fetched(result, now)
+        cache = self._frontier_cache
+        if cache is not None:
+            survivors = cache.filter(
+                pc.invert(pc.is_in(cache["resource_id"], value_set=upd["resource_id"].combine_chunks() if isinstance(upd["resource_id"], pa.ChunkedArray) else upd["resource_id"]))
+            )
+            upd_cast = upd.select(survivors.column_names).cast(survivors.schema)
+            self._frontier_cache = pa.concat_tables([survivors, upd_cast])
+        self.catalog.merge_insert(upd, key="resource_id", meta={"iteration": it})
+        check = {
+            "check_id": int(result["check_id"][0].as_py()),
+            "resource_id": result["resource_id"][0].as_py(),
+            "url": result["url"][0].as_py(),
+            "status": result["check_status"][0].as_py(),
+            "timeout": result["check_timeout"][0].as_py(),
+            "error": result["check_error"][0].as_py(),
+            "checksum": result["checksum"][0].as_py(),
+            "filesize": result["filesize"][0].as_py(),
+            "mime_type": result["mime_type"][0].as_py(),
+            "next_check_at": result["next_check_at"][0].as_py(),
+        }
+        return check
+
+    def insert_priority_resource(self, row: "pa.Table | dict") -> None:
+        """S2 parity (reference: on-demand resource registration gets
+        priority=True so the next frontier selection picks it in tier 1).
+        Accepts a single catalog-shaped row (dict or 1-row table)."""
+        if isinstance(row, dict):
+            row = pa.table({k: [v] for k, v in row.items()})
+        n = row.num_rows
+        prio = pa.array([True] * n)
+        if "priority" in row.column_names:
+            row = row.set_column(row.column_names.index("priority"), "priority", prio)
+        else:
+            row = row.append_column("priority", prio)
+        self.load_catalog(row)
+
     def clean_up_statuses(self) -> int:
         """T7 parity (db/resource.py:172-192): resources stuck in a
         non-null status whose last activity is older than

@@ -243,6 +243,21 @@ class VersionedTable:
                 os.rmdir(root)
         return removed
 
+    def prune_manifests(self, keep: int = 16) -> int:
+        """Drop version-history manifests older than the newest ``keep``
+        (long-soak bound on _versions/ growth; data files referenced
+        only by pruned manifests become gc()-able)."""
+        latest = self.latest_version()
+        removed = 0
+        for f in os.listdir(self.versions_dir):
+            if not f.endswith(".json"):
+                continue
+            v = int(f[1:].split(".")[0])
+            if v <= latest - keep:
+                os.remove(os.path.join(self.versions_dir, f))
+                removed += 1
+        return removed
+
     # -- upsert -----------------------------------------------------------
     def merge_insert(self, data: "rd.Dataset | pa.Table", key: str, meta: dict | None = None) -> int:
         """Last-wins upsert by ``key`` (new rows shadow existing ones).

@@ -1,6 +1,6 @@
-"""Soak: 32 iterations of the continuous loop — re-check scheduling
-cycles, politeness windows build and lift, state stays consistent,
-store GC reclaims superseded files."""
+"""Soak: long continuous-loop runs — re-check scheduling cycles,
+politeness windows build and lift, state stays consistent, periodic GC
+bounds disk and driver memory."""
 
 import numpy as np
 import pyarrow as pa
@@ -54,3 +54,70 @@ def test_ten_iteration_soak(tmp_path, make_crawl_engine):
     removed = eng.catalog.gc(keep_versions=1)
     assert removed > 0
     assert eng.catalog.read_arrow().num_rows == 240  # latest intact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_200_iteration_continuous_soak(tmp_path, make_crawl_engine):
+    """run_continuous over 200 virtual iterations with periodic GC:
+    disk file count stays bounded (superseded versions + manifests +
+    state pickles reclaimed) and driver RSS stays flat (high-water
+    growth after warmup under a hard ceiling)."""
+    import os
+    import resource
+
+    docs = pa.table({"doc_id": pa.array(np.arange(120), type=pa.int64())})
+    eng = make_crawl_engine(
+        str(tmp_path / "wd"),
+        batch_size=40,
+        actor_pools=False,
+        catalog_parts=8,
+        catalog_partition_min_rows=1,
+        politeness_kwargs={"backoff_nb_req": 30, "backoff_period": 240, "cool_off_period": 240},
+    )
+    eng.load_catalog(catalog_from_documents(docs))
+
+    def count_files(*roots):
+        return sum(len(fs) for root in roots for _, _, fs in os.walk(str(root)))
+
+    # the GC'd surfaces: rewriting catalog versions + manifests + state.
+    # (checks/docs/payloads parts grow linearly by design — append-only
+    # data, every file referenced by the latest manifest.)
+    gc_roots = (tmp_path / "wd" / "catalog", tmp_path / "wd" / "state")
+
+    stats = eng.run_continuous(iterations=50, gc_every=25)
+    rss_warm = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    files_warm = count_files(*gc_roots)
+
+    stats += eng.run_continuous(iterations=150, gc_every=25)
+    rss_end = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    files_end = count_files(*gc_roots)
+
+    assert len(stats) == 200 and eng.iteration == 200
+    # every row still crawlable; checks ids unique over the whole soak
+    checks = eng.checks.read_arrow()
+    ids = checks["id"].to_pylist()
+    assert len(ids) == len(set(ids))
+    assert eng.catalog.read_arrow().num_rows == 120
+
+    # bounded disk: GC holds the rewriting surfaces flat — after 4x the
+    # iterations the catalog+state file count must not exceed the
+    # between-GC high water (25 iterations of versions + manifests)
+    assert files_end <= max(files_warm, 8 * 2 + 25 * 2 + 16), (files_warm, files_end)
+    # state pickles pruned to keep_state + in-flight
+    state_files = os.listdir(str(tmp_path / "wd" / "state"))
+    assert len(state_files) <= 8, state_files
+
+    # flat driver RSS: high-water growth after warmup < 256 MiB
+    # (ru_maxrss is KiB on linux)
+    assert rss_end - rss_warm < 256 * 1024, (rss_warm, rss_end)
+
+    # resumable after the long soak (state + manifests consistent)
+    eng2 = make_crawl_engine(
+        str(tmp_path / "wd"),
+        batch_size=40,
+        actor_pools=False,
+        catalog_parts=8,
+        catalog_partition_min_rows=1,
+    )
+    assert eng2.iteration == 200
+    eng2.run(1)
