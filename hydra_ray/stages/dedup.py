@@ -133,25 +133,41 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
+        """Batch-vectorized banding: shingle hashes of all documents are
+        concatenated, permuted once as a single (total_shingles, n_perm)
+        matrix, signatures taken with a segmented min (reduceat), and
+        all band hashes mixed in one shot — no per-document matrices."""
+        doc_ids = batch["doc_id"]
         texts = batch["text"].to_pylist()
-        band_doc, band_id, band_hash = [], [], []
-        for doc, text in zip(doc_ids, texts):
-            sig = self.signature(text or "")
-            bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
-            bh = _mix64(
-                bands[:, 0]
-                ^ _mix64(bands[:, 1] ^ _mix64(bands[:, 2] ^ _mix64(bands[:, 3])))
-            ).view(np.int64)
-            for bi in range(N_BANDS):
-                band_doc.append(doc)
-                band_id.append(bi)
-                band_hash.append(int(bh[bi]))
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                }
+            )
+        per_doc = [_shingle_hashes(t or "", self.k) for t in texts]
+        counts = np.array([len(h) for h in per_doc], dtype=np.int64)  # all >= 1
+        flat = np.concatenate(per_doc)
+        vals = (flat[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sigs = np.minimum.reduceat(vals, starts, axis=0)  # (n_docs, n_perm)
+        bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+        bh = _mix64(
+            bands[..., 0]
+            ^ _mix64(bands[..., 1] ^ _mix64(bands[..., 2] ^ _mix64(bands[..., 3])))
+        ).view(np.int64)
+        idx = np.repeat(np.arange(n), N_BANDS)
         return pa.table(
             {
-                "doc_id": pa.array(band_doc),
-                "band_id": pa.array(band_id, type=pa.int32()),
-                "band_hash": pa.array(band_hash, type=pa.int64()),
+                "doc_id": pc.take(
+                    doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
+                    pa.array(idx),
+                ),
+                "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
 
