@@ -246,6 +246,10 @@ class CrawlEngine:
 
         frontier = self._frontier()
         selected = select_batch(frontier, it, now64, batch_size=self.batch_size, seed=self.seed)
+        # one contiguous buffer before slicing into blocks: ray.put of a
+        # slice over a many-chunked table pays per-chunk serialization
+        # costs × n_blocks (10s+ on a freshly concat-loaded catalog)
+        selected = selected.combine_chunks()
         mark("select")
         stats = {"iteration": it, "selected": selected.num_rows}
         if selected.num_rows == 0:
@@ -615,12 +619,19 @@ class CrawlEngine:
                 )
                 upd = upd.select(survivors.column_names).cast(survivors.schema)
                 merged = pa.concat_tables([survivors, upd])
+                touched_frac = 1.0
                 if (
                     not self.catalog.is_empty()
                     and self.catalog._partitioned_layout(self.catalog.files()) is not None
                 ):
+                    touched = set(int(p) for p in self.catalog._part_ids(upd))
+                    touched_frac = len(touched) / self.catalog.n_parts
+                if touched_frac <= 0.5:
                     # incremental checkpoint: rewrite only touched
-                    # partitions; the in-memory cache stays authoritative
+                    # partitions; the in-memory cache stays authoritative.
+                    # When the batch touches most partitions (small
+                    # frontiers / huge batches), writing the cached merge
+                    # directly is cheaper than read+merge per partition.
                     self.catalog.merge_insert(
                         upd, key="resource_id", meta={"iteration": self.iteration + 1}
                     )

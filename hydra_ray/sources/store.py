@@ -158,14 +158,20 @@ class VersionedTable:
         the partition id is carried in the file name."""
         import numpy as np
 
+        import numpy as np
+
         txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
         os.makedirs(txn_dir, exist_ok=True)
         parts = self._part_ids(tbl)
+        # one stable gather + zero-copy slices beats n_parts full scans
+        order = np.argsort(parts, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(parts[order], np.arange(self.n_parts + 1))
         files = []
         for p in range(self.n_parts):
             if only_parts is not None and p not in only_parts:
                 continue
-            sub = tbl.filter(pa.array(parts == p))
+            sub = sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
             out = os.path.join(txn_dir, f"part-p{p:04d}-{uuid.uuid4().hex[:8]}.parquet")
             pq.write_table(sub, out, compression="snappy")
             files.append(out)

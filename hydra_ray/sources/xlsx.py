@@ -112,12 +112,14 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
     return [r + [""] * (max_cols - len(r)) for r in rows]
 
 
-def inspect_xlsx(data: bytes, sample_rows: int = 100) -> dict:
+def inspect_xlsx(data: bytes, sample_rows: int = 100, rows: list[list[str]] | None = None) -> dict:
     """Inspection report in the exact shape of inspect_csv_text
-    (engine marks the source; separator is None for workbooks)."""
+    (engine marks the source; separator is None for workbooks).
+    Pass ``rows`` (from read_xlsx_rows) to avoid a second XML parse."""
     from hydra_ray.stages.inspection import db_col_name, detect_types
 
-    rows = read_xlsx_rows(data)
+    if rows is None:
+        rows = read_xlsx_rows(data)
     if not rows:
         return {
             "header": [],
@@ -146,12 +148,16 @@ def inspect_xlsx(data: bytes, sample_rows: int = 100) -> dict:
     }
 
 
-def xlsx_to_table(data: bytes, inspection: dict | None = None) -> pa.Table:
-    """XLSX bytes → typed Arrow table via the shared cast pipeline."""
+def xlsx_to_table(
+    data: bytes, inspection: dict | None = None, rows: list[list[str]] | None = None
+) -> pa.Table:
+    """XLSX bytes → typed Arrow table via the shared cast pipeline.
+    Pass ``rows`` to reuse an existing read_xlsx_rows result."""
     from hydra_ray.stages.inspection import _PA_TYPE, db_col_name, smart_cast
 
-    insp = inspection or inspect_xlsx(data)
-    rows = read_xlsx_rows(data)
+    if rows is None:
+        rows = read_xlsx_rows(data)
+    insp = inspection or inspect_xlsx(data, rows=rows)
     if not rows:
         return pa.table({})
     header = insp["header"]
@@ -245,7 +251,9 @@ def write_xlsx(rows: list[list[object]]) -> bytes:
         + "</sst>"
     )
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+    # STORED: this writer only synthesizes sandbox fixtures — skip the
+    # deflate cost (readers accept either compression)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", _WORKBOOK)

@@ -281,11 +281,17 @@ class Analyser:
                 # Excel route (S4): the synthetic download is materialized
                 # as a real workbook and ingested through the stdlib XLSX
                 # reader — same inspection shape + typed cast as CSV
-                from hydra_ray.sources.xlsx import inspect_xlsx, write_xlsx, xlsx_to_table
+                from hydra_ray.sources.xlsx import (
+                    inspect_xlsx,
+                    read_xlsx_rows,
+                    write_xlsx,
+                    xlsx_to_table,
+                )
 
                 blob = write_xlsx([line.split(",") for line in text.splitlines()])
-                insp = inspect_xlsx(blob)
-                xlsx_to_table(blob, insp)  # the typed-cast cost
+                wb_rows = read_xlsx_rows(blob)  # parse the XML once
+                insp = inspect_xlsx(blob, rows=wb_rows)
+                xlsx_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
             else:
                 insp = inspect_csv_text(text)
                 csv_text_to_table(text, insp)  # typed-cast cost (feeds parsed-table sinks)

@@ -182,13 +182,17 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 BROADCAST_DOCS_MAX = 20_000  # below this, texts broadcast for verify
 
 
-def lsh_candidate_pairs(bands: "rd.Dataset", num_parts: int = 32) -> "rd.Dataset":
-    """Band rows → globally-unique candidate pairs, fully distributed.
+def lsh_candidate_pairs(
+    bands: "rd.Dataset", num_parts: int = 32, unique: bool = True
+) -> "rd.Dataset":
+    """Band rows → candidate pairs, fully distributed.
 
     Hash-partition by (band_id, band_hash) so every bucket is whole in
-    one partition; emit pairs per bucket with a vectorized self-merge;
-    then hash-partition by (doc_a, doc_b) to drop pairs that collided
-    in several bands. No band row ever reaches the driver.
+    one partition; emit pairs per bucket with a vectorized self-merge.
+    ``unique=True`` adds a (doc_a, doc_b) co-partition that drops pairs
+    colliding in several bands; the distributed verify path skips it
+    because its own (doc_a, doc_b) co-partition dedups for free. No
+    band row ever reaches the driver.
     """
     from hydra_ray.stages.keyed import keyed_map_partitions
 
@@ -204,6 +208,8 @@ def lsh_candidate_pairs(bands: "rd.Dataset", num_parts: int = 32) -> "rd.Dataset
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
     cands = keyed_map_partitions(bands, ["band_id", "band_hash"], emit_pairs, num_parts)
+    if not unique:
+        return cands
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["doc_a", "doc_b"])
@@ -268,8 +274,20 @@ def _verify_distributed(
     halves = keyed_map_partitions(u, ["key"], attach_text, num_parts)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_a"})
-        b = df[df["side"] == 2][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_b"})
+        # candidate pairs may arrive multiple times (several colliding
+        # bands in different partitions) — the co-partition makes the
+        # global dedup free here, so the pair stream skips its own
+        # uniq shuffle stage
+        a = (
+            df[df["side"] == 1][["doc_a", "doc_b", "text"]]
+            .drop_duplicates(["doc_a", "doc_b"])
+            .rename(columns={"text": "text_a"})
+        )
+        b = (
+            df[df["side"] == 2][["doc_a", "doc_b", "text"]]
+            .drop_duplicates(["doc_a", "doc_b"])
+            .rename(columns={"text": "text_b"})
+        )
         m = a.merge(b, on=["doc_a", "doc_b"])
         if m.empty:
             return pd.DataFrame(
@@ -325,10 +343,12 @@ def dedup_minhash(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = lsh_candidate_pairs(bands)
 
     if distributed:
+        # unique=False: the verify co-partition dedups pairs for free
+        pairs = lsh_candidate_pairs(bands, unique=False)
         return _verify_distributed(mat, pairs, threshold, shingle_k)
+    pairs = lsh_candidate_pairs(bands)
 
     texts_tbl = mat.select_columns(["doc_id", "text"]).to_pandas()
     text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))

@@ -51,7 +51,9 @@ def test_versioned_table_below_threshold_single_file(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_crawl_partitioned_catalog_identical_and_incremental(tmp_path, make_crawl_engine):
-    kw = dict(batch_size=12, actor_pools=False)
+    # batch small enough that touched_parts/n_parts <= 0.5, so the
+    # incremental merge path (not the full-overwrite fallback) engages
+    kw = dict(batch_size=6, actor_pools=False)
     a = make_crawl_engine(str(tmp_path / "single"), catalog_partition_min_rows=10**9, **kw)
     a.load_catalog(small_seed())
     a.run(3)
