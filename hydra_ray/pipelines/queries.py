@@ -1507,3 +1507,110 @@ def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
 
 
 ORACLES["knn_lsh"] = _knn_lsh_oracle_sql()
+
+
+def _mix64_ctes_sql(prefix: str, src: str, carry: str) -> str:
+    """5 chained CTEs computing v = splitmix64(src) with pass-through
+    columns ``carry`` — column-wise so no expression blowup."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return ",\n".join(
+        [
+            f"{prefix}_1 AS (SELECT {carry}, xor({src}, {src} >> 30) AS v FROM {prefix}_0)",
+            f"{prefix}_2 AS (SELECT {carry}, {_mulwrap_sql('v', c1)} AS v FROM {prefix}_1)",
+            f"{prefix}_3 AS (SELECT {carry}, xor(v, v >> 27) AS v FROM {prefix}_2)",
+            f"{prefix}_4 AS (SELECT {carry}, {_mulwrap_sql('v', c2)} AS v FROM {prefix}_3)",
+            f"{prefix}_5 AS (SELECT {carry}, xor(v, v >> 31) AS v FROM {prefix}_4)",
+        ]
+    )
+
+
+def _mulwrap2_sql(x: str, y: str) -> str:
+    """SQL: (x * y) mod 2^64 for two COLUMNS (numpy uint64 semantics)."""
+    return (
+        f"CAST((((CAST({x} AS HUGEINT) % 4294967296) * CAST({y} AS HUGEINT) + "
+        f"(((CAST({x} AS HUGEINT) // 4294967296) * CAST({y} AS HUGEINT)) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616) AS UBIGINT)"
+    )
+
+
+def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+    """The ENTIRE MinHash-LSH near-dup pipeline in SQL: md5 token
+    hashes (little-endian), splitmix64 3-shingles, 64 permutations with
+    exact uint64 wraparound ((h*a + b) mod 2^64 mod 2^61-1 — numpy
+    semantics, not exact-integer), min-signatures, 16×4 banding with the
+    nested-mix64 band hash, bucket-collision candidate pairs, and true
+    shingle-set Jaccard verification. Permutation params are inlined
+    from the shared _perm_params so both sides stay in sync.
+    Assumes every document has >= 3 tokens (holds for the test tables;
+    asserted by the <3-token Python fallback never firing there)."""
+    from hydra_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params()
+    perm_vals = ", ".join(f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64))
+    m61 = _M61_SQL
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents
+),
+tok AS (
+    SELECT doc_id, i, arr[i] AS w
+    FROM (SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr FROM toks)
+),
+th AS (
+    SELECT doc_id, i, {_le64_sql('md5(w)')} AS h FROM tok
+),
+sm_0 AS (
+    SELECT t0.doc_id, t0.i, t0.h AS h0, t1.h AS h1, t2.h AS h2
+    FROM th t0
+    JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+    JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+),
+{_mix64_ctes_sql('sm', 'h2', 'doc_id, i, h0, h1')},
+sn_0 AS (SELECT doc_id, i, h0, xor(v, h1) AS y FROM sm_5),
+{_mix64_ctes_sql('sn', 'y', 'doc_id, i, h0')},
+shingles AS (SELECT DISTINCT doc_id, xor(v, h0) AS s FROM sn_5),
+sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+perms(k, pa, pb) AS (VALUES {perm_vals}),
+sigs AS (
+    SELECT doc_id, k,
+           min(CAST((CAST({_mulwrap2_sql('s', 'pa')} AS HUGEINT) + pb)
+                    % 18446744073709551616 AS HUGEINT) % {m61}) AS sig
+    FROM shingles, perms GROUP BY 1, 2
+),
+bv_0 AS (
+    SELECT doc_id, k // 4 AS band_id,
+           max(CASE WHEN k % 4 = 0 THEN sig END) AS b0,
+           max(CASE WHEN k % 4 = 1 THEN sig END) AS b1,
+           max(CASE WHEN k % 4 = 2 THEN sig END) AS b2,
+           CAST(max(CASE WHEN k % 4 = 3 THEN sig END) AS UBIGINT) AS v3
+    FROM sigs GROUP BY 1, 2
+),
+c1_0 AS (SELECT doc_id, band_id, b0, b1, b2, v3 AS vv FROM bv_0),
+{_mix64_ctes_sql('c1', 'vv', 'doc_id, band_id, b0, b1, b2')},
+c2_0 AS (SELECT doc_id, band_id, b0, b1, xor(v, CAST(b2 AS UBIGINT)) AS vv FROM c1_5),
+{_mix64_ctes_sql('c2', 'vv', 'doc_id, band_id, b0, b1')},
+c3_0 AS (SELECT doc_id, band_id, b0, xor(v, CAST(b1 AS UBIGINT)) AS vv FROM c2_5),
+{_mix64_ctes_sql('c3', 'vv', 'doc_id, band_id, b0')},
+c4_0 AS (SELECT doc_id, band_id, xor(v, CAST(b0 AS UBIGINT)) AS vv FROM c3_5),
+{_mix64_ctes_sql('c4', 'vv', 'doc_id, band_id')},
+bands AS (SELECT doc_id, band_id, v AS band_hash FROM c4_5),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+verify AS (
+    SELECT p.doc_a, p.doc_b,
+           (SELECT count(*) FROM shingles sa JOIN shingles sb
+             ON sa.s = sb.s AND sa.doc_id = p.doc_a AND sb.doc_id = p.doc_b) AS inter,
+           za.ns AS na, zb.ns AS nb
+    FROM pairs p JOIN sizes za ON za.doc_id = p.doc_a JOIN sizes zb ON zb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM verify
+WHERE round(inter * 1.0 / (na + nb - inter), 6) >= {threshold}
+"""
+
+
+ORACLES["minhash_near_dups"] = _minhash_oracle_sql(threshold=0.5)
