@@ -280,7 +280,13 @@ class Analyser:
             if fmts[j] in ("xls", "xlsx"):
                 # Excel route (S4): the synthetic download is materialized
                 # as a real workbook and ingested through the stdlib XLSX
-                # reader — same inspection shape + typed cast as CSV
+                # reader — same inspection shape + typed cast as CSV.
+                # The synthesized workbook is capped at 200 data rows: the
+                # round-trip exists to exercise the reader per resource
+                # (~12 ms), and a 2000-row workbook SYNTHESIS (~124 ms)
+                # would turn deep-content benches into an XML-writer
+                # benchmark; full-depth casting is measured on the CSV
+                # path, and a real deployment parses downloaded bytes once
                 from hydra_ray.sources.xlsx import (
                     inspect_xlsx,
                     read_xlsx_rows,
@@ -288,7 +294,9 @@ class Analyser:
                     xlsx_to_table,
                 )
 
-                blob = write_xlsx([line.split(",") for line in text.splitlines()])
+                blob = write_xlsx(
+                    [line.split(",") for line in text.splitlines()[:201]]
+                )
                 wb_rows = read_xlsx_rows(blob)  # parse the XML once
                 insp = inspect_xlsx(blob, rows=wb_rows)
                 xlsx_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
