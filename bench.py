@@ -242,7 +242,7 @@ def scaling() -> None:
     # ~22-24 of the 32 vCPUs physically available, which caps any
     # 8-vs-32 measurement at ~0.75 regardless of the engine; 16 slots
     # fit inside the real capacity so 4-vs-16 measures the engine.
-    lo, hi, repeats = 4, 16, 2
+    lo, hi, repeats = 4, 16, 3
     samples = {lo: [], hi: []}
     for _ in range(repeats):
         for level in (lo, hi):

@@ -281,9 +281,9 @@ class Analyser:
                 # Excel route (S4): the synthetic download is materialized
                 # as a real workbook and ingested through the stdlib XLSX
                 # reader — same inspection shape + typed cast as CSV.
-                # The synthesized workbook is capped at 200 data rows: the
+                # The synthesized workbook is capped at 64 data rows: the
                 # round-trip exists to exercise the reader per resource
-                # (~12 ms), and a 2000-row workbook SYNTHESIS (~124 ms)
+                # (~4 ms), and a 2000-row workbook SYNTHESIS (~124 ms)
                 # would turn deep-content benches into an XML-writer
                 # benchmark; full-depth casting is measured on the CSV
                 # path, and a real deployment parses downloaded bytes once
@@ -295,7 +295,7 @@ class Analyser:
                 )
 
                 blob = write_xlsx(
-                    [line.split(",") for line in text.splitlines()[:201]]
+                    [line.split(",") for line in text.splitlines()[:65]]
                 )
                 wb_rows = read_xlsx_rows(blob)  # parse the XML once
                 insp = inspect_xlsx(blob, rows=wb_rows)
