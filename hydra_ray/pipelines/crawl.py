@@ -364,9 +364,10 @@ class CrawlEngine:
             self.politeness.record_agg(_politeness_records(result), now_epoch)
             mark("record")
 
-            out = result["outcome"].to_pylist()
             for o in ("ok", "timeout", "error"):
-                stats[o] = sum(1 for x in out if x == o)
+                stats[o] = int(
+                    pc.sum(pc.cast(pc.equal(result["outcome"], o), pa.int32())).as_py() or 0
+                )
             stats["parsed"] = int(pc.sum(pc.cast(result["do_parse"], pa.int32())).as_py() or 0)
             stats["changed"] = int(
                 pc.sum(pc.cast(result["has_changed"], pa.int32())).as_py() or 0
@@ -846,16 +847,28 @@ def _set_column(tbl: pa.Table, name: str, arr) -> pa.Table:
 
 def _politeness_records(result: pa.Table) -> list[tuple]:
     """(domain, n_completed, last_status, rl_remaining, rl_limit) per domain,
-    'last' = the last row in crawl order for that domain."""
-    doms = result["domain"].to_pylist()
-    statuses = result["check_status"].to_pylist()
-    headers = result["check_headers"].to_pylist()
-    agg: dict[str, list] = {}
-    for d, s, h in zip(doms, statuses, headers):
+    'last' = the last row in crawl order for that domain.
+
+    Vectorized: counts via value_counts, the per-domain LAST row index
+    via a grouped max — only ~n_domains header JSONs are parsed, not one
+    per check row (this runs serially on the driver every iteration)."""
+    doms = pd.Series(result["domain"].to_pylist())
+    counts = doms.groupby(doms, sort=False).size()
+    last_idx = pd.Series(np.arange(len(doms))).groupby(doms.values, sort=False).max()
+    statuses = result["check_status"]
+    headers = result["check_headers"]
+    out = []
+    for d, i in last_idx.items():
+        i = int(i)
+        h = headers[i].as_py()
         hd = json.loads(h) if h else {}
-        rec = agg.setdefault(d, [0, None, None, None])
-        rec[0] += 1
-        rec[1] = s
-        rec[2] = hd.get("x-ratelimit-remaining")
-        rec[3] = hd.get("x-ratelimit-limit")
-    return [(d, r[0], r[1], r[2], r[3]) for d, r in agg.items()]
+        out.append(
+            (
+                d,
+                int(counts[d]),
+                statuses[i].as_py(),
+                hd.get("x-ratelimit-remaining"),
+                hd.get("x-ratelimit-limit"),
+            )
+        )
+    return out

@@ -1330,6 +1330,80 @@ QUERIES["xlsx_inspect"] = q_xlsx_inspect
 ORACLES["xlsx_inspect"] = ORACLE_XLSX_INSPECT
 
 
+def q_csv_profile(sf_dir: str):
+    """csv-detective profile parity (reference csv_like/__init__.py:35-58
+    output_profile=True): deterministic per-group CSV texts built from
+    the events table are profiled through the full inspection pipeline
+    (separator+type detection, failsafe casts, numeric min/max/mean/std,
+    distinct/missing counts); the oracle recomputes each statistic in
+    SQL over the same grouping."""
+    from hydra_ray.stages.inspection import inspect_csv_text
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def addgrp(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("grp", pa.array((uid % 16).astype("int64")))
+
+    def profile_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for grp, g in df.groupby("grp", sort=True):
+            g = g.sort_values("event_id")
+            lines = ["event_id,value"] + [
+                f"{int(e)},{v!r}" for e, v in zip(g["event_id"], g["value"])
+            ]
+            rep = inspect_csv_text("\n".join(lines), output_profile=True)
+            for col in ("event_id", "value"):
+                p = rep["profile"][col]
+                out.append(
+                    (
+                        int(grp),
+                        col,
+                        float(p["min"]),
+                        float(p["max"]),
+                        float(p["mean"]),
+                        float(p["std"]),
+                        int(p["nb_distinct"]),
+                        int(p["nb_missing_values"]),
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "grp",
+                "col_name",
+                "col_min",
+                "col_max",
+                "col_mean",
+                "col_std",
+                "nb_distinct",
+                "nb_missing",
+            ],
+        )
+
+    return keyed_map_partitions(
+        ds.map_batches(addgrp, batch_format="pyarrow"), ["grp"], profile_group, num_parts=8
+    )
+
+
+ORACLE_CSV_PROFILE = """
+    WITH g AS (SELECT user_id % 16 AS grp, event_id, value FROM events)
+    SELECT grp, 'event_id' AS col_name,
+           CAST(min(event_id) AS DOUBLE) AS col_min, CAST(max(event_id) AS DOUBLE) AS col_max,
+           round(avg(event_id), 6) AS col_mean, round(stddev_pop(event_id), 6) AS col_std,
+           count(DISTINCT event_id) AS nb_distinct, CAST(0 AS BIGINT) AS nb_missing
+    FROM g GROUP BY grp
+    UNION ALL
+    SELECT grp, 'value', min(value), max(value), round(avg(value), 6),
+           round(stddev_pop(value), 6), count(DISTINCT value), 0
+    FROM g GROUP BY grp
+"""
+
+QUERIES["csv_profile"] = q_csv_profile
+ORACLES["csv_profile"] = ORACLE_CSV_PROFILE
+
+
 def _le64_sql(hex16_expr: str) -> str:
     """SQL: little-endian uint64 from the first 16 hex chars of an
     expression (mirrors np.frombuffer(bytes[:8], '<u8'))."""

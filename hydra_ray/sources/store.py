@@ -167,15 +167,20 @@ class VersionedTable:
         order = np.argsort(parts, kind="stable")
         sorted_tbl = tbl.take(pa.array(order))
         bounds = np.searchsorted(parts[order], np.arange(self.n_parts + 1))
-        files = []
+        jobs = []
         for p in range(self.n_parts):
             if only_parts is not None and p not in only_parts:
                 continue
             sub = sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
             out = os.path.join(txn_dir, f"part-p{p:04d}-{uuid.uuid4().hex[:8]}.parquet")
-            pq.write_table(sub, out, compression="snappy")
-            files.append(out)
-        return files
+            jobs.append((sub, out))
+        # parquet encode releases the GIL — write partitions concurrently
+        # (this runs serially on the driver every iteration; Amdahl)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
+            list(ex.map(lambda j: pq.write_table(j[0], j[1], compression="snappy"), jobs))
+        return [out for _, out in jobs]
 
     @staticmethod
     def _file_part(path: str) -> int | None:

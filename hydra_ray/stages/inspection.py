@@ -156,8 +156,14 @@ def _parse_csv_line(line: str, sep: str) -> list[str]:
     return out
 
 
-def inspect_csv_text(text: str, sample_rows: int = 100) -> dict:
-    """Full inspection report for CSV text content."""
+def inspect_csv_text(text: str, sample_rows: int = 100, output_profile: bool = False) -> dict:
+    """Full inspection report for CSV text content.
+
+    ``output_profile=True`` mirrors csv-detective's profile output
+    (``csv_detective_routine(output_profile=True, num_rows=-1)``,
+    reference csv_like/__init__.py:35-58): per-column min/max/mean/std
+    (numerics), top-10 values, nb_distinct, nb_missing_values computed
+    over the FULL body (not the type-detection sample)."""
     lines = text.splitlines()
     sep = detect_separator(lines[: sample_rows + 1])
     if not lines:
@@ -178,7 +184,7 @@ def inspect_csv_text(text: str, sample_rows: int = 100) -> dict:
         for name, (t, score) in zip(header, types)
     }
     _refine_geo_formats(body, header, columns)
-    return {
+    report = {
         "header": header,
         "columns": columns,
         "total_lines": sum(1 for line in lines[1:] if line.strip()),
@@ -187,6 +193,77 @@ def inspect_csv_text(text: str, sample_rows: int = 100) -> dict:
         "header_row_idx": 0,
         "engine": "hydra-ray-inspect",
     }
+    if output_profile:
+        full_body = [_parse_csv_line(line, sep) for line in lines[1:] if line.strip()]
+        report["profile"] = {
+            db_col_name(name): column_profile(
+                [row[c] if c < len(row) else None for row in full_body],
+                columns[db_col_name(name)]["python_type"],
+            )
+            for c, name in enumerate(header)
+        }
+    return report
+
+
+def column_profile(values: list, ptype: str) -> dict:
+    """csv-detective-style per-column profile: numeric min/max/mean/std,
+    top-10 values, nb_distinct, nb_missing_values (casting failures and
+    empties count as missing, like the reference's failsafe cast)."""
+    import numpy as np
+    from collections import Counter
+
+    cast = [smart_cast(ptype, v) for v in values]
+    present = [c for c in cast if c is not None]
+    prof = {
+        "nb_distinct": len({str(c) for c in present}),
+        "nb_missing_values": len(cast) - len(present),
+    }
+    if ptype in ("int", "float") and present:
+        arr = np.asarray(present, dtype=np.float64)
+        prof.update(
+            {
+                "min": float(arr.min()),
+                "max": float(arr.max()),
+                "mean": round(float(arr.mean()), 6),
+                "std": round(float(arr.std()), 6),  # population std (ddof=0)
+            }
+        )
+    prof["tops"] = [
+        {"value": v, "count": n} for v, n in Counter(str(c) for c in present).most_common(10)
+    ]
+    return prof
+
+
+# -- encoding detection (reference: chardet via csv-detective) ---------------
+
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+]
+
+
+def detect_encoding(data: bytes) -> str:
+    """BOM sniff → strict utf-8 try → latin-1 fallback (chardet isn't in
+    this container; this covers the encodings data.gouv resources
+    actually use — utf-8 variants and legacy latin-1/cp1252)."""
+    for bom, name in _BOMS:
+        if data.startswith(bom):
+            return name
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def inspect_csv_bytes(data: bytes, sample_rows: int = 100, output_profile: bool = False) -> dict:
+    """Bytes entry point: detect encoding, decode, inspect."""
+    enc = detect_encoding(data)
+    text = data.decode(enc)
+    report = inspect_csv_text(text, sample_rows=sample_rows, output_profile=output_profile)
+    report["encoding"] = enc
+    return report
 
 
 _LATLON_CELL_RE = re.compile(r"^\s*\[?\s*([+-]?\d+(?:\.\d+)?)\s*,\s*([+-]?\d+(?:\.\d+)?)\s*\]?\s*$")

@@ -130,3 +130,33 @@ def test_inspect_parquet(tmp_path):
     assert insp["columns"]["c"]["python_type"] == "datetime_aware"
     assert insp["columns"]["d"]["python_type"] == "json"
     assert insp["total_lines"] == 1
+
+
+def test_profile_output():
+    """csv-detective output_profile parity: numeric stats, tops,
+    distinct/missing counts over the full body."""
+    from hydra_ray.stages.inspection import inspect_csv_text
+
+    text = "a;b\n1;x\n2;y\n3;x\n;x\n3;z\n"
+    rep = inspect_csv_text(text, output_profile=True)
+    assert rep["columns"]["a"]["python_type"] == "int"
+    pa_ = rep["profile"]["a"]
+    assert pa_["min"] == 1.0 and pa_["max"] == 3.0
+    assert pa_["mean"] == 2.25 and pa_["std"] > 0
+    assert pa_["nb_missing_values"] == 1  # the empty cell
+    assert pa_["nb_distinct"] == 3
+    pb = rep["profile"]["b"]
+    assert pb["nb_distinct"] == 3 and pb["nb_missing_values"] == 0
+    assert pb["tops"][0] == {"value": "x", "count": 3}
+    assert "min" not in pb  # numeric stats only for numeric columns
+
+
+def test_encoding_detection():
+    from hydra_ray.stages.inspection import detect_encoding, inspect_csv_bytes
+
+    assert detect_encoding("a;b\n1;é\n".encode("utf-8")) == "utf-8"
+    assert detect_encoding(b"\xef\xbb\xbfa;b\n") == "utf-8-sig"
+    assert detect_encoding("a;b\n1;é\n".encode("latin-1")) == "latin-1"
+    rep = inspect_csv_bytes("x;y\n1;caf\xe9\n2;th\xe9\n".encode("latin-1"))
+    assert rep["encoding"] == "latin-1"
+    assert rep["columns"]["x"]["python_type"] == "int"
