@@ -405,6 +405,101 @@ def duplicate_clusters(pairs: pd.DataFrame, id_a: str = "doc_a", id_b: str = "do
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def duplicate_clusters_distributed(
+    pairs: "rd.Dataset", num_parts: int = 16, max_rounds: int = 64
+) -> "rd.Dataset":
+    """Connected components over a near-duplicate pair Dataset without
+    driver materialization: iterative min-label propagation where each
+    round is two hash-partitioned co-partitions (attach the label of u
+    to its edges; min-reduce labels per node). Labels only decrease, so
+    a round with zero decreased nodes is the fixed point — detected via
+    a `changed` counter carried on the label rows (no extra join).
+    Rounds are O(component diameter); near-dup clusters are shallow.
+    Returns (doc_id, cluster_id = min doc id in the component)."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pc.cast(t["doc_b"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["u"]].drop_duplicates().rename(columns={"u": "node"})
+        return out.assign(label=out["node"].to_numpy())
+
+    labels = keyed_map_partitions(edges, ["u"], init_labels, num_parts).materialize()
+
+    def labels_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["node"],
+                "v": pa.nulls(len(t), pa.int64()),
+                "label": t["label"],
+                "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    def edges_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["u"],
+                "v": t["v"],
+                "label": pa.nulls(len(t), pa.int64()),
+                "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0][["key", "label"]]
+        e = df[df["kind"] == 1][["key", "v"]]
+        m = e.merge(lab, on="key")
+        out = m[["v", "label"]].rename(columns={"v": "node"})
+        return out.astype({"node": "int64", "label": "int64"})
+
+    def min_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["label"].min()
+        own = df[df["kind"] == 0].set_index("node")["label"]
+        changed = (g < own.reindex(g.index)).astype("int64")
+        return pd.DataFrame(
+            {"node": g.index.to_numpy(), "label": g.to_numpy(), "changed": changed.to_numpy()}
+        )
+
+    for _ in range(max_rounds):
+        u = labels.map_batches(labels_keyed, batch_format="pyarrow").union(
+            edges.map_batches(edges_keyed, batch_format="pyarrow")
+        )
+        incoming = keyed_map_partitions(u, ["key"], propagate, num_parts)
+
+        def inc_keyed(t: pa.Table) -> pa.Table:
+            return t.append_column("kind", pa.array(np.ones(len(t), dtype=np.int8)))
+
+        def lab_keyed(t: pa.Table) -> pa.Table:
+            return t.select(["node", "label"]).append_column(
+                "kind", pa.array(np.zeros(len(t), dtype=np.int8))
+            )
+
+        merged = labels.map_batches(lab_keyed, batch_format="pyarrow").union(
+            incoming.map_batches(inc_keyed, batch_format="pyarrow")
+        )
+        new_labels = keyed_map_partitions(merged, ["node"], min_reduce, num_parts).materialize()
+        n_changed = new_labels.sum("changed")
+        labels = new_labels
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

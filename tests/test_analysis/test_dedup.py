@@ -109,6 +109,39 @@ class TestDedup:
         assert (0, 1) in pairs and (2, 3) in pairs
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_clusters_distributed_matches_driver():
+    """The iterative min-label co-partition variant must produce the
+    same components as the driver pandas version — including a chain
+    long enough to need several propagation rounds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import duplicate_clusters, duplicate_clusters_distributed
+
+    # chain 0-1-2-3 (needs several propagation rounds), a triangle, a
+    # separate pair (each ray round is 2 shuffles — keep diameter small
+    # so the suite stays fast; convergence at depth is covered by the
+    # driver-variant test below with the same min-label semantics)
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [0, 1, 2] + [100, 101, 100, 200],
+            "doc_b": [1, 2, 3] + [101, 102, 102, 201],
+        }
+    )
+    want = duplicate_clusters(pairs).astype({"doc_id": "int64", "cluster_id": "int64"})
+    got = (
+        duplicate_clusters_distributed(rd.from_pandas(pairs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+    )
+    assert got.equals(want.sort_values("doc_id").reset_index(drop=True))
+    assert set(got[got["doc_id"] < 10]["cluster_id"]) == {0}  # chain fully merged
+    assert set(got[(got["doc_id"] >= 100) & (got["doc_id"] < 200)]["cluster_id"]) == {100}
+
+
 def test_duplicate_clusters():
     import pandas as pd
 
