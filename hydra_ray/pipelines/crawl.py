@@ -429,13 +429,22 @@ class CrawlEngine:
         ):
             pruned += table.prune_manifests(keep=max(keep_versions, 8))
         removed["manifests"] = pruned
-        state_files = sorted(
-            _glob.glob(os.path.join(self.workdir, "state", "iter*.pkl")),
-            key=lambda p: int(os.path.basename(p)[4:].split(".")[0]),
-        )
-        for p in state_files[:-keep_state]:
-            os.remove(p)
-        removed["state_files"] = max(0, len(state_files) - keep_state)
+        import shutil as _shutil
+
+        committed = self._committed_states()
+        keep = set(committed[-keep_state:]) if keep_state else set()
+        newest_it = self._state_iteration(committed[-1]) if committed else -1
+        pruned_state = 0
+        for p in _glob.glob(os.path.join(self.workdir, "state", "iter*")):
+            if p in keep:
+                continue
+            if p in committed:
+                pass  # superseded committed checkpoint → prune
+            elif os.path.isdir(p) and self._state_iteration(p) >= newest_it:
+                continue  # in-flight/aborted save newer than any commit: leave it
+            (_shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            pruned_state += 1
+        removed["state_files"] = pruned_state
         return removed
 
     def check_resource_now(self, resource_id: str) -> dict:
@@ -679,52 +688,89 @@ class CrawlEngine:
             )
         )
 
+    # -- crawl-state checkpoints (per-shard files, write-then-commit) ------
+    #
+    # Layout: workdir/state/iter{N:06d}/ holding one pkl per politeness
+    # and URL-seen shard (each written by its own actor — state bytes
+    # never pass through the driver, and the N writes run in parallel)
+    # plus meta.json written LAST as the commit marker. A dir without
+    # meta.json is an aborted save and is ignored / GC'd. The legacy
+    # single-pickle iter{N:06d}.pkl format is still restorable.
+
+    def _state_dir(self, iteration: int) -> str:
+        return os.path.join(self.workdir, "state", f"iter{iteration:06d}")
+
     def _state_path(self, iteration: int) -> str:
-        return os.path.join(self.workdir, "state", f"iter{iteration:06d}.pkl")
+        """Legacy single-file path (read-compat only)."""
+        return self._state_dir(iteration) + ".pkl"
 
     def _save_state(self, iteration: int | None = None) -> None:
         it = self.iteration if iteration is None else iteration
-        blob = {
+        d = self._state_dir(it)
+        os.makedirs(d, exist_ok=True)
+        import ray as _ray
+
+        _ray.get(self.politeness.save_shards(d) + self.urlseen.save_shards(d))
+        meta = {
             "iteration": it,
-            "politeness": self.politeness.serialize(),
-            "urlseen": self.urlseen.serialize(),
+            "politeness_shards": self.politeness.n,
+            "urlseen_shards": self.urlseen.n,
         }
-        path = self._state_path(it)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(blob, f)
-        os.replace(tmp, path)
+        tmp = os.path.join(d, f".meta.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(d, "meta.json"))
+
+    @staticmethod
+    def _state_iteration(path: str) -> int:
+        return int(os.path.basename(path)[4:].split(".")[0])
+
+    def _committed_states(self) -> list[str]:
+        """Committed checkpoints (dirs with meta.json + legacy pkls),
+        sorted by iteration."""
+        import glob as _glob
+
+        out = []
+        for p in _glob.glob(os.path.join(self.workdir, "state", "iter*")):
+            if p.endswith(".pkl") or os.path.exists(os.path.join(p, "meta.json")):
+                out.append(p)
+        return sorted(out, key=self._state_iteration)
+
+    def _restore_from(self, path: str) -> None:
+        if path.endswith(".pkl"):
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            self.politeness.restore(blob["politeness"])
+            self.urlseen.restore(blob["urlseen"])
+            return
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self.politeness.load_shards(
+            [os.path.join(path, f"politeness-{i:03d}.pkl")
+             for i in range(meta["politeness_shards"])]
+        )
+        self.urlseen.load_shards(
+            [os.path.join(path, f"urlseen-{i:03d}.pkl")
+             for i in range(meta["urlseen_shards"])]
+        )
 
     def _maybe_restore_state(self) -> None:
-        path = self._state_path(self.iteration)
-        if not os.path.exists(path):
-            # crash-window fallback: the newest state file at or before
-            # the committed iteration (never silently restart with empty
-            # politeness windows / URL-seen filters mid-crawl)
-            import glob as _glob
-
-            def _it_of(p: str) -> int:
-                return int(os.path.basename(p)[4:].split(".")[0])
-
-            cands = sorted(
-                (p for p in _glob.glob(os.path.join(self.workdir, "state", "iter*.pkl"))
-                 if _it_of(p) <= self.iteration),
-                key=_it_of,
-            )
-            if cands:
-                path = cands[-1]
-            elif self.iteration:
+        # crash-window fallback: the newest committed state at or before
+        # the committed iteration (never silently restart with empty
+        # politeness windows / URL-seen filters mid-crawl)
+        cands = [
+            p for p in self._committed_states()
+            if self._state_iteration(p) <= self.iteration
+        ]
+        if not cands:
+            if self.iteration:
                 raise RuntimeError(
                     f"catalog is at iteration {self.iteration} but no crawl state "
-                    f"file <= {self._state_path(self.iteration)} exists — refusing "
+                    f"checkpoint <= {self._state_dir(self.iteration)} exists — refusing "
                     "to resume with empty politeness/URL-seen state"
                 )
-            else:
-                return
-        with open(path, "rb") as f:
-            blob = pickle.load(f)
-        self.politeness.restore(blob["politeness"])
-        self.urlseen.restore(blob["urlseen"])
+            return
+        self._restore_from(cands[-1])
 
 
 # ---------------------------------------------------------------------------

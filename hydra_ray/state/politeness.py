@@ -15,12 +15,22 @@ Batched API: one actor call per (shard, batch), never per row.
 
 from __future__ import annotations
 
+import os
+import pickle
 from collections import deque
 
 import numpy as np
 import ray
 
 from hydra_ray.config import config
+
+
+def _atomic_pickle(path: str, blob) -> str:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+    return path
 
 
 class _DomainState:
@@ -199,6 +209,17 @@ class PolitenessShard:
     def restore(self, blob: dict) -> None:
         self.state.restore(blob)
 
+    def save(self, path: str) -> str:
+        """Write this shard's state to ``path`` atomically (actor-side:
+        state bytes never pass through the driver; on a multi-node
+        cluster the workdir is shared storage, same assumption as the
+        per-block parquet sinks)."""
+        return _atomic_pickle(path, self.state.serialize())
+
+    def load(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.state.restore(pickle.load(f))
+
 
 def _domain_shard(domain: str, n: int) -> int:
     """Stable shard routing (python hash() is salted per process)."""
@@ -272,4 +293,35 @@ class PolitenessPool:
         return ray.get([s.serialize.remote() for s in self.shards])
 
     def restore(self, blobs: list[dict]) -> None:
+        if len(blobs) != self.n:
+            # shard-count change between checkpoint and restore: merge
+            # and re-route by the stable domain hash
+            merged: dict = {}
+            for b in blobs:
+                merged.update(b)
+            parts: list[dict] = [{} for _ in range(self.n)]
+            for d, v in merged.items():
+                parts[_domain_shard(d, self.n)][d] = v
+            blobs = parts
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    # -- sharded checkpointing (per-partition state files) -----------------
+    def save_shards(self, dirpath: str, prefix: str = "politeness") -> list:
+        """One state file per shard, written by the shard actor itself —
+        O(1) driver memory and N parallel writes instead of a single
+        driver-side pickle of every domain window. Returns refs."""
+        return [
+            s.save.remote(os.path.join(dirpath, f"{prefix}-{i:03d}.pkl"))
+            for i, s in enumerate(self.shards)
+        ]
+
+    def load_shards(self, paths: list[str]) -> None:
+        if len(paths) == self.n:
+            ray.get([s.load.remote(p) for s, p in zip(self.shards, paths)])
+            return
+        # re-shard on the driver (rare: config change between runs)
+        blobs = []
+        for p in paths:
+            with open(p, "rb") as f:
+                blobs.append(pickle.load(f))
+        self.restore(blobs)

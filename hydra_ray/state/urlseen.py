@@ -18,10 +18,14 @@ input order. Calls are batched per Dataset block, never per row.
 
 from __future__ import annotations
 
+import os
+import pickle
+
 import numpy as np
 import ray
 
 from hydra_ray.state.cuckoo import CuckooFilter
+from hydra_ray.state.politeness import _atomic_pickle
 
 
 # num_cpus=0: shards are lightweight lookup servers that must never
@@ -92,6 +96,14 @@ class UrlSeenShard:
         if blob.get("exact") is not None:
             self.exact = set(np.frombuffer(blob["exact"], dtype=np.int64).tolist())
 
+    def save(self, path: str) -> str:
+        """Atomic actor-side state write (bytes never touch the driver)."""
+        return _atomic_pickle(path, self.serialize())
+
+    def load(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.restore(pickle.load(f))
+
 
 class UrlSeenPool:
     """Driver-side facade over the shard actors."""
@@ -133,7 +145,43 @@ class UrlSeenPool:
         return ray.get([s.serialize.remote() for s in self.shards])
 
     def restore(self, blobs: list[dict]) -> None:
+        if len(blobs) != self.n:
+            self._restore_rerouted(blobs)
+            return
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def _restore_rerouted(self, blobs: list[dict]) -> None:
+        """Shard count changed between checkpoint and restore: cuckoo
+        tables can't be split, but in exact mode the key sets can be
+        merged and re-inserted through the normal routing."""
+        if any(b.get("exact") is None for b in blobs):
+            raise RuntimeError(
+                f"URL-seen checkpoint has {len(blobs)} shards but the pool has "
+                f"{self.n}; approximate-mode cuckoo state cannot be re-sharded — "
+                "restore with the same URLSEEN_SHARDS or use exact mode"
+            )
+        arrs = [np.frombuffer(b["exact"], dtype=np.int64) for b in blobs]
+        keys = np.unique(np.concatenate(arrs)) if arrs else np.array([], dtype=np.int64)
+        if len(keys):
+            self.add_if_new(keys)
+
+    # -- sharded checkpointing (per-partition state files) -----------------
+    def save_shards(self, dirpath: str, prefix: str = "urlseen") -> list:
+        """One file per shard, written actor-side in parallel. Returns refs."""
+        return [
+            s.save.remote(os.path.join(dirpath, f"{prefix}-{i:03d}.pkl"))
+            for i, s in enumerate(self.shards)
+        ]
+
+    def load_shards(self, paths: list[str]) -> None:
+        if len(paths) == self.n:
+            ray.get([s.load.remote(p) for s, p in zip(self.shards, paths)])
+            return
+        blobs = []
+        for p in paths:
+            with open(p, "rb") as f:
+                blobs.append(pickle.load(f))
+        self._restore_rerouted(blobs)
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])

@@ -58,20 +58,24 @@ def test_kill_and_resume_equals_straight_run(tmp_path, make_crawl_engine):
 
 @pytest.mark.usefixtures("ray_session")
 def test_resume_crash_window_falls_back_to_older_state(tmp_path, make_crawl_engine):
-    """Catalog manifest at iteration N but the exact iterN.pkl missing
-    (the commit/save crash window): resume must restore the newest
-    state file <= N, never silently start with empty politeness /
-    URL-seen state."""
+    """Catalog manifest at iteration N but the exact iterN checkpoint
+    missing (the commit/save crash window): resume must restore the
+    newest committed state <= N, never silently start with empty
+    politeness / URL-seen state. An *uncommitted* save dir (shard files
+    present, meta.json missing) must be skipped the same way."""
+    import glob
     import os
+    import shutil
 
     wd = str(tmp_path / "cw")
     e = make_crawl_engine(wd, batch_size=30, actor_pools=False)
     e.load_catalog(small_seed())
     e.run(2)
     e.shutdown()
-    # simulate the crash window: newest state file gone, manifest ahead
-    newest = e._state_path(e.iteration)
-    os.remove(newest)
+    # simulate the crash window: newest checkpoint uncommitted (marker
+    # missing — a crash mid-save), manifest already ahead
+    newest = e._state_dir(e.iteration)
+    os.remove(os.path.join(newest, "meta.json"))
     e2 = make_crawl_engine(wd, batch_size=30, actor_pools=False)
     assert e2.iteration == 2
     # URL-seen state restored from iter1 (non-empty): reloading the same
@@ -81,10 +85,9 @@ def test_resume_crash_window_falls_back_to_older_state(tmp_path, make_crawl_engi
     assert not any(e2.urlseen.add_if_new(keys[:20]))
     e2.shutdown()
 
-    # no state file at all for a nonzero iteration → loud failure
-    import glob
-    for p in glob.glob(os.path.join(wd, "state", "iter*.pkl")):
-        os.remove(p)
+    # no committed state at all for a nonzero iteration → loud failure
+    for p in glob.glob(os.path.join(wd, "state", "iter*")):
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     with pytest.raises(RuntimeError, match="refusing"):
         make_crawl_engine(wd, batch_size=30, actor_pools=False)
 
