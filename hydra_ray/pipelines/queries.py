@@ -1330,6 +1330,42 @@ QUERIES["xlsx_inspect"] = q_xlsx_inspect
 ORACLES["xlsx_inspect"] = ORACLE_XLSX_INSPECT
 
 
+def q_xls_inspect(sf_dir: str):
+    """S4 (legacy Excel ingestion): same deterministic workbook as
+    xlsx_inspect, but round-tripped through the stdlib BIFF8 writer +
+    reader (sources/xls.py — CFB container, SST/LABELSST/RK/NUMBER/
+    BOOLERR records) and the shared typing + smart_cast pipeline; the
+    oracle computes the same typed values directly — verifying CFB
+    stream chains, RK/NUMBER decoding and bool/date casts at value
+    level."""
+    from datetime import date as _date
+
+    from hydra_ray.sources.xls import write_xls, xls_to_table
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows: list[list] = [["id", "name", "score", "flag", "day"]]
+        for d in ids:
+            d = int(d)
+            rows.append(
+                [d, f"res-{d}", d * 0.5, d % 2 == 0, _date(2024, 1, 1 + d % 28).isoformat()]
+            )
+        tbl = xls_to_table(write_xls(rows))
+        assert tbl["id"].type == pa.int64() and tbl["score"].type == pa.float64()
+        assert tbl["flag"].type == pa.bool_() and tbl["day"].type == pa.date32()
+        return tbl.set_column(
+            tbl.column_names.index("day"), "day", pc.cast(tbl["day"], pa.string())
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+QUERIES["xls_inspect"] = q_xls_inspect
+ORACLES["xls_inspect"] = ORACLE_XLSX_INSPECT  # same logical table as xlsx_inspect
+
+
 def q_csv_profile(sf_dir: str):
     """csv-detective profile parity (reference csv_like/__init__.py:35-58
     output_profile=True): deterministic per-group CSV texts built from

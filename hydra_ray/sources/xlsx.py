@@ -112,14 +112,14 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
     return [r + [""] * (max_cols - len(r)) for r in rows]
 
 
-def inspect_xlsx(data: bytes, sample_rows: int = 100, rows: list[list[str]] | None = None) -> dict:
-    """Inspection report in the exact shape of inspect_csv_text
-    (engine marks the source; separator is None for workbooks).
-    Pass ``rows`` (from read_xlsx_rows) to avoid a second XML parse."""
+def rows_to_inspection(
+    rows: list[list[str]], engine: str, sample_rows: int = 100
+) -> dict:
+    """Workbook rows (strings) → inspection report in the exact shape of
+    inspect_csv_text (engine marks the source; separator is None for
+    workbooks). Shared by the XLSX and XLS (BIFF) readers."""
     from hydra_ray.stages.inspection import db_col_name, detect_types
 
-    if rows is None:
-        rows = read_xlsx_rows(data)
     if not rows:
         return {
             "header": [],
@@ -128,7 +128,7 @@ def inspect_xlsx(data: bytes, sample_rows: int = 100, rows: list[list[str]] | No
             "encoding": "binary",
             "separator": None,
             "header_row_idx": 0,
-            "engine": "hydra-ray-xlsx",
+            "engine": engine,
         }
     header = [h.strip() for h in rows[0]]
     body = [r for r in rows[1 : sample_rows + 1] if any(c.strip() for c in r)]
@@ -144,20 +144,23 @@ def inspect_xlsx(data: bytes, sample_rows: int = 100, rows: list[list[str]] | No
         "encoding": "binary",
         "separator": None,
         "header_row_idx": 0,
-        "engine": "hydra-ray-xlsx",
+        "engine": engine,
     }
 
 
-def xlsx_to_table(
-    data: bytes, inspection: dict | None = None, rows: list[list[str]] | None = None
-) -> pa.Table:
-    """XLSX bytes → typed Arrow table via the shared cast pipeline.
-    Pass ``rows`` to reuse an existing read_xlsx_rows result."""
-    from hydra_ray.stages.inspection import _PA_TYPE, db_col_name, smart_cast
-
+def inspect_xlsx(data: bytes, sample_rows: int = 100, rows: list[list[str]] | None = None) -> dict:
+    """Inspection report for XLSX bytes (see rows_to_inspection).
+    Pass ``rows`` (from read_xlsx_rows) to avoid a second XML parse."""
     if rows is None:
         rows = read_xlsx_rows(data)
-    insp = inspection or inspect_xlsx(data, rows=rows)
+    return rows_to_inspection(rows, "hydra-ray-xlsx", sample_rows)
+
+
+def rows_to_typed_table(rows: list[list[str]], insp: dict) -> pa.Table:
+    """Workbook rows + inspection → typed Arrow table via the shared
+    smart_cast pipeline. Shared by the XLSX and XLS readers."""
+    from hydra_ray.stages.inspection import _PA_TYPE, db_col_name, smart_cast
+
     if not rows:
         return pa.table({})
     header = insp["header"]
@@ -172,6 +175,17 @@ def xlsx_to_table(
             cols[c].append(smart_cast(ptypes[c], raw))
     arrays = [pa.array(col, type=_PA_TYPE[pt]) for col, pt in zip(cols, ptypes)]
     return pa.table(dict(zip(col_names, arrays)))
+
+
+def xlsx_to_table(
+    data: bytes, inspection: dict | None = None, rows: list[list[str]] | None = None
+) -> pa.Table:
+    """XLSX bytes → typed Arrow table via the shared cast pipeline.
+    Pass ``rows`` to reuse an existing read_xlsx_rows result."""
+    if rows is None:
+        rows = read_xlsx_rows(data)
+    insp = inspection or inspect_xlsx(data, rows=rows)
+    return rows_to_typed_table(rows, insp)
 
 
 # ---------------------------------------------------------------------------

@@ -279,27 +279,40 @@ class Analyser:
             text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=self.content_rows)
             if fmts[j] in ("xls", "xlsx"):
                 # Excel route (S4): the synthetic download is materialized
-                # as a real workbook and ingested through the stdlib XLSX
-                # reader — same inspection shape + typed cast as CSV.
+                # as a real workbook — OOXML zip for .xlsx, BIFF8-in-CFB
+                # for .xls — and ingested through the matching stdlib
+                # reader; same inspection shape + typed cast as CSV.
                 # The synthesized workbook is capped at 64 data rows: the
                 # round-trip exists to exercise the reader per resource
                 # (~4 ms), and a 2000-row workbook SYNTHESIS (~124 ms)
-                # would turn deep-content benches into an XML-writer
+                # would turn deep-content benches into a workbook-writer
                 # benchmark; full-depth casting is measured on the CSV
                 # path, and a real deployment parses downloaded bytes once
-                from hydra_ray.sources.xlsx import (
-                    inspect_xlsx,
-                    read_xlsx_rows,
-                    write_xlsx,
-                    xlsx_to_table,
-                )
+                wb_cells = [line.split(",") for line in text.splitlines()[:65]]
+                if fmts[j] == "xls":
+                    from hydra_ray.sources.xls import (
+                        inspect_xls,
+                        read_xls_rows,
+                        write_xls,
+                        xls_to_table,
+                    )
 
-                blob = write_xlsx(
-                    [line.split(",") for line in text.splitlines()[:65]]
-                )
-                wb_rows = read_xlsx_rows(blob)  # parse the XML once
-                insp = inspect_xlsx(blob, rows=wb_rows)
-                xlsx_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
+                    blob = write_xls(wb_cells)
+                    wb_rows = read_xls_rows(blob)  # parse the BIFF once
+                    insp = inspect_xls(blob, rows=wb_rows)
+                    xls_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
+                else:
+                    from hydra_ray.sources.xlsx import (
+                        inspect_xlsx,
+                        read_xlsx_rows,
+                        write_xlsx,
+                        xlsx_to_table,
+                    )
+
+                    blob = write_xlsx(wb_cells)
+                    wb_rows = read_xlsx_rows(blob)  # parse the XML once
+                    insp = inspect_xlsx(blob, rows=wb_rows)
+                    xlsx_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
             else:
                 insp = inspect_csv_text(text)
                 csv_text_to_table(text, insp)  # typed-cast cost (feeds parsed-table sinks)

@@ -1,0 +1,115 @@
+"""Stdlib legacy .xls (BIFF8) reader: CFB container, record decoding,
+SST CONTINUE splitting, and typed-twin parity with CSV/XLSX.
+
+Reference behavior: utils/reader.py:19-70 (engine="xlrd") +
+csv_like/__init__.py:161-217 (Excel resources feed the same
+inspection/cast pipeline as CSV).
+"""
+
+import struct
+
+import pyarrow as pa
+
+from hydra_ray.sources.xls import (
+    _Cfb,
+    _rk_value,
+    inspect_xls,
+    read_xls_rows,
+    write_xls,
+    xls_to_table,
+)
+from hydra_ray.sources.xlsx import write_xlsx, xlsx_to_table
+from hydra_ray.stages.inspection import csv_text_to_table
+
+
+def test_roundtrip_types():
+    rows = [
+        ["id", "name", "score", "flag", "day"],
+        [1, "alpha", 1.5, True, "2024-01-02"],
+        [2, "beta", 2.0, False, "2024-02-03"],
+    ]
+    t = xls_to_table(write_xls(rows))
+    assert t["id"].type == pa.int64()
+    assert t["name"].type == pa.string()
+    assert t["score"].type == pa.float64()
+    assert t["flag"].type == pa.bool_()
+    assert t["day"].type == pa.date32()
+    assert t["score"].to_pylist() == [1.5, 2.0]
+    assert t["flag"].to_pylist() == [True, False]
+
+
+def test_xls_equals_csv_and_xlsx_twins():
+    """The same logical table via .xls, .xlsx and CSV text must produce
+    the identical typed Arrow table (shared inspection + cast path)."""
+    header = ["id", "label", "value"]
+    body = [[7, "x", 0.25], [8, "y z", 4.0], [9, "", 1.75]]
+    xls_tbl = xls_to_table(write_xls([header] + body))
+    xlsx_tbl = xlsx_to_table(write_xlsx([header] + body))
+    csv_text = "id;label;value\n" + "\n".join(
+        ";".join("" if c == "" else str(c) for c in r) for r in body
+    )
+    csv_tbl = csv_text_to_table(csv_text)
+    assert xls_tbl.schema == csv_tbl.schema
+    assert xls_tbl.equals(csv_tbl)
+    assert xls_tbl.equals(xlsx_tbl)
+
+
+def test_ministream_and_regular_stream_containers():
+    """Small workbooks live in the CFB mini-stream (miniFAT chains);
+    large ones in regular 512-byte sectors — both must read back."""
+    small = write_xls([["a"], [1]])
+    cfb = _Cfb(small)
+    wb = next(e for e in cfb.entries if e["name"] == "Workbook")
+    assert wb["size"] < 4096  # exercised the miniFAT path
+    assert read_xls_rows(small) == [["a"], ["1"]]
+
+    big_rows = [["a", "b"]] + [[i, "x" * 60 + str(i)] for i in range(2000)]
+    big = write_xls(big_rows)
+    cfb2 = _Cfb(big)
+    wb2 = next(e for e in cfb2.entries if e["name"] == "Workbook")
+    assert wb2["size"] >= 4096  # regular FAT sectors
+    out = read_xls_rows(big)
+    assert len(out) == 2001
+    assert out[2000] == ["1999", "x" * 60 + "1999"]
+
+
+def test_sst_continue_split_unicode():
+    """Strings longer than one record force CONTINUE records with
+    re-emitted option bytes; utf-16 and latin-1 payloads both survive."""
+    rows = [["t"]] + [["é" * 3000 + f"#{i}"] for i in range(10)] + [["plain" * 2000]]
+    out = read_xls_rows(write_xls(rows))
+    assert out[3][0] == "é" * 3000 + "#2"
+    assert out[11][0] == "plain" * 2000
+
+
+def test_rk_decoding():
+    # integer RK, integer/100, float RK, float/100
+    assert _rk_value((5 << 2) | 0x02) == 5.0
+    assert _rk_value((525 << 2) | 0x03) == 5.25
+    high = struct.unpack("<I", struct.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    assert _rk_value(high) == 2.5
+    assert _rk_value(high | 0x01) == 0.025
+    # negative integer RK survives the writer's two's-complement packing
+    out = read_xls_rows(write_xls([["n"], [-42]]))
+    assert out[1] == ["-42"]
+
+
+def test_sparse_cells_become_empty_strings():
+    rows = [["a", "b", "c"], ["x", None, "z"]]
+    out = read_xls_rows(write_xls(rows))
+    assert out[1] == ["x", "", "z"]
+
+
+def test_inspection_shape_matches_csv_report():
+    insp = inspect_xls(write_xls([["a", "b"], [1, "x"], [2, "y"]]))
+    assert insp["engine"] == "hydra-ray-xls"
+    assert insp["header"] == ["a", "b"]
+    assert insp["columns"]["a"]["python_type"] == "int"
+    assert insp["total_lines"] == 2
+
+
+def test_not_a_cfb_file_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_xls_rows(b"PK\x03\x04 this is a zip, not CFB")
