@@ -1619,6 +1619,58 @@ def _knn_lsh_oracle_sql(n_planes: int = 6, dim: int = 64) -> str:
 ORACLES["knn_lsh"] = _knn_lsh_oracle_sql()
 
 
+def q_cosine_near_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    (stages/similarity.py::cosine_near_dups). Threshold 0.40 — the
+    synthetic embeddings are i.i.d. uniform, so no pair reaches a
+    real-corpus near-dup bar like 0.9 (max sim ≈ 0.51); recall at the
+    0.9 bar with planted duplicates is asserted in
+    tests/test_analysis/test_similarity.py."""
+    from hydra_ray.stages.similarity import cosine_near_dups
+
+    return cosine_near_dups(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        threshold=0.40,
+        n_tables=4,
+        n_planes=4,
+    )
+
+
+def _cosine_near_dups_oracle_sql(
+    threshold: float = 0.40, n_tables: int = 4, n_planes: int = 4, dim: int = 64
+) -> str:
+    """The full multi-table LSH pipeline in SQL: per-table bucket
+    assignment with the hyperplane matrices inlined as double literals,
+    same-bucket candidate pairs (any table), double-precision cosine
+    filter — byte-identical to the Ray path."""
+    from hydra_ray.stages.similarity import hyperplanes
+
+    def lit(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=5 + 7 * t)
+        expr = " + ".join(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {lit(planes[b])}) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b in range(n_planes)
+        )
+        bucket_cols.append(f"{expr} AS b{t}")
+    same_bucket = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+        WITH be AS (SELECT vec_id, embedding, {", ".join(bucket_cols)} FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM be a JOIN be b ON a.vec_id < b.vec_id AND ({same_bucket})
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {threshold!r}
+    """
+
+
+QUERIES["cosine_near_dups"] = q_cosine_near_dups
+ORACLES["cosine_near_dups"] = _cosine_near_dups_oracle_sql()
+
+
 def _mix64_ctes_sql(prefix: str, src: str, carry: str) -> str:
     """5 chained CTEs computing v = splitmix64(src) with pass-through
     columns ``carry`` — column-wise so no expression blowup."""

@@ -138,3 +138,47 @@ def test_grouped_agg_matches_direct():
     assert out.loc["a", "sv"] == 9.0 and out.loc["b", "sv"] == 6.0
     assert out.loc["a", "n"] == 3 and out.loc["b", "n"] == 2
     assert out.loc["a", "mn"] == 1.0 and out.loc["a", "mx"] == 5.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_near_dups_recall_on_planted_duplicates():
+    """Multi-table LSH near-dup detection: 60 planted perturbed copies
+    (cos >= 0.97 with their source) must be recovered with recall >=
+    0.95 at the 0.9 threshold using the default 8x6 banding, and every
+    reported pair must truly be above threshold (no false positives —
+    the in-bucket cosine check is exact)."""
+    from hydra_ray.stages.similarity import _normalize, cosine_near_dups
+
+    rng = np.random.default_rng(7)
+    base = _normalize(rng.standard_normal((200, 32)))
+    planted = []
+    for i in range(60):
+        noisy = base[i] + 0.05 * rng.standard_normal(32)
+        planted.append(noisy / np.linalg.norm(noisy))
+    mat = np.vstack([base, np.vstack(planted)]).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel()), 32
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        cosine_near_dups(rd.from_arrow(tbl).repartition(4), threshold=0.9)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+    )
+    got = set(zip(out["vec_a"], out["vec_b"]))
+
+    norm = _normalize(mat.astype(np.float64))
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(mat), k=1)
+    truth = set(
+        zip(iu[0][sims[iu] >= 0.9].tolist(), iu[1][sims[iu] >= 0.9].tolist())
+    )
+    assert len(truth) >= 55  # the planting actually produced near-dups
+    assert not got - truth  # exact verify: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
