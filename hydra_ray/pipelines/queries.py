@@ -1776,3 +1776,179 @@ WHERE round(inter * 1.0 / (na + nb - inter), 6) >= {threshold}
 
 
 ORACLES["minhash_near_dups"] = _minhash_oracle_sql(threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators: as-of join, range join, windowed aggregates
+# ---------------------------------------------------------------------------
+
+_EPOCH_1995_US = 788918400000000  # 1995-01-01 UTC in microseconds
+
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join (stages/joins.py::asof_join): for each event — with a
+    derived activity time spanning the order history (event_id % 2400
+    days after 1995-01-01, so matches vary per event) — the latest
+    order of the same customer at or before that time. The orders side
+    is first deduplicated per (custkey, orderdate) keeping max orderkey
+    (as-of ties must be broken deterministically; see asof_join doc).
+    Right-side keys are compared as DOUBLE so unmatched rows are NULL
+    on both sides of the oracle."""
+    from hydra_ray.stages.joins import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def derive_t(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = _EPOCH_1995_US + (eid % 2400) * 86_400_000_000
+        return t.append_column("t", pa.array(us).cast(pa.timestamp("us")))
+
+    left = events.map_batches(derive_t, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def dedup_day(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        return df.drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    right = keyed_map_partitions(orders, ["o_custkey"], dedup_day).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "user_id", "t", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = asof_join(left, right, by="user_id", on="t")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.float64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_ASOF_LATEST_ORDER = """
+    WITH ev AS (
+        SELECT event_id, user_id,
+               make_timestamp(788918400000000 + (event_id % 2400) * 86400000000) AS t
+        FROM events
+    ),
+    od AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(o.o_orderkey AS DOUBLE) AS o_orderkey, o.o_totalprice
+    FROM ev e ASOF LEFT JOIN od o
+      ON e.user_id = o.o_custkey AND e.t >= o.o_orderdate
+"""
+
+QUERIES["asof_latest_order"] = q_asof_latest_order
+ORACLES["asof_latest_order"] = ORACLE_ASOF_LATEST_ORDER
+
+
+def q_events_in_windows(sf_dir: str):
+    """Range (interval) join (stages/joins.py::range_join): events
+    against 8 overlapping 5-day promo windows (stride 4 days from
+    2024-01-01) — broadcast interval side, a row can match two
+    windows."""
+    from hydra_ray.stages.joins import range_join
+
+    base = 1704067200000000  # 2024-01-01 UTC us
+    day = 86_400_000_000
+    iv = pa.table(
+        {
+            "win_id": pa.array(range(8), type=pa.int64()),
+            "start": pa.array([base + i * 4 * day for i in range(8)]).cast(pa.timestamp("us")),
+            "end": pa.array([base + (i * 4 + 5) * day for i in range(8)]).cast(pa.timestamp("us")),
+        }
+    )
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+    out = range_join(ds, iv, t_col="ts")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "win_id"]), batch_format="pyarrow"
+    )
+
+
+ORACLE_EVENTS_IN_WINDOWS = """
+    WITH w AS (
+        SELECT i AS win_id,
+               make_timestamp(1704067200000000 + i * 4 * 86400000000) AS s,
+               make_timestamp(1704067200000000 + (i * 4 + 5) * 86400000000) AS e
+        FROM (SELECT unnest(generate_series(0, 7)) AS i)
+    )
+    SELECT ev.event_id, ev.event_type, w.win_id
+    FROM events ev JOIN w ON ev.ts >= w.s AND ev.ts < w.e
+"""
+
+QUERIES["events_in_windows"] = q_events_in_windows
+ORACLES["events_in_windows"] = ORACLE_EVENTS_IN_WINDOWS
+
+
+def q_windowed_event_stats(sf_dir: str):
+    """Tumbling-window aggregate (stages/agg.py::windowed_agg): 6-hour
+    windows × event_type, count + sum(value) — per-block partial
+    aggregation ahead of the shuffle."""
+    from hydra_ray.stages.agg import windowed_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return windowed_agg(
+        ds,
+        t_col="ts",
+        window_us=6 * 3600 * 1_000_000,
+        keys=("event_type",),
+        aggs=[("value", "count", "n_events"), ("value", "sum", "sum_value")],
+    )
+
+
+ORACLE_WINDOWED_EVENT_STATS = """
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+QUERIES["windowed_event_stats"] = q_windowed_event_stats
+ORACLES["windowed_event_stats"] = ORACLE_WINDOWED_EVENT_STATS
+
+
+def q_sliding_window_stats(sf_dir: str):
+    """Sliding-window aggregate: 12-hour windows sliding by 4 hours
+    (each event lands in 3 windows — vectorized 3× expansion, still
+    pre-aggregated per block)."""
+    from hydra_ray.stages.agg import windowed_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return windowed_agg(
+        ds,
+        t_col="ts",
+        window_us=12 * 3600 * 1_000_000,
+        slide_us=4 * 3600 * 1_000_000,
+        aggs=[("value", "count", "n_events"), ("value", "sum", "sum_value")],
+    )
+
+
+ORACLE_SLIDING_WINDOW_STATS = """
+    SELECT make_timestamp(((epoch_us(ts) // 14400000000) - j) * 14400000000) AS window_start,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+    GROUP BY 1
+"""
+
+QUERIES["sliding_window_stats"] = q_sliding_window_stats
+ORACLES["sliding_window_stats"] = ORACLE_SLIDING_WINDOW_STATS

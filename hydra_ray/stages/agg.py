@@ -90,3 +90,48 @@ def _empty_final(keys: list[str], aggs: list[tuple[str, str, str]]) -> pa.Table:
     for _, _, out in aggs:
         fields[out] = pa.array([], type=pa.int64())
     return pa.table(fields)
+
+
+def windowed_agg(
+    ds: "rd.Dataset",
+    t_col: str,
+    window_us: int,
+    aggs: list[tuple[str, str, str]],
+    keys: tuple[str, ...] = (),
+    slide_us: int | None = None,
+) -> "rd.Dataset":
+    """Tumbling / sliding time-window aggregation.
+
+    Tumbling (slide_us=None): each row is assigned floor(t/window) —
+    one vectorized map_batches, then the partial-agg grouped_agg path
+    (one partial row per (window, key, block) crosses the shuffle).
+
+    Sliding (window = m × slide): each row is replicated onto the m
+    windows containing it (starts floor(t/slide)-j for j<m) — the
+    standard m× expansion, still fully vectorized and still
+    pre-aggregated per block before the shuffle. window_us must be a
+    multiple of slide_us."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if slide_us is not None and window_us % slide_us:
+        raise ValueError("window_us must be a multiple of slide_us")
+    m = 1 if slide_us is None else window_us // slide_us
+    step = window_us if slide_us is None else slide_us
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[t_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if m == 1:
+            starts = (us // step) * step
+            out = t
+        else:
+            idx = np.repeat(np.arange(len(us), dtype=np.int64), m)
+            j = np.tile(np.arange(m, dtype=np.int64), len(us))
+            starts = (us[idx] // step - j) * step
+            out = t.take(pa.array(idx))
+        return out.append_column(
+            "window_start", pa.array(starts).cast(pa.timestamp("us"))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(assigned, keys=["window_start", *keys], aggs=aggs)
