@@ -1952,3 +1952,74 @@ ORACLE_SLIDING_WINDOW_STATS = """
 
 QUERIES["sliding_window_stats"] = q_sliding_window_stats
 ORACLES["sliding_window_stats"] = ORACLE_SLIDING_WINDOW_STATS
+
+
+def q_pmtiles_tiles(sf_dir: str):
+    """S11 (GeoJSON → PMTiles): the full stdlib tiler over the same
+    derived points as geojson_features — features → web-mercator tile
+    assignment (stages/geo.py::lonlat_to_tile) → per-tile MVT encode →
+    PMTiles v3 archive (sources/pmtiles.py) written under /tmp — then
+    the archive is REOPENED and each tile's MVT layer decoded back;
+    the compared output (zoom, tile_x, tile_y, n_features) therefore
+    exercises header, Hilbert directory, MVT codec and the mercator
+    math end-to-end against a pure-SQL mercator oracle."""
+    import os
+    import tempfile
+
+    from hydra_ray.sources.pmtiles import decode_mvt_layer, read_pmtiles
+    from hydra_ray.stages.geo import features_batch, features_to_pmtiles
+
+    zoom = 5
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def add_coords(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        lat = np.round(np.mod(v, 180.0) - 90.0, 4)
+        lon = np.round(np.mod(v * 2.0, 360.0) - 180.0, 4)
+        return t.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+
+    geo = {"kind": "latlon_pair", "columns": ["lat", "lon"]}
+    feats = ds.map_batches(add_coords, batch_format="pyarrow").map_batches(
+        lambda t: features_batch(t, geo), batch_format="pyarrow"
+    )
+    out_path = os.path.join(tempfile.mkdtemp(prefix="pmtiles_q_"), "events.pmtiles")
+    features_to_pmtiles(feats, out_path, zoom=zoom)
+
+    arc = read_pmtiles(out_path)
+    rows = [
+        (z, x, y, len(decode_mvt_layer(blob)["features"]))
+        for (z, x, y), blob in sorted(arc["tiles"].items())
+    ]
+    return pa.table(
+        {
+            "zoom": pa.array([r[0] for r in rows], type=pa.int64()),
+            "tile_x": pa.array([r[1] for r in rows], type=pa.int64()),
+            "tile_y": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_features": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+ORACLE_PMTILES_TILES = """
+    WITH coords AS (
+        SELECT round(value % 180.0 - 90.0, 4) AS lat,
+               round((value * 2.0) % 360.0 - 180.0, 4) AS lon
+        FROM events
+    ),
+    m AS (
+        SELECT (lon + 180.0) / 360.0 * 32 AS xt,
+               (1.0 - ln(tan(radians(greatest(least(lat, 85.0511), -85.0511)))
+                         + 1.0 / cos(radians(greatest(least(lat, 85.0511), -85.0511)))) / pi())
+                 / 2.0 * 32 AS yt
+        FROM coords
+    )
+    SELECT 5 AS zoom,
+           greatest(least(CAST(floor(xt) AS BIGINT), 31), 0) AS tile_x,
+           greatest(least(CAST(floor(yt) AS BIGINT), 31), 0) AS tile_y,
+           count(*) AS n_features
+    FROM m
+    GROUP BY 2, 3
+"""
+
+QUERIES["pmtiles_tiles"] = q_pmtiles_tiles
+ORACLES["pmtiles_tiles"] = ORACLE_PMTILES_TILES

@@ -133,16 +133,128 @@ def write_feature_collections(ds, out_dir: str) -> list[str]:
     return paths
 
 
-def to_pmtiles(geojson_path: str, out_path: str) -> str:
-    """GeoJSON → PMTiles via tippecanoe (reference geojson/to_pmtiles.py:16-47).
-    The binary is not in this container — raises unless present."""
-    import shutil
-    import subprocess
+def lonlat_to_tile(lon, lat, zoom: int, extent: int = 4096):
+    """Vectorized web-mercator tiling: arrays of lon/lat → (tile_x,
+    tile_y, px, py) at ``zoom`` (px/py are tile-local MVT pixel coords
+    in [0, extent))."""
+    import numpy as np
 
-    if shutil.which("tippecanoe") is None:
-        raise NotImplementedError("tippecanoe binary not available in this environment")
-    subprocess.run(
-        ["tippecanoe", "--maximum-zoom=g", "--coalesce-densest-as-needed", "-o", out_path, geojson_path],
-        check=True,
-    )
-    return out_path
+    n = 1 << zoom
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.0511, 85.0511)
+    xt = (lon + 180.0) / 360.0 * n
+    lat_r = np.radians(lat)
+    yt = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n
+    tx = np.clip(np.floor(xt).astype(np.int64), 0, n - 1)
+    ty = np.clip(np.floor(yt).astype(np.int64), 0, n - 1)
+    px = np.clip(np.floor((xt - tx) * extent).astype(np.int64), 0, extent - 1)
+    py = np.clip(np.floor((yt - ty) * extent).astype(np.int64), 0, extent - 1)
+    return tx, ty, px, py
+
+
+def features_to_pmtiles(ds, out_path: str, zoom: int = 6, layer: str = "features") -> str:
+    """Distributed GeoJSON-features → PMTiles archive (replaces the
+    reference's tippecanoe shell-out, geojson/to_pmtiles.py:16-47, with
+    the stdlib codec in sources/pmtiles.py).
+
+    ``ds`` carries one GeoJSON Feature string per row (the
+    features_batch output). Point features are tile-assigned with one
+    vectorized map_batches, per-tile MVT layers are encoded under a
+    hash-partitioned shuffle (all features of a tile co-located), and
+    only the finished per-tile blobs — small by construction — reach
+    the driver for the final archive concat. Non-point / null
+    geometries are skipped (tippecanoe's point behavior for this
+    pipeline's input)."""
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.sources.pmtiles import encode_mvt_layer, write_pmtiles
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def assign(t: pa.Table) -> pa.Table:
+        lons, lats, props = [], [], []
+        for feat in t["feature"].to_pylist():
+            try:
+                obj = json.loads(feat)
+            except (TypeError, ValueError):
+                continue
+            geom = obj.get("geometry") or {}
+            if geom.get("type") != "Point":
+                continue
+            lon, lat = geom["coordinates"][:2]
+            lons.append(float(lon))
+            lats.append(float(lat))
+            props.append(json.dumps(obj.get("properties") or {}, sort_keys=True))
+        if not lons:
+            return pa.table(
+                {
+                    "tile_x": pa.array([], type=pa.int64()),
+                    "tile_y": pa.array([], type=pa.int64()),
+                    "px": pa.array([], type=pa.int64()),
+                    "py": pa.array([], type=pa.int64()),
+                    "props": pa.array([], type=pa.string()),
+                }
+            )
+        tx, ty, px, py = lonlat_to_tile(np.array(lons), np.array(lats), zoom)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "px": pa.array(px),
+                "py": pa.array(py),
+                "props": pa.array(props, type=pa.string()),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def encode_tiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tx, ty), g in df.groupby(["tile_x", "tile_y"], sort=True):
+            g = g.sort_values(["px", "py", "props"], kind="mergesort")
+            feats = [
+                (i + 1, int(r.px), int(r.py), json.loads(r.props))
+                for i, r in enumerate(g.itertuples(index=False))
+            ]
+            rows.append((int(tx), int(ty), encode_mvt_layer(layer, feats)))
+        return pd.DataFrame(rows, columns=["tile_x", "tile_y", "mvt"])
+
+    blobs = keyed_map_partitions(assigned, ["tile_x", "tile_y"], encode_tiles)
+    tiles: dict[tuple[int, int, int], bytes] = {}
+    for row in blobs.iter_rows():
+        tiles[(zoom, row["tile_x"], row["tile_y"])] = bytes(row["mvt"])
+    return write_pmtiles(tiles, out_path)
+
+
+def to_pmtiles(geojson_path: str, out_path: str, zoom: int = 6) -> str:
+    """Single-file GeoJSON → PMTiles (reference geojson/to_pmtiles.py
+    per-resource conversion; driver-side — distributed variant:
+    features_to_pmtiles)."""
+    from hydra_ray.sources.pmtiles import encode_mvt_layer, write_pmtiles
+
+    with open(geojson_path) as f:
+        fc = json.load(f)
+    import numpy as np
+
+    pts = [
+        f
+        for f in fc.get("features", [])
+        if (f.get("geometry") or {}).get("type") == "Point"
+    ]
+    if not pts:
+        raise ValueError("no point features to tile")
+    lons = np.array([f["geometry"]["coordinates"][0] for f in pts])
+    lats = np.array([f["geometry"]["coordinates"][1] for f in pts])
+    tx, ty, px, py = lonlat_to_tile(lons, lats, zoom)
+    buckets: dict[tuple[int, int], list] = {}
+    for i, f in enumerate(pts):
+        buckets.setdefault((int(tx[i]), int(ty[i])), []).append(
+            (int(px[i]), int(py[i]), f.get("properties") or {})
+        )
+    tiles = {}
+    for (x, y), feats in buckets.items():
+        feats.sort(key=lambda t: (t[0], t[1], json.dumps(t[2], sort_keys=True, default=str)))
+        tiles[(zoom, x, y)] = encode_mvt_layer(
+            "features", [(i + 1, fx, fy, pr) for i, (fx, fy, pr) in enumerate(feats)]
+        )
+    return write_pmtiles(tiles, out_path)

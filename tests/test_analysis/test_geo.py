@@ -85,6 +85,96 @@ def test_feature_collection_sink(tmp_path):
     assert len(fc["features"]) == 2
 
 
-def test_pmtiles_stub():
-    with pytest.raises(NotImplementedError):
-        to_pmtiles("/tmp/x.geojson", "/tmp/x.pmtiles")
+def test_pmtiles_roundtrip(tmp_path):
+    """GeoJSON file -> PMTiles v3 archive -> decode: tile assignment,
+    Hilbert-clustered directory, MVT point quantization, properties."""
+    import json
+
+    from hydra_ray.sources.pmtiles import decode_mvt_layer, read_pmtiles
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [2.35, 48.85]},
+             "properties": {"name": "paris", "pop": 2100000}},
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [-0.58, 44.84]},
+             "properties": {"name": "bordeaux", "pop": 260000}},
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [2.3501, 48.8501]},
+             "properties": {"name": "paris2", "pop": 1}},
+            {"type": "Feature", "geometry": None, "properties": {"name": "skipped"}},
+        ],
+    }
+    src_path = tmp_path / "pts.geojson"
+    src_path.write_text(json.dumps(fc))
+    out = to_pmtiles(str(src_path), str(tmp_path / "pts.pmtiles"), zoom=6)
+
+    arc = read_pmtiles(out)
+    assert arc["header"]["tile_type"] == 1 and arc["header"]["clustered"]
+    assert arc["header"]["min_zoom"] == 6 and arc["header"]["max_zoom"] == 6
+    # Paris (2.35E) and Bordeaux (0.58W) land in different z6 tiles
+    assert len(arc["tiles"]) == 2
+    names = set()
+    for (z, x, y), blob in arc["tiles"].items():
+        assert z == 6
+        layer = decode_mvt_layer(blob)
+        assert layer["name"] == "features" and layer["extent"] == 4096
+        for f in layer["features"]:
+            names.add(f["props"]["name"])
+            assert 0 <= f["xy"][0] < 4096 and 0 <= f["xy"][1] < 4096
+            assert isinstance(f["props"]["pop"], int)
+    assert names == {"paris", "paris2", "bordeaux"}  # null geometry skipped
+
+
+def test_hilbert_tile_id_roundtrip():
+    from hydra_ray.sources.pmtiles import hilbert_tile_id, tile_id_to_zxy
+
+    seen = set()
+    for z in (0, 1, 2, 5):
+        for x in range(min(1 << z, 8)):
+            for y in range(min(1 << z, 8)):
+                tid = hilbert_tile_id(z, x, y)
+                assert tid not in seen
+                seen.add(tid)
+                assert tile_id_to_zxy(tid) == (z, x, y)
+    assert hilbert_tile_id(0, 0, 0) == 0
+    assert hilbert_tile_id(1, 0, 0) == 1  # zoom offset (4^1-1)/3
+
+
+def test_directory_delta_encoding_roundtrip():
+    from hydra_ray.sources.pmtiles import _deserialize_directory, _serialize_directory
+
+    entries = [(5, 0, 100, 1), (9, 100, 50, 1), (1000, 150, 7, 1), (1001, 400, 3, 1)]
+    assert _deserialize_directory(_serialize_directory(entries)) == entries
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_features_to_pmtiles_distributed_matches_driver_path(tmp_path):
+    """The distributed tiler (shuffle + per-tile encode) must produce a
+    byte-identical archive to the single-file driver path."""
+    import json
+
+    import ray.data as rd
+
+    from hydra_ray.stages.geo import features_to_pmtiles
+
+    feats = []
+    for i in range(200):
+        lon = round((i * 37) % 360 - 180 + 0.25, 4)
+        lat = round((i * 53) % 170 - 85 + 0.25, 4)
+        feats.append(json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [lon, lat]},
+            "properties": {"i": i},
+        }, sort_keys=True))
+    ds = rd.from_items([{"feature": f} for f in feats]).repartition(5)
+    out1 = features_to_pmtiles(ds, str(tmp_path / "dist.pmtiles"), zoom=4)
+
+    src_path = tmp_path / "all.geojson"
+    src_path.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [json.loads(f) for f in feats],
+    }))
+    out2 = to_pmtiles(str(src_path), str(tmp_path / "drv.pmtiles"), zoom=4)
+    b1 = open(out1, "rb").read()
+    b2 = open(out2, "rb").read()
+    assert b1 == b2
