@@ -2023,3 +2023,39 @@ ORACLE_PMTILES_TILES = """
 
 QUERIES["pmtiles_tiles"] = q_pmtiles_tiles
 ORACLES["pmtiles_tiles"] = ORACLE_PMTILES_TILES
+
+
+def q_duplicated_passages(sf_dir: str):
+    """Passage-level dedup (stages/dedup.py::duplicated_passages):
+    maximal per-doc spans of 5-token grams shared by >=2 documents."""
+    from hydra_ray.stages.dedup import duplicated_passages
+
+    return duplicated_passages(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=5,
+        min_docs=2,
+    )
+
+
+ORACLE_DUPLICATED_PASSAGES = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pos AS (SELECT doc_id, ts,
+                   unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+            FROM toks),
+    grams AS (SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS g FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN i - lag_i <= 5 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM (SELECT doc_id, i,
+                     lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS lag_i
+              FROM hits)
+    )
+    SELECT doc_id, min(i) AS start_tok, max(i) + 4 AS end_tok, count(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+"""
+
+QUERIES["duplicated_passages"] = q_duplicated_passages
+ORACLES["duplicated_passages"] = ORACLE_DUPLICATED_PASSAGES

@@ -586,3 +586,84 @@ def ngram_jaccard_pairs(
     return ds.select_columns(["doc_id", "text", block_col]).groupby(block_col).map_groups(
         pairs_in_block, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup: duplicated k-token spans across documents
+# ---------------------------------------------------------------------------
+
+
+def duplicated_passages(
+    ds: "rd.Dataset",
+    k: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 64,
+) -> "rd.Dataset":
+    """Exact duplicated-passage detection (the Lee et al. 2022
+    "Deduplicating Training Data" substring-dedup shape, reduced to
+    token k-grams): find every k-token span that occurs in >=
+    ``min_docs`` distinct documents, and per document merge the
+    overlapping/adjacent duplicated spans into maximal (start_tok,
+    end_tok) regions (1-based, inclusive).
+
+    Scale shape: one map_batches explodes each doc into its k-gram
+    rows (the standard ~k× corpus expansion), one keyed shuffle groups
+    identical grams (keyed on the gram TEXT for exactness — at 100 TB
+    swap the key for a 128-bit gram hash, collisions negligible), and
+    a second (doc-keyed, tiny) shuffle merges span islands vectorized.
+    Nothing touches the driver."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def emit_grams(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        grams_out: list[str] = []
+        ids = t[id_col].to_pylist()
+        for did, text in zip(ids, t[text_col].to_pylist()):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - k + 1):
+                ids_out.append(did)
+                pos_out.append(i + 1)  # 1-based (matches the SQL oracle)
+                grams_out.append(" ".join(toks[i : i + k]))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=pa.int64()),
+                "pos": pa.array(pos_out, type=pa.int64()),
+                "gram": pa.array(grams_out, type=pa.string()),
+            }
+        )
+
+    grams = ds.map_batches(emit_grams, batch_format="pyarrow")
+
+    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        nuniq = df.groupby("gram", sort=False)[id_col].transform("nunique")
+        return df.loc[nuniq >= min_docs, [id_col, "pos"]].drop_duplicates()
+
+    hits = keyed_map_partitions(grams, ["gram"], dup_hits, num_parts)
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, g in df.groupby(id_col, sort=False):
+            pos = np.sort(g["pos"].unique())
+            breaks = np.nonzero(np.diff(pos) > k)[0]
+            starts = np.concatenate(([pos[0]], pos[breaks + 1]))
+            ends = np.concatenate((pos[breaks], [pos[-1]])) + k - 1
+            seg_id = np.zeros(len(pos), dtype=np.int64)
+            seg_id[breaks + 1] = 1
+            counts = np.bincount(np.cumsum(seg_id))
+            for s, e, c in zip(starts, ends, counts):
+                out.append((did, int(s), int(e), int(c)))
+        if not out:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "start_tok": pd.Series(dtype="int64"),
+                    "end_tok": pd.Series(dtype="int64"),
+                    "n_grams": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(out, columns=[id_col, "start_tok", "end_tok", "n_grams"])
+
+    return keyed_map_partitions(hits, [id_col], merge_spans, num_parts=32)

@@ -153,3 +153,37 @@ def test_duplicate_clusters():
     assert out.loc[1] == 1 and out.loc[2] == 1 and out.loc[3] == 1
     assert out.loc[7] == 7 and out.loc[9] == 7
     assert duplicate_clusters(pd.DataFrame({"doc_a": [], "doc_b": []})).empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicated_passages_spans_and_merging():
+    """Two docs share a 6-token passage (two overlapping 5-gram hits ->
+    one merged span); a third doc shares nothing."""
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import duplicated_passages
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"one two {shared} three four",
+                    f"x {shared} y z",
+                    "totally different words only here now",
+                ]
+            ),
+        }
+    )
+    out = (
+        duplicated_passages(rd.from_arrow(t).repartition(2), k=5)
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    # doc1: shared starts at token 3 -> grams at 3,4 -> span tokens 3..8
+    # doc2: shared starts at token 2 -> span tokens 2..7
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out.loc[0, ["start_tok", "end_tok", "n_grams"]].tolist() == [3, 8, 2]
+    assert out.loc[1, ["start_tok", "end_tok", "n_grams"]].tolist() == [2, 7, 2]
