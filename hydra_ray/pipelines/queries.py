@@ -2059,3 +2059,64 @@ ORACLE_DUPLICATED_PASSAGES = """
 
 QUERIES["duplicated_passages"] = q_duplicated_passages
 ORACLES["duplicated_passages"] = ORACLE_DUPLICATED_PASSAGES
+
+
+def q_chunk_documents(sf_dir: str):
+    """LLM context-window chunking (stages/text.py::chunk_documents):
+    32-token windows, 8-token overlap, last chunk clipped."""
+    from hydra_ray.stages.text import chunk_documents
+
+    return chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        max_tokens=32,
+        overlap=8,
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    c AS (
+        SELECT doc_id, ts, len(ts) AS n,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil((len(ts) - 8.0) / 24.0), 1) AS BIGINT) - 1)) AS j
+        FROM toks
+    )
+    SELECT doc_id, j AS chunk_id, j * 24 + 1 AS start_tok,
+           least(j * 24 + 32, n) - j * 24 AS n_toks,
+           array_to_string(ts[j*24+1 : least(j*24+32, n)], ' ') AS chunk
+    FROM c
+"""
+
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = ORACLE_CHUNK_DOCUMENTS
+
+
+def q_sample_per_group(sf_dir: str):
+    """Deterministic stratified sampling (stages/text.py::
+    sample_per_group): 5 docs per language by splitmix64(doc_id+17) —
+    the seeded-rank ORDER BY random() replacement, reproduced bit-exact
+    in SQL via the HUGEINT-limb splitmix64."""
+    from hydra_ray.stages.text import sample_per_group
+
+    out = sample_per_group(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]),
+        key="lang",
+        n=5,
+        seed=17,
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+ORACLE_SAMPLE_PER_GROUP = f"""
+    WITH sg_0 AS (SELECT doc_id, lang, CAST(doc_id + 17 AS UBIGINT) AS v FROM documents),
+    {_mix64_ctes_sql("sg", "v", "doc_id, lang")}
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rank
+    FROM sg_5
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) <= 5
+"""
+
+QUERIES["sample_per_group"] = q_sample_per_group
+ORACLES["sample_per_group"] = ORACLE_SAMPLE_PER_GROUP

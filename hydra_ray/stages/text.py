@@ -186,3 +186,79 @@ def fingerprint_batch(batch: pa.Table, doc_id_col: str = "doc_id", text_col: str
     return pa.table(
         {"doc_id": batch[doc_id_col], "fingerprint": pa.array(fps.view(np.int64))}
     )
+
+
+def chunk_documents(
+    ds: "rd.Dataset",
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Sliding-window document chunking (context-window preparation for
+    LLM training): token windows of ``max_tokens`` advancing by
+    ``max_tokens - overlap``; the last chunk is clipped to the doc end;
+    docs shorter than one window yield a single chunk. Embarrassingly
+    parallel — one map_batches, no shuffle. start_tok is 1-based."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids_out, chunk_ids, starts, n_toks, texts = [], [], [], [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = (text or "").split(" ")
+            n = len(toks)
+            n_chunks = max(1, -(-(n - overlap) // stride))  # ceil
+            for j in range(n_chunks):
+                s = j * stride
+                e = min(s + max_tokens, n)
+                ids_out.append(did)
+                chunk_ids.append(j)
+                starts.append(s + 1)
+                n_toks.append(e - s)
+                texts.append(" ".join(toks[s:e]))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=pa.int64()),
+                "chunk_id": pa.array(chunk_ids, type=pa.int64()),
+                "start_tok": pa.array(starts, type=pa.int64()),
+                "n_toks": pa.array(n_toks, type=pa.int64()),
+                "chunk": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def sample_per_group(
+    ds: "rd.Dataset",
+    key: str,
+    n: int = 3,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Deterministic stratified sampling: per ``key`` group, the ``n``
+    rows with the smallest splitmix64(id + seed) — a seeded,
+    parallelism-invariant ORDER BY random() replacement (the same
+    contract as the crawl frontier's seeded ranks). One keyed shuffle;
+    rank is 1-based within the group."""
+    import numpy as np
+
+    from hydra_ray.state.cuckoo import _mix64
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("_rh", pa.array(_mix64(ids + np.uint64(seed))))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["_rh", id_col], kind="mergesort")
+        df = df.groupby(key, sort=False).head(n).copy()
+        df["rank"] = df.groupby(key, sort=False).cumcount() + 1
+        return df.drop(columns=["_rh"])
+
+    return keyed_map_partitions(hashed, [key], pick, num_parts=num_parts)

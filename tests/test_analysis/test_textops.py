@@ -85,3 +85,67 @@ def test_fingerprint_deterministic_and_order_sensitive():
         {"doc_id": pa.array([1], type=pa.int64()), "text": ["cat the and the dog"]}
     )
     assert fingerprint_batch(flipped)["fingerprint"].to_pylist()[0] != a[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_windows():
+    import ray.data as rd
+
+    from hydra_ray.stages.text import chunk_documents
+
+    toks = [f"w{i}" for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([" ".join(toks), "tiny doc"]),
+        }
+    )
+    out = (
+        chunk_documents(rd.from_arrow(t), max_tokens=6, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # doc1: 10 tokens, stride 4 -> ceil((10-2)/4)=2 chunks: [1..6], [5..10]
+    d1 = out[out["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [1, 5]
+    assert d1["n_toks"].tolist() == [6, 6]
+    assert d1["chunk"].tolist()[1] == "w4 w5 w6 w7 w8 w9"
+    # doc2: shorter than one window -> single clipped chunk
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk"].tolist() == ["tiny doc"] and d2["n_toks"].tolist() == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_per_group_deterministic_and_parallelism_invariant():
+    import ray.data as rd
+
+    from hydra_ray.stages.text import sample_per_group
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), type=pa.int64()),
+            "lang": pa.array(["fr" if i % 3 else "en" for i in range(100)]),
+        }
+    )
+    a = (
+        sample_per_group(rd.from_arrow(t).repartition(7), key="lang", n=4, seed=9)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sample_per_group(rd.from_arrow(t).repartition(2), key="lang", n=4, seed=9)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # invariant under partitioning
+    assert (a.groupby("lang")["rank"].max() == 4).all()
+    c = (
+        sample_per_group(rd.from_arrow(t), key="lang", n=4, seed=10)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    assert not a["doc_id"].equals(c["doc_id"])  # seed changes the draw

@@ -113,3 +113,26 @@ def test_not_a_cfb_file_raises():
 
     with pytest.raises(ValueError):
         read_xls_rows(b"PK\x03\x04 this is a zip, not CFB")
+
+
+def test_biff5_book_stream():
+    """Legacy BIFF5 workbooks ('Book' stream, byte strings instead of
+    unicode/SST): LABEL and NUMBER/RK cells decode through the BIFF5
+    branch."""
+    from hydra_ray.sources.xls import _rec, _write_cfb
+
+    bof_g = _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    bof_s = _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+    name = b"Feuil1"
+    # globals: BOF + BOUNDSHEET + EOF; BIFF5 boundsheet name is a byte string
+    globals_len = len(bof_g) + (4 + 4 + 2 + 1 + len(name)) + 4
+    boundsheet = _rec(0x0085, struct.pack("<IH", globals_len, 0) + bytes([len(name)]) + name)
+    cells = (
+        _rec(0x0204, struct.pack("<HHHH", 0, 0, 0, 3) + b"abc")  # LABEL r0c0
+        + _rec(0x0203, struct.pack("<HHHd", 0, 1, 0, 2.5))  # NUMBER r0c1
+        + _rec(0x027E, struct.pack("<HHHI", 1, 0, 0, (7 << 2) | 0x02))  # RK r1c0
+        + _rec(0x0205, struct.pack("<HHHBB", 1, 1, 0, 1, 0))  # BOOLERR r1c1
+    )
+    stream = bof_g + boundsheet + _rec(0x000A, b"") + bof_s + cells + _rec(0x000A, b"")
+    blob = _write_cfb("Book", stream)
+    assert read_xls_rows(blob) == [["abc", "2.5"], ["7", "true"]]
