@@ -1,0 +1,76 @@
+"""End-to-end training-data curation pipeline.
+
+The composite the training-data brief is really about, chained from
+the engine's own operators, all streaming:
+
+  documents
+    → quality gate            (stages/text.py::quality_batch — Arrow kernels)
+    → exact dedup             (stages/dedup.py::dedup_exact — hash shuffle,
+                               min-id winner per content hash)
+    → semi-join survivors     (stages/joins.py::semi_join — one keyed
+                               shuffle, no broadcast: survivor set is
+                               corpus-sized at scale)
+    → context-window chunking (stages/text.py::chunk_documents — shuffle-free)
+    → per-language stats      (stages/agg.py::grouped_agg — partial agg)
+
+No stage materializes the corpus on the driver; the only all-to-all
+exchanges are the dedup hash shuffle and the survivor semi-join, both
+keyed on doc identity.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def curate_corpus(
+    ds: "rd.Dataset",
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> "rd.Dataset":
+    """documents(doc_id, text, lang) → per-language curation stats
+    (lang, n_docs, n_chunks, sum_toks) over the quality-passing,
+    exact-deduplicated corpus."""
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.dedup import dedup_exact
+    from hydra_ray.stages.joins import semi_join
+    from hydra_ray.stages.text import chunk_documents, quality_batch
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        return t.filter(quality_batch(t, id_col, text_col)["keep"])
+
+    good = ds.map_batches(qfilter, batch_format="pyarrow")
+    winners = dedup_exact(good, id_col=id_col, text_col=text_col).map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    survivors = semi_join(good, winners, id_col)
+    chunks = chunk_documents(
+        survivors,
+        max_tokens=max_tokens,
+        overlap=overlap,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=(lang_col,),
+    )
+
+    def mark_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_first = pc.equal(t["chunk_id"], 0)
+        return t.append_column("is_doc", pc.cast(is_first, pa.int64()))
+
+    marked = chunks.map_batches(mark_first, batch_format="pyarrow")
+    return grouped_agg(
+        marked,
+        keys=[lang_col],
+        aggs=[
+            ("is_doc", "sum", "n_docs"),
+            ("chunk_id", "count", "n_chunks"),
+            ("n_toks", "sum", "sum_toks"),
+        ],
+    )

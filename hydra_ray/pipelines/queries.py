@@ -2120,3 +2120,48 @@ ORACLE_SAMPLE_PER_GROUP = f"""
 
 QUERIES["sample_per_group"] = q_sample_per_group
 ORACLES["sample_per_group"] = ORACLE_SAMPLE_PER_GROUP
+
+
+def q_curate_corpus(sf_dir: str):
+    """Composite training-data curation (pipelines/curate.py): quality
+    gate → exact dedup → survivor semi-join → chunking → per-language
+    stats, the whole chain reproduced step-for-step in the oracle."""
+    from hydra_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    )
+
+
+ORACLE_CURATE_CORPUS = r"""
+    WITH q AS (
+        SELECT doc_id, text, lang
+        FROM (
+            SELECT doc_id, text, lang,
+                   CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents
+        )
+        WHERE n_tokens >= 5 AND n_tokens <= 10000 AND digit_ratio < 0.3
+    ),
+    surv AS (
+        SELECT doc_id, text, lang FROM q
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM surv),
+    c AS (
+        SELECT doc_id, lang, len(ts) AS n,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil((len(ts) - 8.0) / 24.0), 1) AS BIGINT) - 1)) AS j
+        FROM toks
+    )
+    SELECT lang,
+           count(*) FILTER (j = 0) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least(j * 24 + 32, n) - j * 24) AS BIGINT) AS sum_toks
+    FROM c GROUP BY lang
+"""
+
+QUERIES["curate_corpus"] = q_curate_corpus
+ORACLES["curate_corpus"] = ORACLE_CURATE_CORPUS

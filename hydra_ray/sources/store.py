@@ -373,7 +373,20 @@ def ds_to_tables(ds: "rd.Dataset") -> list[pa.Table]:
     materialized dataset are then free.
     """
     mat = ds.materialize()
-    return [ray.get(ref) for ref in mat.to_arrow_refs()]
+    out = []
+    for ref in mat.to_arrow_refs():
+        t = ray.get(ref)
+        if not isinstance(t, pa.Table):
+            # pandas map_groups emits empty column-less pandas blocks
+            # that to_arrow_refs passes through unconverted (ray 2.49)
+            import pandas as pd
+
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            else:
+                t = pa.table(dict(t))
+        out.append(t)
+    return out
 
 
 def _ds_to_arrow(ds: "rd.Dataset") -> pa.Table:

@@ -160,3 +160,51 @@ def range_join(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def semi_join(
+    left: "rd.Dataset",
+    keys: "rd.Dataset",
+    key: str,
+    num_parts: int = DEFAULT_PARTS,
+) -> "rd.Dataset":
+    """Distributed semi-join: keep left rows whose ``key`` appears in
+    the 1-column ``keys`` dataset. Both sides go through ONE hash
+    shuffle on the key — no driver materialization, no broadcast — so
+    it holds when the key set is corpus-sized (e.g. dedup survivors).
+    Left row order within a partition is preserved."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {key: t[key], "_side": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        )
+
+    left_cols = None
+
+    def pad_keys_like_left(t: pa.Table, schema: pa.Schema) -> pa.Table:
+        for f in schema:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        return t.select([f.name for f in schema])
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    ls = lt.schema()
+    schema = pa.schema(zip(ls.names, ls.types))
+    left_cols = [n for n in schema.names if n != "_side"]
+    kt = keys.map_batches(
+        lambda t: pad_keys_like_left(tag_keys(t), schema), batch_format="pyarrow"
+    )
+
+    def keep_members(df: "pd.DataFrame") -> "pd.DataFrame":
+        member = set(df.loc[df["_side"] == 1, key])
+        out = df[(df["_side"] == 0) & df[key].isin(member)][left_cols]
+        # cross-side padding floats integer columns; restore
+        for f in schema:
+            if pa.types.is_integer(f.type) and f.name in out.columns:
+                out[f.name] = out[f.name].astype("int64")
+        return out
+
+    return keyed_map_partitions(lt.union(kt), [key], keep_members, num_parts=num_parts)

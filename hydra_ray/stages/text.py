@@ -194,19 +194,22 @@ def chunk_documents(
     overlap: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> "rd.Dataset":
     """Sliding-window document chunking (context-window preparation for
     LLM training): token windows of ``max_tokens`` advancing by
     ``max_tokens - overlap``; the last chunk is clipped to the doc end;
     docs shorter than one window yield a single chunk. Embarrassingly
-    parallel — one map_batches, no shuffle. start_tok is 1-based."""
+    parallel — one map_batches, no shuffle. start_tok is 1-based.
+    ``carry_cols`` are replicated onto each chunk row."""
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
 
     def chunks(t: pa.Table) -> pa.Table:
         ids_out, chunk_ids, starts, n_toks, texts = [], [], [], [], []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        row_idx: list[int] = []
+        for r, (did, text) in enumerate(zip(t[id_col].to_pylist(), t[text_col].to_pylist())):
             toks = (text or "").split(" ")
             n = len(toks)
             n_chunks = max(1, -(-(n - overlap) // stride))  # ceil
@@ -218,7 +221,8 @@ def chunk_documents(
                 starts.append(s + 1)
                 n_toks.append(e - s)
                 texts.append(" ".join(toks[s:e]))
-        return pa.table(
+                row_idx.append(r)
+        out = pa.table(
             {
                 id_col: pa.array(ids_out, type=pa.int64()),
                 "chunk_id": pa.array(chunk_ids, type=pa.int64()),
@@ -227,6 +231,10 @@ def chunk_documents(
                 "chunk": pa.array(texts, type=pa.string()),
             }
         )
+        idx = pa.array(np.asarray(row_idx, dtype=np.int64))
+        for c in carry_cols:
+            out = out.append_column(c, t[c].take(idx))
+        return out
 
     return ds.map_batches(chunks, batch_format="pyarrow")
 

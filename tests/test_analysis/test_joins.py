@@ -154,3 +154,52 @@ def test_windowed_agg_rejects_non_multiple_slide():
     with pytest.raises(ValueError):
         windowed_agg(rd.from_arrow(t), t_col="ts", window_us=10, slide_us=3,
                      aggs=[("v", "sum", "s")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_join_keeps_only_members():
+    from hydra_ray.stages.joins import semi_join
+
+    left = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(list("abcde")),
+        }
+    )
+    keys = pa.table({"doc_id": pa.array([2, 4, 9], type=pa.int64())})
+    out = (
+        semi_join(rd.from_arrow(left).repartition(3), rd.from_arrow(keys), "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [2, 4]
+    assert out["text"].tolist() == ["b", "d"]
+    assert str(out["doc_id"].dtype) == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_corpus_pipeline_counts():
+    """Composite curation: dedup removes the planted copy, low-quality
+    (short) docs are gated, chunk counts follow the window math."""
+    from hydra_ray.pipelines.curate import curate_corpus
+
+    # 40 digit-free tokens (digits would trip the quality gate) -> 2 chunks (32/8)
+    long_text = " ".join("w" + "x" * (i % 7) for i in range(40))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([long_text, long_text, "too short", " ".join(["w"] * 10)]),
+            "lang": pa.array(["fr", "fr", "fr", "en"]),
+        }
+    )
+    out = (
+        curate_corpus(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    # doc2 is an exact dupe of doc1 (dropped); doc3 fails quality (3 toks)
+    assert out.loc["fr", "n_docs"] == 1 and out.loc["fr", "n_chunks"] == 2
+    assert out.loc["fr", "sum_toks"] == 32 + 16  # clipped second window
+    assert out.loc["en", "n_docs"] == 1 and out.loc["en", "n_chunks"] == 1
+    assert out.loc["en", "sum_toks"] == 10
