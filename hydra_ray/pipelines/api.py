@@ -153,6 +153,236 @@ class EngineApi:
             "count_in_progress": n(in_progress),
         }
 
+    def get_checks_stats(self) -> dict:
+        """GET /api/checks/stats (routes/status.py:118-177): ok / error
+        / timeout split of the LATEST check per crawler-eligible
+        resource + HTTP status-code distribution. The engine carries
+        the latest-check columns on the catalog row (J1 design), so
+        this is a pure catalog scan — no join."""
+        cat = self.engine.catalog.read_arrow(
+            columns=["url", "deleted", "last_check_id", "last_status", "last_error", "last_timeout"]
+        )
+        keep = pc.equal(cat["deleted"], False)
+        for pattern in config.EXCLUDED_PATTERNS or []:
+            keep = pc.and_(keep, pc.invert(pc.match_like(cat["url"], pattern)))
+        t = cat.filter(pc.and_(keep, pc.is_valid(cat["last_check_id"])))
+        count_checked = t.num_rows
+        timeout = pc.fill_null(t["last_timeout"], False)
+        error = pc.is_valid(t["last_error"])
+        ok = pc.and_(pc.invert(pc.cast(timeout, pa.bool_())), pc.invert(error))
+
+        def n(mask) -> int:
+            return int(pc.sum(pc.cast(mask, pa.int32())).as_py() or 0)
+
+        counts = {"ok": n(ok), "error": n(error), "timeout": n(timeout)}
+
+        def rate(c: int) -> float:
+            return 0 if not count_checked else round(c / count_checked * 100, 1)
+
+        codes = t.filter(pc.is_valid(t["last_status"]))
+        g = (
+            pa.table({"status": codes["last_status"]})
+            .group_by("status")
+            .aggregate([("status", "count")])
+            .to_pylist()
+        )
+        total_codes = sum(r["status_count"] for r in g) or 1
+        g.sort(key=lambda r: (-r["status_count"], str(r["status"])))
+        return {
+            "status": sorted(
+                [
+                    {"label": s, "count": counts[s], "percentage": rate(counts[s])}
+                    for s in ("error", "timeout", "ok")
+                ],
+                key=lambda x: x["count"],
+                reverse=True,
+            ),
+            "status_codes": [
+                {
+                    "code": r["status"],
+                    "count": r["status_count"],
+                    "percentage": round(r["status_count"] / total_codes * 100, 1),
+                }
+                for r in g
+            ],
+        }
+
+    def create_resource(self, resource_id: str, dataset_id: str, url: str, **extra) -> dict:
+        """POST /api/resources (routes/resources.py:30-59): insert with
+        priority=True so the next frontier batch picks it in tier 1."""
+        row = {"resource_id": resource_id, "dataset_id": dataset_id, "url": url} | extra
+        self.engine.insert_priority_resource(row)
+        return {"message": "created"}
+
+    def update_resource(self, resource_id: str, dataset_id: str, url: str, **extra) -> dict:
+        """PUT /api/resources/{id} (routes/resources.py:62-91): upsert +
+        re-prioritize (same merge path as create; the catalog upsert is
+        keyed on resource_id)."""
+        row = {"resource_id": resource_id, "dataset_id": dataset_id, "url": url} | extra
+        self.engine.insert_priority_resource(row)
+        return {"message": "updated"}
+
+    def delete_resource(self, resource_id: str) -> dict:
+        """DELETE /api/resources/{id} (routes/resources.py:94-107):
+        mark deleted=True (tombstone; the frontier excludes deleted)."""
+        cat = self.engine.catalog.read_arrow()
+        mask = pc.equal(cat["resource_id"], resource_id)
+        if not pc.any(mask).as_py():
+            raise NotFound(resource_id)
+        row = cat.filter(mask).slice(0, 1)
+        row = row.set_column(row.column_names.index("deleted"), "deleted", pa.array([True]))
+        self.engine.catalog.merge_insert(row, key="resource_id")
+        return {"message": "deleted"}
+
+    def get_resources_stats(self) -> dict:
+        """GET /api/resources/stats (routes/resources.py:110-125)."""
+        cat = self.engine.catalog.read_arrow(columns=["deleted"])
+        deleted = int(pc.sum(pc.cast(pc.fill_null(cat["deleted"], False), pa.int32())).as_py() or 0)
+        return {
+            "total_count": cat.num_rows,
+            "deleted_count": deleted,
+            "statuses_count": self.get_resources_status_counts(),
+        }
+
+    def get_resources_stats_cors(self) -> dict:
+        """GET /api/resources/stats/cors (routes/resources.py:128-196):
+        CORS coverage over EXTERNAL (non-data.gouv.fr) resources, plus
+        the allow-origin classification among covered ones. Any-check
+        semantics (BOOL_OR over the checks history), like the reference."""
+        import json as _json
+
+        cat = self.engine.catalog.read_arrow(columns=["resource_id", "url", "deleted"])
+        ext = cat.filter(
+            pc.and_(
+                pc.equal(cat["deleted"], False),
+                pc.invert(pc.match_like(cat["url"], "%data.gouv.fr%")),
+            )
+        )
+        checks = self.engine.checks.read_arrow(columns=["resource_id", "cors_headers"])
+        per_res: dict[str, str | None] = {}  # resource -> best allow-origin seen
+        has_cors: set[str] = set()
+        rids = checks["resource_id"].to_pylist()
+        cors = checks["cors_headers"].to_pylist()
+        for rid, ch in zip(rids, cors):
+            if ch is None:
+                continue
+            has_cors.add(rid)
+            try:
+                allow = (_json.loads(ch) or {}).get("allow-origin")
+            except (TypeError, ValueError):
+                allow = None
+            prev = per_res.get(rid)
+            # precedence mirrors the reference CASE: * > whitelist > other
+            def _score(v):
+                if v == "*":
+                    return 3
+                if v and "data.gouv.fr" in v:
+                    return 2
+                if v:
+                    return 1
+                return 0
+
+            if _score(allow) > _score(prev):
+                per_res[rid] = allow
+        ext_ids = set(ext["resource_id"].to_pylist())
+        covered = ext_ids & has_cors
+        n_cov, n_ext = len(covered), len(ext_ids)
+        dist: dict[str, int] = {}
+        for rid in covered:
+            allow = per_res.get(rid)
+            if allow == "*":
+                label = "Accessible (Wildcard *)"
+            elif allow and "data.gouv.fr" in allow:
+                label = "Accessible (Specific Whitelist)"
+            elif allow:
+                label = "Blocked (Other Domain Only)"
+            else:
+                label = "Blocked (Missing Header)"
+            dist[label] = dist.get(label, 0) + 1
+        return {
+            "external_resources_with_cors_data": n_cov,
+            "external_resources_without_cors_data": n_ext - n_cov,
+            "external_resources_cors_coverage_percentage": (
+                round(n_cov * 100.0 / n_ext, 2) if n_ext else None
+            ),
+            "external_resources_allow_origin_distribution": [
+                {
+                    "access_status": k,
+                    "unique_resources_count": v,
+                    "percentage": round(v * 100.0 / n_cov, 2) if n_cov else None,
+                }
+                for k, v in sorted(dist.items())
+            ],
+        }
+
+    # -- resources-exceptions CRUD ------------------------------------------
+    # reference routes/resources_exceptions.py + db/resource_exception.py:
+    # the exception set feeds the analyser's size-cap bypass (J3); the
+    # engine mutates its live set so the next iteration's actor pools
+    # pick the change up via fn_constructor_kwargs.
+    def get_all_resources_exceptions(self) -> list[dict]:
+        return [
+            {"resource_id": rid, **meta}
+            for rid, meta in sorted(self._exceptions_meta().items())
+        ]
+
+    def _exceptions_meta(self) -> dict:
+        if not hasattr(self.engine, "resource_exceptions_meta"):
+            self.engine.resource_exceptions_meta = {
+                rid: {"table_indexes": None, "comment": None}
+                for rid in self.engine.resource_exceptions
+            }
+        return self.engine.resource_exceptions_meta
+
+    def create_resource_exception(
+        self, resource_id: str, table_indexes: dict | None = None, comment: str | None = None
+    ) -> dict:
+        meta = self._exceptions_meta()
+        if resource_id in meta:
+            raise ValueError("Resource exception already exists")
+        cat = self.engine.catalog.read_arrow(columns=["resource_id"])
+        if not pc.any(pc.equal(cat["resource_id"], resource_id)).as_py():
+            raise NotFound(resource_id)
+        meta[resource_id] = {"table_indexes": table_indexes, "comment": comment}
+        self.engine.resource_exceptions.add(resource_id)
+        return {"resource_id": resource_id, "table_indexes": table_indexes, "comment": comment}
+
+    def update_resource_exception(
+        self, resource_id: str, table_indexes: dict | None = None, comment: str | None = None
+    ) -> dict:
+        meta = self._exceptions_meta()
+        if resource_id not in meta:
+            raise NotFound(resource_id)
+        meta[resource_id] = {"table_indexes": table_indexes, "comment": comment}
+        return {"resource_id": resource_id, "table_indexes": table_indexes, "comment": comment}
+
+    def delete_resource_exception(self, resource_id: str) -> dict:
+        meta = self._exceptions_meta()
+        if resource_id not in meta:
+            raise NotFound(resource_id)
+        del meta[resource_id]
+        self.engine.resource_exceptions.discard(resource_id)
+        return {"message": "deleted"}
+
+    def get_worker_status(self) -> dict:
+        """GET /api/status/worker (routes/status.py:113-115): queue
+        depths. The engine's analogue of the RQ queues is the frontier
+        tiers — priority / never-checked / due."""
+        cat = self.engine.catalog.read_arrow(
+            columns=["deleted", "priority", "last_check_id", "next_check_at", "status"]
+        )
+        t = cat.filter(pc.equal(cat["deleted"], False))
+        free = pc.is_null(t["status"])
+        prio = pc.and_(pc.fill_null(t["priority"], False), free)
+        never = pc.and_(pc.is_null(t["last_check_id"]), free)
+        now64 = pa.scalar(self.engine.now_dt(), type=pa.timestamp("us"))
+        due = pc.and_(pc.fill_null(pc.less_equal(t["next_check_at"], now64), True), free)
+
+        def n(mask) -> int:
+            return int(pc.sum(pc.cast(mask, pa.int32())).as_py() or 0)
+
+        return {"queued": {"priority": n(prio), "never_checked": n(never), "due": n(due)}}
+
     # -- health ------------------------------------------------------------
     def health(self) -> dict:
         return {

@@ -101,3 +101,79 @@ class TestApi:
         h = api.health()
         assert h["status"] == "ok" and h["iteration"] == 2
         assert h["catalog_rows"] > 0 and h["checks_rows"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApiExtended:
+    def test_checks_stats_shape_and_consistency(self, api):
+        stats = api.get_checks_stats()
+        labels = {s["label"] for s in stats["status"]}
+        assert labels == {"ok", "error", "timeout"}
+        total = sum(s["count"] for s in stats["status"])
+        assert total > 0
+        # percentages computed against checked resources
+        for s in stats["status"]:
+            assert 0 <= s["percentage"] <= 100
+        # status_codes sum to the checked-with-status population
+        assert stats["status_codes"]
+        assert abs(sum(c["percentage"] for c in stats["status_codes"]) - 100.0) < 1.0
+
+    def test_resources_stats_and_delete(self, api):
+        before = api.get_resources_stats()
+        assert before["total_count"] > 0
+        rid = api.engine.catalog.read_arrow(columns=["resource_id"])["resource_id"][0].as_py()
+        api.delete_resource(rid)
+        after = api.get_resources_stats()
+        assert after["deleted_count"] == before["deleted_count"] + 1
+        with pytest.raises(NotFound):
+            api.delete_resource("not-a-resource")
+
+    def test_create_and_update_resource_prioritize(self, api):
+        api.create_resource("r-new-1", "d-1", "http://static.example.org/new1.csv", format="csv")
+        cat = api.engine.catalog.read_arrow()
+        import pyarrow.compute as pc
+
+        row = cat.filter(pc.equal(cat["resource_id"], "r-new-1"))
+        assert row.num_rows == 1 and row["priority"][0].as_py() is True
+        api.update_resource("r-new-1", "d-1", "http://static.example.org/new1-v2.csv", format="csv")
+        cat2 = api.engine.catalog.read_arrow()
+        row2 = cat2.filter(pc.equal(cat2["resource_id"], "r-new-1"))
+        assert row2["url"][0].as_py().endswith("new1-v2.csv")
+
+    def test_resources_exceptions_crud(self, api):
+        rid = api.engine.catalog.read_arrow(columns=["resource_id"])["resource_id"][0].as_py()
+        created = api.create_resource_exception(rid, table_indexes={"col": "index"}, comment="big file")
+        assert created["resource_id"] == rid
+        assert rid in api.engine.resource_exceptions  # analyser set updated live
+        with pytest.raises(ValueError):
+            api.create_resource_exception(rid)
+        with pytest.raises(NotFound):
+            api.create_resource_exception("missing-resource")
+        upd = api.update_resource_exception(rid, comment="still big")
+        assert upd["comment"] == "still big"
+        listed = api.get_all_resources_exceptions()
+        assert any(e["resource_id"] == rid for e in listed)
+        api.delete_resource_exception(rid)
+        assert rid not in api.engine.resource_exceptions
+        with pytest.raises(NotFound):
+            api.update_resource_exception(rid)
+
+    def test_worker_status_queues(self, api):
+        q = api.get_worker_status()["queued"]
+        assert set(q) == {"priority", "never_checked", "due"}
+        assert all(isinstance(v, int) and v >= 0 for v in q.values())
+
+    def test_cors_stats_shape(self, api):
+        out = api.get_resources_stats_cors()
+        assert set(out) == {
+            "external_resources_with_cors_data",
+            "external_resources_without_cors_data",
+            "external_resources_cors_coverage_percentage",
+            "external_resources_allow_origin_distribution",
+        }
+        n_cov = out["external_resources_with_cors_data"]
+        dist_total = sum(
+            d["unique_resources_count"]
+            for d in out["external_resources_allow_origin_distribution"]
+        )
+        assert dist_total == n_cov
