@@ -6,9 +6,13 @@ GetCapabilities (with version fallback), extract service metadata
 at (typeName/typeNames query param, else the resource title validated
 by a layer-name regex, :250-268).
 
-The owslib client is not available in this container, so the transport
-returns a deterministic synthetic capabilities document; the metadata
-extraction, layer detection and config gating are real and tested.
+owslib is not in this container, but GetCapabilities is plain XML:
+``parse_capabilities_xml`` extracts the same metadata owslib would
+(WFS 2.0/1.1/1.0 FeatureTypeList + outputFormat parameters; WMS
+1.3/1.1 nested Layer tree + GetMap formats) with the stdlib parser.
+No HTTP in the sandbox, so the transport supplies the DOCUMENT — the
+default is a deterministic synthetic XML byte stream that the real
+parser then parses (same pattern as the xls/pmtiles codecs).
 Config-gated by OGC_ANALYSIS_ENABLED + OGC_FORMATS like the reference.
 """
 
@@ -17,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import re
 from urllib.parse import parse_qs, urlparse
+from xml.etree import ElementTree as ET
 
 from hydra_ray.config import config
 
@@ -52,11 +57,145 @@ def synthetic_capabilities(service_url: str, fmt: str) -> dict:
     }
 
 
+_WFS_NS = {
+    "2.0.0": "http://www.opengis.net/wfs/2.0",
+    "1.1.0": "http://www.opengis.net/wfs",
+    "1.0.0": "http://www.opengis.net/wfs",
+}
+
+
+def synthetic_capabilities_xml(service_url: str, fmt: str) -> bytes:
+    """The synthetic_capabilities dict rendered as a REAL
+    GetCapabilities XML document (WFS FeatureTypeList / WMS Layer tree),
+    so the production parse path runs on every probe."""
+    caps = synthetic_capabilities(service_url, fmt)
+    v = caps["version"]
+    if fmt == "wfs":
+        fts = "".join(
+            "<FeatureType><Name>{0}</Name>{1}{2}</FeatureType>".format(
+                name,
+                "".join(
+                    f"<{'DefaultCRS' if i == 0 else 'OtherCRS'}>"
+                    f"urn:ogc:def:crs:EPSG::{c.split(':')[1]}"
+                    f"</{'DefaultCRS' if i == 0 else 'OtherCRS'}>"
+                    for i, c in enumerate(caps["crs"])
+                ),
+                "<OutputFormats>"
+                + "".join(f"<Format>{f}</Format>" for f in caps["output_formats"])
+                + "</OutputFormats>",
+            )
+            for name in caps["layers"]
+        )
+        doc = (
+            f'<wfs:WFS_Capabilities version="{v}" xmlns:wfs="{_WFS_NS[v]}">'
+            f"<FeatureTypeList>{fts}</FeatureTypeList></wfs:WFS_Capabilities>"
+        )
+    else:  # wms
+        layers = "".join(
+            f"<Layer queryable=\"1\"><Name>{name}</Name><Title>{name}</Title></Layer>"
+            for name in caps["layers"]
+        )
+        crs_tag = "CRS" if v == "1.3.0" else "SRS"
+        crs = "".join(f"<{crs_tag}>{c}</{crs_tag}>" for c in caps["crs"])
+        formats = "".join(f"<Format>{f}</Format>" for f in caps["output_formats"])
+        doc = (
+            f'<WMS_Capabilities version="{v}">'
+            f"<Capability><Request><GetMap>{formats}</GetMap></Request>"
+            f"<Layer><Title>root</Title>{crs}{layers}</Layer></Capability>"
+            f"</WMS_Capabilities>"
+        )
+    return ('<?xml version="1.0" encoding="UTF-8"?>' + doc).encode("utf-8")
+
+
+def _normalize_crs(text: str) -> str | None:
+    """'urn:ogc:def:crs:EPSG::4326' / 'EPSG:4326' → 'EPSG:4326'."""
+    text = (text or "").strip()
+    if not text:
+        return None
+    if text.upper().startswith("URN:"):
+        parts = [p for p in text.split(":") if p]
+        if len(parts) >= 2:
+            return f"{parts[-2]}:{parts[-1]}"
+    return text
+
+
+def parse_capabilities_xml(data: bytes) -> dict:
+    """GetCapabilities XML → the owslib-equivalent metadata dict
+    (reference ogc/__init__.py:80-248 reads .contents/.identification
+    off owslib; this reads the same fields off the document):
+
+      WFS (2.0.0 / 1.1.0 / 1.0.0): FeatureTypeList/FeatureType names,
+      DefaultCRS/OtherCRS/DefaultSRS/SRS, per-type OutputFormats plus
+      OperationsMetadata outputFormat allowed values.
+      WMS (1.3.0 / 1.1.1): nested Layer tree names (named layers only),
+      CRS/SRS elements, Request/GetMap formats.
+    """
+    root = ET.fromstring(data)
+    tag = root.tag.rsplit("}", 1)[-1].lower()
+    version = root.get("version") or ""
+    if "wfs" in tag:
+        service = "wfs"
+        layers = [
+            (el.text or "").strip()
+            for el in root.findall(".//{*}FeatureTypeList/{*}FeatureType/{*}Name")
+        ]
+        crs: list[str] = []
+        for path in ("DefaultCRS", "OtherCRS", "DefaultSRS", "OtherSRS", "SRS"):
+            for el in root.findall(f".//{{*}}FeatureType/{{*}}{path}"):
+                c = _normalize_crs(el.text)
+                if c and c not in crs:
+                    crs.append(c)
+        fmts: list[str] = []
+        for el in root.findall(".//{*}FeatureType/{*}OutputFormats/{*}Format"):
+            f = (el.text or "").strip()
+            if f and f not in fmts:
+                fmts.append(f)
+        for op in root.findall(".//{*}Operation"):
+            if op.get("name") != "GetFeature":
+                continue
+            for par in op.findall(".//{*}Parameter"):
+                if (par.get("name") or "").lower() != "outputformat":
+                    continue
+                for val in par.findall(".//{*}Value"):
+                    f = (val.text or "").strip()
+                    if f and f not in fmts:
+                        fmts.append(f)
+    elif "wms" in tag:
+        service = "wms"
+        layers = []
+        for lay in root.findall(".//{*}Layer"):
+            name = lay.find("{*}Name")
+            if name is not None and (name.text or "").strip():
+                layers.append(name.text.strip())
+        crs = []
+        for crs_tag in ("CRS", "SRS"):
+            for el in root.findall(f".//{{*}}Layer/{{*}}{crs_tag}"):
+                c = _normalize_crs(el.text)
+                if c and c not in crs:
+                    crs.append(c)
+        fmts = []
+        for el in root.findall(".//{*}Request/{*}GetMap/{*}Format"):
+            f = (el.text or "").strip()
+            if f and f not in fmts:
+                fmts.append(f)
+    else:
+        raise ValueError(f"not a WFS/WMS capabilities document (root {root.tag!r})")
+    return {
+        "service_type": service,
+        "version": version,
+        "layers": layers,
+        "crs": crs,
+        "output_formats": fmts,
+    }
+
+
 def analyse_ogc(check: dict, transport=None, title: str | None = None) -> dict | None:
     """OGC analysis for one check row; None when disabled or not OGC.
 
-    ``transport`` may supply a ``capabilities(url, fmt)`` method (real
-    deployments plug owslib here); defaults to the synthetic document.
+    ``transport`` may supply ``capabilities_xml(url, fmt) -> bytes``
+    (a real deployment returns the HTTP GetCapabilities body) or a
+    pre-parsed ``capabilities(url, fmt) -> dict``; the default
+    synthesizes an XML document and runs the production parser on it.
     """
     if not config.OGC_ANALYSIS_ENABLED:
         return None
@@ -68,8 +207,10 @@ def analyse_ogc(check: dict, transport=None, title: str | None = None) -> dict |
         return None
     if transport is not None and hasattr(transport, "capabilities"):
         caps = transport.capabilities(url, fmt)
+    elif transport is not None and hasattr(transport, "capabilities_xml"):
+        caps = parse_capabilities_xml(transport.capabilities_xml(url, fmt))
     else:
-        caps = synthetic_capabilities(url, fmt)
+        caps = parse_capabilities_xml(synthetic_capabilities_xml(url, fmt))
     detected = detect_layer_name(url, title)
     if detected not in (caps.get("layers") or []):
         detected = detected  # kept even if unlisted (reference warns only)

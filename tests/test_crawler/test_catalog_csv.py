@@ -56,3 +56,57 @@ def test_ogc_analyse_gated_and_deterministic():
         assert analyse_ogc(check) == meta  # deterministic
         # non-OGC rows pass through
         assert analyse_ogc({"url": "https://a/x.csv", "format": "csv"}) is None
+
+
+def test_ogc_capabilities_xml_parser_wfs_and_wms():
+    """Real GetCapabilities XML (GeoServer-shaped) parses to the
+    owslib-equivalent metadata; the synthetic document round-trips
+    bit-exact through the same parser (S14 without owslib)."""
+    from hydra_ray.stages.ogc import (
+        parse_capabilities_xml,
+        synthetic_capabilities,
+        synthetic_capabilities_xml,
+    )
+
+    wfs = b"""<?xml version="1.0"?>
+    <wfs:WFS_Capabilities version="2.0.0"
+      xmlns:wfs="http://www.opengis.net/wfs/2.0" xmlns:ows="http://www.opengis.net/ows/1.1">
+      <ows:OperationsMetadata><ows:Operation name="GetFeature">
+        <ows:Parameter name="outputFormat"><ows:AllowedValues>
+          <ows:Value>application/json</ows:Value></ows:AllowedValues></ows:Parameter>
+      </ows:Operation></ows:OperationsMetadata>
+      <FeatureTypeList>
+        <FeatureType><Name>topp:states</Name>
+          <DefaultCRS>urn:ogc:def:crs:EPSG::4326</DefaultCRS>
+          <OtherCRS>urn:ogc:def:crs:EPSG::3857</OtherCRS></FeatureType>
+      </FeatureTypeList>
+    </wfs:WFS_Capabilities>"""
+    out = parse_capabilities_xml(wfs)
+    assert out["service_type"] == "wfs" and out["version"] == "2.0.0"
+    assert out["layers"] == ["topp:states"]
+    assert out["crs"] == ["EPSG:4326", "EPSG:3857"]  # urn: form normalized
+    assert out["output_formats"] == ["application/json"]
+
+    wms = b"""<WMS_Capabilities version="1.3.0" xmlns="http://www.opengis.net/wms">
+      <Capability>
+        <Request><GetMap><Format>image/png</Format></GetMap></Request>
+        <Layer><Title>unnamed root is skipped</Title><CRS>EPSG:4326</CRS>
+          <Layer><Name>ign:communes</Name>
+            <Layer><Name>ign:communes_details</Name></Layer></Layer>
+        </Layer>
+      </Capability></WMS_Capabilities>"""
+    out2 = parse_capabilities_xml(wms)
+    assert out2["layers"] == ["ign:communes", "ign:communes_details"]
+    assert out2["output_formats"] == ["image/png"]
+
+    for fmt in ("wfs", "wms"):
+        for i in range(12):
+            url = f"https://geo.example.org/s{i}?service={fmt}"
+            assert parse_capabilities_xml(
+                synthetic_capabilities_xml(url, fmt)
+            ) == synthetic_capabilities(url, fmt)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_capabilities_xml(b"<html>not a capabilities doc</html>")
