@@ -65,3 +65,64 @@ def detect_format(
         if _detect_ogc(fmt, url, resource_format):
             return fmt
     return None
+
+
+# ---------------------------------------------------------------------------
+# content-based MIME sniffing (libmagic equivalent, M15)
+# ---------------------------------------------------------------------------
+
+# mime by detected format — the tie-breaker when the content carries no
+# binary signature (plain-text payloads)
+FORMAT_MIME = {
+    "csv": "text/csv",
+    "csvgz": "application/gzip",
+    "xls": "application/vnd.ms-excel",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "geojson": "application/json",
+    "parquet": "application/vnd.apache.parquet",
+    "json": "application/json",
+    "pdf": "application/pdf",
+}
+
+
+def sniff_mime(body: bytes, fmt: str | None = None) -> str:
+    """MIME from content magic numbers (the reference shells into
+    libmagic on the downloaded bytes, analysis/resource.py; this is the
+    same decision implemented directly). Binary signatures win; plain
+    text falls back to the detected format's mime, then to a CSV/JSON
+    text heuristic."""
+    head = bytes(body[:512])
+    if head.startswith(b"\x1f\x8b"):
+        return "application/gzip"
+    if head.startswith(b"%PDF"):
+        return "application/pdf"
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        return "application/vnd.ms-excel"  # CFB container (legacy Office)
+    if head.startswith(b"PK\x03\x04"):
+        # OOXML zip vs generic zip: the workbook part name appears in
+        # the first local-file headers of every real .xlsx
+        probe = bytes(body[:4096])
+        if b"[Content_Types].xml" in probe and (b"xl/" in probe or b"workbook" in probe):
+            return "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+        return "application/zip"
+    if head.startswith(b"PAR1"):
+        return "application/vnd.apache.parquet"
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image/png"
+    if head.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if fmt and fmt in FORMAT_MIME:
+        return FORMAT_MIME[fmt]
+    stripped = head.lstrip()
+    if stripped[:1] in (b"{", b"["):
+        return "application/json"
+    if b"\x00" in head:
+        return "application/octet-stream"
+    try:
+        text = head.decode("utf-8")
+    except UnicodeDecodeError:
+        return "application/octet-stream"
+    first = text.splitlines()[0] if text else ""
+    if first.count(",") >= 2 or first.count(";") >= 2:
+        return "text/csv"
+    return "text/plain"

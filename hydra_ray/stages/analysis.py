@@ -38,18 +38,12 @@ from hydra_ray.functions.detect import detect_format
 from hydra_ray.functions.payload import flatten_payload
 from hydra_ray.stages.fetcher import make_transport
 
-# libmagic stub: deterministic mime from detected format (the reference
-# shells into libmagic on the downloaded bytes; same purpose, no binary dep)
-_MAGIC_MIME = {
-    "csv": "text/csv",
-    "csvgz": "application/gzip",
-    "xls": "application/vnd.ms-excel",
-    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
-    "geojson": "application/json",
-    "parquet": "application/vnd.apache.parquet",
-    "json": "application/json",
-    "pdf": "application/pdf",
-}
+# MIME from downloaded bytes (M15): the reference shells into libmagic;
+# functions/detect.py::sniff_mime makes the same decision directly from
+# content magic numbers, with the detected format as the text fallback.
+# Kept as an alias for backwards compat in tests.
+from hydra_ray.functions.detect import FORMAT_MIME as _MAGIC_MIME  # noqa: E402
+from hydra_ray.functions.detect import sniff_mime  # noqa: E402
 
 PARSEABLE_FORMATS = {"csv", "csvgz", "xls", "xlsx", "parquet"}
 
@@ -186,7 +180,7 @@ class Analyser:
                             else None,
                             now=now,
                         )
-                    dl["analysis:mime-type"] = _MAGIC_MIME.get(fmt or "", "application/octet-stream")
+                    dl["analysis:mime-type"] = sniff_mime(body, fmt)
                 out_checksum.append(dl.get("analysis:checksum"))
                 out_filesize.append(dl.get("analysis:content-length"))
                 out_mime.append(dl.get("analysis:mime-type"))

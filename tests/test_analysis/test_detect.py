@@ -47,3 +47,31 @@ def test_ogc_detection_enabled():
         assert detect_format(None, "https://a/x", "wms") == "wms"
         # csv detection still wins (ordered before OGC)
         assert detect_format("text/csv", "https://a/geoserver/wfs", None) == "csv"
+
+
+def test_sniff_mime_magic_numbers():
+    """M15: content-magic MIME detection (libmagic equivalent) — binary
+    signatures win over the format hint; text falls back to it."""
+    import gzip
+
+    from hydra_ray.functions.detect import sniff_mime
+    from hydra_ray.sources.xls import write_xls
+    from hydra_ray.sources.xlsx import write_xlsx
+
+    assert sniff_mime(write_xls([["a"], [1]])) == "application/vnd.ms-excel"
+    assert sniff_mime(write_xlsx([["a"], [1]])) == (
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    )
+    assert sniff_mime(gzip.compress(b"a,b\n1,2")) == "application/gzip"
+    assert sniff_mime(b"%PDF-1.7 ...") == "application/pdf"
+    assert sniff_mime(b"PAR1chunk") == "application/vnd.apache.parquet"
+    assert sniff_mime(b'{"type": "FeatureCollection"}') == "application/json"
+    # binary magic beats a wrong format hint
+    assert sniff_mime(gzip.compress(b"x"), fmt="csv") == "application/gzip"
+    # plain text defers to the detected format
+    assert sniff_mime(b"a;b;c\n1;2;3", fmt="csv") == "text/csv"
+    assert sniff_mime(b"a;b;c\n1;2;3", fmt="xlsx").endswith("spreadsheetml.sheet")
+    # no hint: csv/text heuristics
+    assert sniff_mime(b"a;b;c\n1;2;3") == "text/csv"
+    assert sniff_mime(b"hello world") == "text/plain"
+    assert sniff_mime(b"\x00\x01binary\x00") == "application/octet-stream"
