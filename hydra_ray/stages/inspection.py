@@ -258,7 +258,13 @@ def detect_encoding(data: bytes) -> str:
 
 
 def inspect_csv_bytes(data: bytes, sample_rows: int = 100, output_profile: bool = False) -> dict:
-    """Bytes entry point: detect encoding, decode, inspect."""
+    """Bytes entry point: gunzip if compressed (.csv.gz resources,
+    reference utils/file.py gzip handling), detect encoding, decode,
+    inspect."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
     enc = detect_encoding(data)
     text = data.decode(enc)
     report = inspect_csv_text(text, sample_rows=sample_rows, output_profile=output_profile)

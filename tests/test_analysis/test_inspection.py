@@ -160,3 +160,18 @@ def test_encoding_detection():
     rep = inspect_csv_bytes("x;y\n1;caf\xe9\n2;th\xe9\n".encode("latin-1"))
     assert rep["encoding"] == "latin-1"
     assert rep["columns"]["x"]["python_type"] == "int"
+
+
+def test_inspect_csv_bytes_gunzips():
+    """.csv.gz bytes inspect identically to their plain twin (reference
+    utils/file.py gzip handling)."""
+    import gzip
+
+    from hydra_ray.stages.inspection import inspect_csv_bytes
+
+    raw = "a;b\n1;x\n2;y\n".encode("utf-8")
+    plain = inspect_csv_bytes(raw)
+    gz = inspect_csv_bytes(gzip.compress(raw))
+    assert gz["header"] == plain["header"] == ["a", "b"]
+    assert gz["columns"] == plain["columns"]
+    assert gz["total_lines"] == plain["total_lines"] == 2
