@@ -588,6 +588,53 @@ class CrawlEngine:
         )
         return tbl.take(pa.array(np.sort(keep))).drop_columns(["_iter"])
 
+    DOCS_COMPACT_DRIVER_ROWS = 2_000_000
+
+    def compact_documents(self) -> dict:
+        """Merge-on-read → merge-on-write: rewrite the append-only
+        documents table keeping only the latest ``_iter`` row per
+        doc_id. After a long crawl the table holds one superseded copy
+        per re-parse; compaction bounds the read amplification that
+        ``read_documents`` (and every downstream consumer) pays.
+        Driver path below DOCS_COMPACT_DRIVER_ROWS; above, a
+        distributed keyed dedup (stages/keyed.py) — the heavy span
+        payload crosses one hash shuffle, nothing lands on the driver.
+        Run ``gc()`` afterwards to drop the superseded version files."""
+        before = self.documents.count()
+        if before == 0:
+            return {"rows_before": 0, "rows_after": 0}
+        sample = self.documents.read_arrow(columns=None) if before <= self.DOCS_COMPACT_DRIVER_ROWS else None
+        if sample is not None:
+            if "_iter" not in sample.column_names:
+                return {"rows_before": before, "rows_after": before}
+            compacted = self._dedup_docs_table(sample)
+        else:
+            # arrow-native consumer: the spans list<struct> column does
+            # not survive a pandas round-trip
+            from hydra_ray.stages.keyed import keyed_map_partitions_arrow
+
+            ds = self.documents.read()
+            compacted = keyed_map_partitions_arrow(ds, ["doc_id"], self._dedup_docs_table)
+        self.documents.overwrite(compacted, meta={"compacted_at_iteration": self.iteration})
+        after = self.documents.count()
+        return {"rows_before": before, "rows_after": after}
+
+    @staticmethod
+    def _dedup_docs_table(tbl: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        order = pd_.DataFrame(
+            {"doc_id": tbl["doc_id"].to_pylist(), "_iter": tbl["_iter"].to_pylist()}
+        )
+        keep = (
+            order.reset_index()
+            .sort_values(["doc_id", "_iter", "index"])
+            .groupby("doc_id", as_index=False)
+            .tail(1)["index"]
+            .to_numpy()
+        )
+        return tbl.take(pa.array(np.sort(keep)))
+
     # -- internals ---------------------------------------------------------
     def _build_documents(self, parse_rows: pa.Table) -> pa.Table:
         urls = parse_rows["url"].to_pylist()

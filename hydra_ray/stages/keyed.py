@@ -60,3 +60,27 @@ def keyed_map_partitions(
         .groupby("_part")
         .map_groups(run, batch_format="pandas")
     )
+
+
+def keyed_map_partitions_arrow(
+    ds: "rd.Dataset",
+    keys: list[str],
+    fn,
+    num_parts: int = DEFAULT_PARTS,
+) -> "rd.Dataset":
+    """Arrow-native sibling of keyed_map_partitions: ``fn(pa.Table) ->
+    pa.Table`` once per key-co-located partition. Use when the rows
+    carry nested Arrow types (list<struct> spans, fixed-size lists)
+    that do not survive the pandas round-trip."""
+
+    def addpart(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(part_of(t, keys, num_parts)))
+
+    def run(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["_part"]))
+
+    return (
+        ds.map_batches(addpart, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(run, batch_format="pyarrow")
+    )

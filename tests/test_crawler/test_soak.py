@@ -121,3 +121,36 @@ def test_200_iteration_continuous_soak(tmp_path, make_crawl_engine):
     )
     assert eng2.iteration == 200
     eng2.run(1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_documents_merges_and_preserves_reads(tmp_path, make_crawl_engine):
+    """Compaction rewrites the append-only documents table to one row
+    per doc_id (latest _iter) — read_documents is unchanged before vs
+    after, the row count shrinks to the distinct doc count, and the
+    distributed path produces the same logical table as the driver
+    path."""
+    docs = pa.table({"doc_id": pa.array(np.arange(120), type=pa.int64())})
+    eng = make_crawl_engine(
+        str(tmp_path / "wd"),
+        batch_size=120,
+        actor_pools=False,
+        politeness_kwargs={"backoff_nb_req": 10**9},
+    )
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run(3)  # re-parses append superseded versions
+    before_rows = eng.documents.count()
+    logical_before = eng.read_documents().sort_by("doc_id")
+    distinct = len(set(eng.documents.read_arrow(columns=["doc_id"])["doc_id"].to_pylist()))
+    assert before_rows >= distinct  # something to compact (appends happened)
+
+    # distributed path must agree with the driver path
+    eng.DOCS_COMPACT_DRIVER_ROWS = 0
+    stats = eng.compact_documents()
+    assert stats["rows_after"] == distinct <= stats["rows_before"]
+    logical_after = eng.read_documents().sort_by("doc_id")
+    assert logical_after.equals(logical_before)
+    # idempotent
+    stats2 = eng.compact_documents()
+    assert stats2["rows_after"] == stats2["rows_before"] == distinct
+    eng.shutdown()
