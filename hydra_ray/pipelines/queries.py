@@ -2165,3 +2165,81 @@ ORACLE_CURATE_CORPUS = r"""
 
 QUERIES["curate_corpus"] = q_curate_corpus
 ORACLES["curate_corpus"] = ORACLE_CURATE_CORPUS
+
+
+def q_media_decode(sf_dir: str):
+    """Real media decode (sources/codecs.py): per doc a deterministic
+    16×16 RGB image — pixel(r,c,k) = (doc_id*7 + r*31 + c*13 + k*97)
+    % 256 — is PNG-ENCODED then decoded back through decode_image, and
+    a 256-sample waveform — sample(i) = (doc_id*11 + i*37) % 2048 - 1024
+    — round-trips WAV through decode_audio; the compared channel means
+    and sample stats are computed from the DECODED arrays, so a single
+    flipped bit anywhere in either codec fails the oracle (both codecs
+    are lossless; the oracle computes the same stats directly)."""
+    from hydra_ray.sources.codecs import encode_png, encode_wav
+    from hydra_ray.stages.multimodal import decode_audio, decode_image
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.arange(16).reshape(16, 1, 1)
+        c = np.arange(16).reshape(1, 16, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        i = np.arange(256)
+        means = np.zeros((len(ids), 3), dtype=np.float64)
+        wav_mean = np.zeros(len(ids), dtype=np.float64)
+        wav_peak = np.zeros(len(ids), dtype=np.int64)
+        for j, d in enumerate(ids):
+            img = ((int(d) * 7 + r * 31 + c * 13 + k * 97) % 256).astype(np.uint8)
+            decoded = decode_image(encode_png(img, filter_type=int(d) % 5))
+            means[j] = decoded.reshape(-1, 3).mean(axis=0)
+            samples = ((int(d) * 11 + i * 37) % 2048 - 1024).astype(np.int16)
+            arr, rate = decode_audio(encode_wav(samples, 16000))
+            assert rate == 16000
+            wav_mean[j] = arr[:, 0].astype(np.float64).mean()
+            wav_peak[j] = np.abs(arr[:, 0].astype(np.int64)).max()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "mean_r": pa.array(np.round(means[:, 0], 6)),
+                "mean_g": pa.array(np.round(means[:, 1], 6)),
+                "mean_b": pa.array(np.round(means[:, 2], 6)),
+                "wav_mean": pa.array(np.round(wav_mean, 6)),
+                "wav_peak": pa.array(wav_peak),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_MEDIA_DECODE = """
+    WITH px AS (
+        SELECT doc_id, k,
+               avg(CAST((doc_id * 7 + r * 31 + c * 13 + k * 97) % 256 AS DOUBLE)) AS m
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, 15)) AS r
+              FROM documents),
+             (SELECT unnest(generate_series(0, 15)) AS c),
+             (SELECT unnest(generate_series(0, 2)) AS k)
+        GROUP BY doc_id, k
+    ),
+    wv AS (
+        SELECT doc_id,
+               avg(CAST((doc_id * 11 + i * 37) % 2048 - 1024 AS DOUBLE)) AS wm,
+               max(abs((doc_id * 11 + i * 37) % 2048 - 1024)) AS wp
+        FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS i FROM documents)
+        GROUP BY doc_id
+    )
+    SELECT p0.doc_id,
+           round(p0.m, 6) AS mean_r, round(p1.m, 6) AS mean_g, round(p2.m, 6) AS mean_b,
+           round(w.wm, 6) AS wav_mean, CAST(w.wp AS BIGINT) AS wav_peak
+    FROM px p0
+    JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.k = 1
+    JOIN px p2 ON p2.doc_id = p0.doc_id AND p2.k = 2
+    JOIN wv w ON w.doc_id = p0.doc_id
+    WHERE p0.k = 0
+"""
+
+QUERIES["media_decode"] = q_media_decode
+ORACLES["media_decode"] = ORACLE_MEDIA_DECODE

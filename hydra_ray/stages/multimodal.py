@@ -3,17 +3,20 @@
 Media payloads are opaque ``binary`` columns with typed metadata
 (media_ref, media_type, n_bytes). The Ray-side plumbing — schema,
 actor-pool signature, batch sizing for large payloads — is real and
-tested; the actual codec work is stubbed because no image/audio
-libraries exist in this container:
+tested. Codec status:
 
   - ``MediaFetcher``   : media_ref → deterministic synthetic bytes
                          (stands in for the S3/HTTP blob fetch)
-  - ``decode_image``   : raises NotImplementedError unless a decoder
-                         callback is injected (the real deployment
-                         plugs Pillow/ffmpeg here)
+  - ``decode_image``   : REAL for PNG (sources/codecs.py, stdlib zlib
+                         decoder); other formats need an injected
+                         decoder (Pillow absent — honestly gated)
+  - ``decode_audio``   : REAL for 16-bit WAV (stdlib wave); other
+                         codecs gated the same way
   - ``MediaFeatures``  : byte-histogram + size features (vectorized,
                          deterministic — the stand-in for a real
-                         feature extractor / embedding model)
+                         feature extractor / embedding model);
+                         pixel/sample stats come from the decode path
+                         (queries: media_decode)
 
 Batches are kept small (MEDIA_BATCH_SIZE) so payload_bytes × batch ×
 concurrency stays inside a worker heap — the knob that matters for
@@ -57,14 +60,36 @@ class MediaFetcher:
 
 
 def decode_image(payload: bytes, decoder=None):
-    """STUB: decode an image payload to HxWxC. The container has no
-    imaging library; inject ``decoder`` (e.g. PIL.Image.open) in a real
-    deployment."""
-    if decoder is None:
-        raise NotImplementedError(
-            "image decoding requires an injected decoder (no imaging libs in sandbox)"
-        )
-    return decoder(payload)
+    """Decode an image payload to an HxWxC uint8 array.
+
+    PNG decodes natively (sources/codecs.py — zlib chunks + all five
+    scanline filters, stdlib only). Other formats (JPEG, WebP, …) need
+    an injected ``decoder`` (e.g. PIL.Image.open) — those libs are not
+    in this container, so they stay honestly gated."""
+    if decoder is not None:
+        return decoder(payload)
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from hydra_ray.sources.codecs import decode_png
+
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes natively; inject a decoder for other image formats"
+    )
+
+
+def decode_audio(payload: bytes, decoder=None):
+    """Decode an audio payload to (int16 samples (n, channels), rate).
+    WAV decodes natively (stdlib wave); other codecs need an injected
+    decoder (ffmpeg et al. absent from this container)."""
+    if decoder is not None:
+        return decoder(payload)
+    if bytes(payload[:4]) == b"RIFF":
+        from hydra_ray.sources.codecs import decode_wav
+
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only WAV decodes natively; inject a decoder for other audio formats"
+    )
 
 
 class MediaFeatures:

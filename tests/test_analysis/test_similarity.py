@@ -182,3 +182,33 @@ def test_cosine_near_dups_recall_on_planted_duplicates():
     assert not got - truth  # exact verify: no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, recall
+
+
+def test_png_wav_codecs_roundtrip_all_filters():
+    """Real media codecs (sources/codecs.py): PNG round-trips bit-exact
+    under every scanline filter; WAV round-trips 16-bit PCM; non-native
+    formats stay gated."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hydra_ray.sources.codecs import decode_png, encode_png, decode_wav, encode_wav
+    from hydra_ray.stages.multimodal import decode_audio, decode_image
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_image(encode_png(img, filter_type=ft)) == img).all()
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+    s = rng.integers(-32768, 32767, size=(200, 2)).astype(np.int16)
+    arr, rate = decode_audio(encode_wav(s, 44100))
+    assert rate == 44100 and (arr == s).all()
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xffjpeg-bytes")
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3mp3-bytes")
+    assert decode_image(b"anything", decoder=lambda b: "injected") == "injected"
