@@ -2243,3 +2243,27 @@ ORACLE_MEDIA_DECODE = """
 
 QUERIES["media_decode"] = q_media_decode
 ORACLES["media_decode"] = ORACLE_MEDIA_DECODE
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style pre-tokenizer counting (stages/text.py::
+    bpe_token_count_batch) — the 'BPE-ish regex' half of the token-
+    counting pair; identical RE2 semantics in pyarrow and DuckDB make
+    the oracle exact per document."""
+    from hydra_ray.stages.text import bpe_token_count_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_BPE_TOKEN_COUNTS = """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '(?:''(?:s|d|m|t|ll|ve|re))| ?[[:alpha:]]+| ?[[:digit:]]+| ?[^ [:alpha:][:digit:]]+'
+           )) AS n_bpe_tokens
+    FROM documents
+"""
+
+QUERIES["bpe_token_counts"] = q_bpe_token_counts
+ORACLES["bpe_token_counts"] = ORACLE_BPE_TOKEN_COUNTS

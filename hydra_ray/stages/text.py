@@ -31,6 +31,29 @@ def _tokens_arr(text: pa.Array) -> pa.Array:
     return pc.split_pattern_regex(pc.utf8_trim_whitespace(text), pattern=r"\s+")
 
 
+# GPT-2-style pre-tokenizer shape (contractions | letter runs | digit
+# runs | punctuation runs, each with optional leading space) in RE2
+# syntax — identical counts in pyarrow and DuckDB (both RE2-based),
+# which is what makes the oracle exact.
+BPE_TOKEN_RE = r"(?:'(?:s|d|m|t|ll|ve|re))| ?[[:alpha:]]+| ?[[:digit:]]+| ?[^ [:alpha:][:digit:]]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """BPE-ish token counting (the brief's 'whitespace + a BPE-ish
+    regex' pair: text_stats_batch counts whitespace tokens, this counts
+    GPT-2-pre-tokenizer pieces) — one vectorized RE2 scan per batch."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = pc.count_substring_regex(text, pattern=BPE_TOKEN_RE)
+    return pa.table(
+        {
+            "doc_id": batch[doc_id_col],
+            "n_bpe_tokens": pc.cast(n, pa.int64()),
+        }
+    )
+
+
 def text_stats_batch(batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):

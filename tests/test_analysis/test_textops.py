@@ -149,3 +149,17 @@ def test_sample_per_group_deterministic_and_parallelism_invariant():
         .reset_index(drop=True)
     )
     assert not a["doc_id"].equals(c["doc_id"])  # seed changes the draw
+
+
+def test_bpe_token_count_pretokenizer_shapes():
+    from hydra_ray.stages.text import bpe_token_count_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["Hello world, it's 42 tokens!", "", "héllo wörld 漢字"]),
+        }
+    )
+    out = bpe_token_count_batch(t)
+    # contractions split ('s), punctuation runs separate, unicode letters count
+    assert out["n_bpe_tokens"].to_pylist() == [8, 0, 7]
