@@ -32,12 +32,16 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    near_dup_threshold: float | None = None,
 ) -> "rd.Dataset":
     """documents(doc_id, text, lang) → per-language curation stats
     (lang, n_docs, n_chunks, sum_toks) over the quality-passing,
-    exact-deduplicated corpus."""
+    exact-deduplicated corpus. With ``near_dup_threshold`` set, a
+    MinHash-LSH near-dup pass follows exact dedup and the HIGHER
+    doc_id of every verified near-dup pair is dropped (greedy
+    keep-smallest, via one anti-semi-join shuffle)."""
     from hydra_ray.stages.agg import grouped_agg
-    from hydra_ray.stages.dedup import dedup_exact
+    from hydra_ray.stages.dedup import dedup_exact, dedup_minhash
     from hydra_ray.stages.joins import semi_join
     from hydra_ray.stages.text import chunk_documents, quality_batch
 
@@ -49,6 +53,17 @@ def curate_corpus(
         lambda t: t.select([id_col]), batch_format="pyarrow"
     )
     survivors = semi_join(good, winners, id_col)
+    if near_dup_threshold is not None:
+        pairs = dedup_minhash(
+            survivors.map_batches(
+                lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+            ),
+            threshold=near_dup_threshold,
+        )
+        losers = pairs.map_batches(
+            lambda t: pa.table({id_col: t["doc_b"]}), batch_format="pyarrow"
+        )
+        survivors = semi_join(survivors, losers, id_col, anti=True)
     chunks = chunk_documents(
         survivors,
         max_tokens=max_tokens,

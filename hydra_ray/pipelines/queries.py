@@ -1695,7 +1695,7 @@ def _mulwrap2_sql(x: str, y: str) -> str:
     )
 
 
-def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+def _minhash_oracle_sql(threshold: float = 0.5, src: str = "documents") -> str:
     """The ENTIRE MinHash-LSH near-dup pipeline in SQL: md5 token
     hashes (little-endian), splitmix64 3-shingles, 64 permutations with
     exact uint64 wraparound ((h*a + b) mod 2^64 mod 2^61-1 — numpy
@@ -1712,7 +1712,7 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
     m61 = _M61_SQL
     return f"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM {src}
 ),
 tok AS (
     SELECT doc_id, i, arr[i] AS w
@@ -2267,3 +2267,59 @@ ORACLE_BPE_TOKEN_COUNTS = """
 
 QUERIES["bpe_token_counts"] = q_bpe_token_counts
 ORACLES["bpe_token_counts"] = ORACLE_BPE_TOKEN_COUNTS
+
+
+def q_curate_near_dup(sf_dir: str):
+    """Full curation with near-dup removal: quality gate → exact dedup
+    → MinHash-LSH near-dup pass (drop the higher doc_id of each
+    verified pair, one anti-semi-join) → chunking → per-language stats.
+    The oracle composes the entire MinHash SQL pipeline over the
+    exact-dedup survivors."""
+    from hydra_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]),
+        near_dup_threshold=0.5,
+    )
+
+
+def _curate_near_dup_oracle_sql() -> str:
+    pairs_sql = _minhash_oracle_sql(threshold=0.5, src="surv")
+    return rf"""
+    WITH q AS (
+        SELECT doc_id, text, lang
+        FROM (
+            SELECT doc_id, text, lang,
+                   CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents
+        )
+        WHERE n_tokens >= 5 AND n_tokens <= 10000 AND digit_ratio < 0.3
+    ),
+    surv AS (
+        SELECT doc_id, text, lang FROM q
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    nd_pairs AS ({pairs_sql}),
+    kept AS (
+        SELECT * FROM surv
+        WHERE doc_id NOT IN (SELECT doc_b FROM nd_pairs)
+    ),
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM kept),
+    c AS (
+        SELECT doc_id, lang, len(ts) AS n,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil((len(ts) - 8.0) / 24.0), 1) AS BIGINT) - 1)) AS j
+        FROM toks
+    )
+    SELECT lang,
+           count(*) FILTER (j = 0) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(least(j * 24 + 32, n) - j * 24) AS BIGINT) AS sum_toks
+    FROM c GROUP BY lang
+"""
+
+
+QUERIES["curate_near_dup"] = q_curate_near_dup
+ORACLES["curate_near_dup"] = _curate_near_dup_oracle_sql()

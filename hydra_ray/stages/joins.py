@@ -167,12 +167,15 @@ def semi_join(
     keys: "rd.Dataset",
     key: str,
     num_parts: int = DEFAULT_PARTS,
+    anti: bool = False,
 ) -> "rd.Dataset":
     """Distributed semi-join: keep left rows whose ``key`` appears in
-    the 1-column ``keys`` dataset. Both sides go through ONE hash
-    shuffle on the key — no driver materialization, no broadcast — so
-    it holds when the key set is corpus-sized (e.g. dedup survivors).
-    Left row order within a partition is preserved."""
+    the 1-column ``keys`` dataset (``anti=True`` inverts: keep rows
+    whose key does NOT appear — the near-dup-removal filter). Both
+    sides go through ONE hash shuffle on the key — no driver
+    materialization, no broadcast — so it holds when the key set is
+    corpus-sized (e.g. dedup survivors). Left row order within a
+    partition is preserved."""
 
     def tag_left(t: pa.Table) -> pa.Table:
         return t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
@@ -200,7 +203,10 @@ def semi_join(
 
     def keep_members(df: "pd.DataFrame") -> "pd.DataFrame":
         member = set(df.loc[df["_side"] == 1, key])
-        out = df[(df["_side"] == 0) & df[key].isin(member)][left_cols]
+        mask = df[key].isin(member)
+        if anti:
+            mask = ~mask
+        out = df[(df["_side"] == 0) & mask][left_cols]
         # cross-side padding floats integer columns; restore
         for f in schema:
             if pa.types.is_integer(f.type) and f.name in out.columns:

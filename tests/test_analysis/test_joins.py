@@ -203,3 +203,51 @@ def test_curate_corpus_pipeline_counts():
     assert out.loc["fr", "sum_toks"] == 32 + 16  # clipped second window
     assert out.loc["en", "n_docs"] == 1 and out.loc["en", "n_chunks"] == 1
     assert out.loc["en", "sum_toks"] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_semi_join():
+    from hydra_ray.stages.joins import semi_join
+
+    left = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()), "v": pa.array(list("abcd"))}
+    )
+    keys = pa.table({"doc_id": pa.array([2, 4], type=pa.int64())})
+    out = (
+        semi_join(rd.from_arrow(left), rd.from_arrow(keys), "doc_id", anti=True)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_corpus_near_dup_removal():
+    """With near_dup_threshold set, a near-duplicate (one word changed)
+    of a kept doc is dropped (higher doc_id loses); without it, both
+    survive exact dedup."""
+    from hydra_ray.pipelines.curate import curate_corpus
+
+    base_words = ["w" + "x" * (i % 7) for i in range(40)]
+    near = list(base_words)
+    near[5] = "changedword"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [" ".join(base_words), " ".join(near), " ".join(["distinct"] * 20)]
+            ),
+            "lang": pa.array(["fr", "fr", "en"]),
+        }
+    )
+    plain = (
+        curate_corpus(rd.from_arrow(t)).to_pandas().set_index("lang")["n_docs"].to_dict()
+    )
+    assert plain == {"fr": 2, "en": 1}  # not exact dupes -> both kept
+    nd = (
+        curate_corpus(rd.from_arrow(t), near_dup_threshold=0.5)
+        .to_pandas()
+        .set_index("lang")["n_docs"]
+        .to_dict()
+    )
+    assert nd == {"fr": 1, "en": 1}  # doc 2 dropped as near-dup of doc 1
