@@ -2323,3 +2323,33 @@ def _curate_near_dup_oracle_sql() -> str:
 
 QUERIES["curate_near_dup"] = q_curate_near_dup
 ORACLES["curate_near_dup"] = _curate_near_dup_oracle_sql()
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Order statistics + exact distinct counts per key
+    (stages/agg.py::grouped_stats): median and p90 of event value plus
+    distinct users per event_type — the non-mergeable aggregate family
+    (quantile_cont semantics match pandas linear interpolation)."""
+    from hydra_ray.stages.agg import grouped_stats
+
+    return grouped_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]),
+        key="event_type",
+        value_col="value",
+        quantiles=(0.5, 0.9),
+        distinct_col="user_id",
+    )
+
+
+ORACLE_GROUPED_QUANTILES = """
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS q50,
+           round(quantile_cont(value, 0.9), 6) AS q90,
+           count(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+"""
+
+QUERIES["grouped_quantiles"] = q_grouped_quantiles
+ORACLES["grouped_quantiles"] = ORACLE_GROUPED_QUANTILES

@@ -135,3 +135,46 @@ def windowed_agg(
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return grouped_agg(assigned, keys=["window_start", *keys], aggs=aggs)
+
+
+def grouped_stats(
+    ds: "rd.Dataset",
+    key: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    distinct_col: str | None = None,
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Per-key order statistics + exact distinct counts — the aggregate
+    shapes grouped_agg's mergeable partials can't express. One keyed
+    shuffle co-locates each key; quantiles/nunique run vectorized per
+    partition (pandas groupby). Quantile semantics = linear
+    interpolation (pandas default == DuckDB quantile_cont).
+
+    At 100 TB exact per-key quantiles require the key's rows in one
+    partition (num_parts sizes that); a t-digest partial would relax
+    this at the cost of exactness — out of scope while the oracle
+    demands bit-parity."""
+    import pandas as pd
+
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key, sort=False):
+            row = {key: k, "n": len(g)}
+            for q in quantiles:
+                row[f"q{int(q * 100)}"] = round(float(g[value_col].quantile(q)), 6)
+            if distinct_col is not None:
+                row["n_distinct"] = int(g[distinct_col].nunique())
+            rows.append(row)
+        if not rows:
+            cols = {key: pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            for q in quantiles:
+                cols[f"q{int(q * 100)}"] = pd.Series(dtype="float64")
+            if distinct_col is not None:
+                cols["n_distinct"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows)
+
+    return keyed_map_partitions(ds, [key], stats, num_parts=num_parts)

@@ -163,3 +163,28 @@ def test_bpe_token_count_pretokenizer_shapes():
     out = bpe_token_count_batch(t)
     # contractions split ('s), punctuation runs separate, unicode letters count
     assert out["n_bpe_tokens"].to_pylist() == [8, 0, 7]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_stats_quantiles_and_distinct():
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import grouped_stats
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5 + ["b"] * 3),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 30.0]),
+            "u": pa.array([1, 1, 2, 3, 3, 7, 7, 8], type=pa.int64()),
+        }
+    )
+    out = (
+        grouped_stats(rd.from_arrow(t).repartition(3), key="k", value_col="v",
+                      quantiles=(0.5,), distinct_col="u")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc["a", "q50"] == 3.0 and out.loc["b", "q50"] == 20.0
+    assert out.loc["a", "n_distinct"] == 3 and out.loc["b", "n_distinct"] == 2
+    assert out.loc["a", "n"] == 5
