@@ -2353,3 +2353,40 @@ ORACLE_GROUPED_QUANTILES = """
 
 QUERIES["grouped_quantiles"] = q_grouped_quantiles
 ORACLES["grouped_quantiles"] = ORACLE_GROUPED_QUANTILES
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog sketch registers per event_type (stages/agg.py::
+    hll_registers, p=6): the mergeable approximate-distinct shape —
+    ≤64 rows per (key, block) cross the shuffle regardless of row
+    count. Integer register maxima are bit-exact against the SQL
+    replication of splitmix64 + leading-zero ranks (the ESTIMATE is
+    float; accuracy is asserted in tests against exact distinct)."""
+    from hydra_ray.stages.agg import hll_registers
+
+    return hll_registers(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]),
+        key="event_type",
+        col="user_id",
+        p=6,
+    )
+
+
+ORACLE_HLL_REGISTERS = f"""
+    WITH hr_0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS v FROM events),
+    {_mix64_ctes_sql("hr", "v", "event_type")},
+    rr AS (
+        SELECT event_type,
+               CAST(v // 288230376151711744 AS BIGINT) AS register,
+               CAST((CAST(v AS HUGEINT) % 288230376151711744) * 64 AS UBIGINT) AS rest
+        FROM hr_5
+    )
+    SELECT event_type, register,
+           max(CASE WHEN rest = 0 THEN 59
+                    ELSE 64 - (length(bin(rest)) - 1) END) AS max_rank
+    FROM rr
+    GROUP BY event_type, register
+"""
+
+QUERIES["hll_registers"] = q_hll_registers
+ORACLES["hll_registers"] = ORACLE_HLL_REGISTERS

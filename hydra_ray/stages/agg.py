@@ -178,3 +178,87 @@ def grouped_stats(
         return pd.DataFrame(rows)
 
     return keyed_map_partitions(ds, [key], stats, num_parts=num_parts)
+
+
+def _floor_log2_u64(x):
+    """Exact vectorized floor(log2(x)) for uint64 (0 stays 0)."""
+    import numpy as np
+
+    y = x.astype(np.uint64, copy=True)
+    bl = np.zeros(len(y), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = y >= (np.uint64(1) << np.uint64(s))
+        y = np.where(mask, y >> np.uint64(s), y)
+        bl += s * mask.astype(np.int64)
+    return bl
+
+
+def hll_registers(
+    ds: "rd.Dataset",
+    key: str,
+    col: str,
+    p: int = 6,
+) -> "rd.Dataset":
+    """HyperLogLog register table per key: (key, register, max_rank).
+
+    The mergeable-sketch shape for approximate distinct counting at
+    100 TB: each block contributes at most ``2^p`` rows per key to the
+    shuffle (register maxima merge with max), so the exchange volume is
+    O(keys × m), independent of row count. Hash = splitmix64 (the
+    engine's shared SQL-reproducible mixer), register = top p bits,
+    rank = leading-zero count of the remaining 64-p bits + 1 — integer
+    outputs, so the DuckDB oracle is bit-exact. ``hll_estimate`` turns
+    the registers into the cardinality estimate."""
+    import numpy as np
+
+    from hydra_ray.state.cuckoo import _mix64
+
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=t.schema.field(key).type),
+                    "register": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _mix64(vals)
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) & mask64
+        rank = np.where(rest == 0, 64 - p + 1, 64 - _floor_log2_u64(rest)).astype(np.int64)
+        g = (
+            pa.table({key: t[key], "register": pa.array(reg), "rank": pa.array(rank)})
+            .group_by([key, "register"])
+            .aggregate([("rank", "max")])
+        )
+        return g.rename_columns([key, "register", "rank"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, keys=[key, "register"], aggs=[("rank", "max", "max_rank")])
+
+
+def hll_estimate(registers, p: int = 6) -> dict:
+    """Register table (key, register, max_rank) → {key: estimated
+    cardinality} with the standard HyperLogLog bias corrections."""
+    import math
+
+    import pandas as pd
+
+    if not isinstance(registers, pd.DataFrame):
+        registers = registers.to_pandas()
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    out = {}
+    key_col = [c for c in registers.columns if c not in ("register", "max_rank")][0]
+    for k, g in registers.groupby(key_col, sort=False):
+        ranks = dict(zip(g["register"], g["max_rank"]))
+        s = sum(2.0 ** -ranks.get(j, 0) for j in range(m))
+        est = alpha * m * m / s
+        zeros = m - len(ranks)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        out[k] = est
+    return out

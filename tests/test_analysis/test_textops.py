@@ -188,3 +188,25 @@ def test_grouped_stats_quantiles_and_distinct():
     assert out.loc["a", "q50"] == 3.0 and out.loc["b", "q50"] == 20.0
     assert out.loc["a", "n_distinct"] == 3 and out.loc["b", "n_distinct"] == 2
     assert out.loc["a", "n"] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_estimate_accuracy():
+    """HLL estimate within 10% of exact distinct at p=10 (standard
+    error 1.04/sqrt(1024) ≈ 3.3%); registers are parallelism-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 5000, size=50_000)
+    t = pa.table({"k": pa.array(["g"] * len(vals)), "v": pa.array(vals, type=pa.int64())})
+    regs_a = hll_registers(rd.from_arrow(t).repartition(7), "k", "v", p=10).to_pandas()
+    regs_b = hll_registers(rd.from_arrow(t).repartition(2), "k", "v", p=10).to_pandas()
+    assert regs_a.sort_values(["register"]).reset_index(drop=True).equals(
+        regs_b.sort_values(["register"]).reset_index(drop=True)
+    )
+    exact = len(set(vals.tolist()))
+    est = hll_estimate(regs_a, p=10)["g"]
+    assert abs(est - exact) / exact < 0.10, (est, exact)
