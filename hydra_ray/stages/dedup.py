@@ -600,6 +600,7 @@ def duplicated_passages(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int = 64,
+    max_gram_freq: int | None = None,
 ) -> "rd.Dataset":
     """Exact duplicated-passage detection (the Lee et al. 2022
     "Deduplicating Training Data" substring-dedup shape, reduced to
@@ -613,7 +614,13 @@ def duplicated_passages(
     identical grams (keyed on the gram TEXT for exactness — at 100 TB
     swap the key for a 128-bit gram hash, collisions negligible), and
     a second (doc-keyed, tiny) shuffle merges span islands vectorized.
-    Nothing touches the driver."""
+    Nothing touches the driver.
+
+    ``max_gram_freq`` is the skew guard: a gram above the cap (ubiquitous
+    boilerplate — the 100-TB hot key that would pile one partition up)
+    is ignored entirely, the same truncation Lee et al. apply to
+    high-frequency substrings. All occurrences of a gram are co-located,
+    so the cap is evaluated exactly."""
     from hydra_ray.stages.keyed import keyed_map_partitions
 
     def emit_grams(t: pa.Table) -> pa.Table:
@@ -638,8 +645,11 @@ def duplicated_passages(
     grams = ds.map_batches(emit_grams, batch_format="pyarrow")
 
     def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        nuniq = df.groupby("gram", sort=False)[id_col].transform("nunique")
-        return df.loc[nuniq >= min_docs, [id_col, "pos"]].drop_duplicates()
+        g = df.groupby("gram", sort=False)
+        keep = g[id_col].transform("nunique") >= min_docs
+        if max_gram_freq is not None:
+            keep &= g["pos"].transform("size") <= max_gram_freq
+        return df.loc[keep, [id_col, "pos"]].drop_duplicates()
 
     hits = keyed_map_partitions(grams, ["gram"], dup_hits, num_parts)
 

@@ -187,3 +187,44 @@ def test_duplicated_passages_spans_and_merging():
     assert out["doc_id"].tolist() == [1, 2]
     assert out.loc[0, ["start_tok", "end_tok", "n_grams"]].tolist() == [3, 8, 2]
     assert out.loc[1, ["start_tok", "end_tok", "n_grams"]].tolist() == [2, 7, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicated_passages_gram_frequency_cap_and_invariance():
+    """max_gram_freq drops ubiquitous boilerplate grams (the hot-key
+    skew guard); output is invariant under input partitioning."""
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import duplicated_passages
+
+    boiler = "same old boiler plate text"  # appears in every doc (6 hits)
+    uniq = "alpha beta gamma delta epsilon"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": pa.array(
+                [f"{boiler} one", f"{boiler} two", f"{boiler} three",
+                 f"x {uniq} y", f"z {uniq} w", f"{boiler} four"]
+            ),
+        }
+    )
+    capped = (
+        duplicated_passages(rd.from_arrow(t).repartition(3), k=5, max_gram_freq=3)
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    # boiler gram occurs 4x (> cap) -> only the uniq passage pair remains
+    assert set(capped["doc_id"]) == {4, 5}
+    uncapped = duplicated_passages(rd.from_arrow(t).repartition(2), k=5).to_pandas()
+    assert set(uncapped["doc_id"]) == {1, 2, 3, 4, 5, 6}
+    # partitioning invariance
+    a = (
+        duplicated_passages(rd.from_arrow(t).repartition(6), k=5)
+        .to_pandas().sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+    )
+    b = (
+        duplicated_passages(rd.from_arrow(t), k=5)
+        .to_pandas().sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
