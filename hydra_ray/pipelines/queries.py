@@ -2390,3 +2390,48 @@ ORACLE_HLL_REGISTERS = f"""
 
 QUERIES["hll_registers"] = q_hll_registers
 ORACLES["hll_registers"] = ORACLE_HLL_REGISTERS
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition filters (stages/text.py::
+    repetition_stats_batch): duplicate-3-gram fraction + top-2-gram
+    token coverage per document."""
+    from hydra_ray.stages.text import repetition_stats_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_REPETITION_STATS = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g3 AS (
+        SELECT doc_id, count(*) AS total, count(DISTINCT g) AS uniq
+        FROM (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                    FROM toks))
+        GROUP BY doc_id
+    ),
+    g2 AS (
+        SELECT doc_id, max(c) AS best
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+                    FROM (SELECT doc_id, ts,
+                                 unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                          FROM toks))
+              GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, len(ts) AS n FROM toks)
+    SELECT t.doc_id,
+           COALESCE(round(1.0 - g3.uniq * 1.0 / g3.total, 6), 0.0) AS dup_3gram_frac,
+           COALESCE(round(g2.best * 2.0 / n.n, 6), 0.0) AS top_2gram_frac
+    FROM (SELECT doc_id FROM documents) t
+    LEFT JOIN g3 USING (doc_id)
+    LEFT JOIN g2 USING (doc_id)
+    LEFT JOIN n USING (doc_id)
+"""
+
+QUERIES["repetition_stats"] = q_repetition_stats
+ORACLES["repetition_stats"] = ORACLE_REPETITION_STATS

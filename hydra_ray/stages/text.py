@@ -293,3 +293,38 @@ def sample_per_group(
         return df.drop(columns=["_rh"])
 
     return keyed_map_partitions(hashed, [key], pick, num_parts=num_parts)
+
+
+def repetition_stats_batch(
+    batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 §A1.1): the fraction of 3-gram
+    occurrences that are repeats (1 - distinct/total) and the fraction
+    of tokens covered by occurrences of the single most frequent
+    2-gram. High values flag boilerplate/spam for the quality gate."""
+    ids = batch[doc_id_col]
+    texts = batch[text_col].to_pylist()
+    dup3 = np.zeros(len(texts), dtype=np.float64)
+    top2 = np.zeros(len(texts), dtype=np.float64)
+    for i, text in enumerate(texts):
+        toks = (text or "").split(" ")
+        n = len(toks)
+        if n >= 3:
+            total3 = n - 2
+            grams3 = {" ".join(toks[j : j + 3]) for j in range(total3)}
+            dup3[i] = round(1.0 - len(grams3) / total3, 6)
+        if n >= 2:
+            counts: dict[str, int] = {}
+            for j in range(n - 1):
+                g = " ".join(toks[j : j + 2])
+                counts[g] = counts.get(g, 0) + 1
+            best = max(counts.values())
+            top2[i] = round(best * 2.0 / n, 6)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "dup_3gram_frac": pa.array(dup3),
+            "top_2gram_frac": pa.array(top2),
+        }
+    )

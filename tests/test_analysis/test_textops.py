@@ -210,3 +210,27 @@ def test_hll_estimate_accuracy():
     exact = len(set(vals.tolist()))
     est = hll_estimate(regs_a, p=10)["g"]
     assert abs(est - exact) / exact < 0.10, (est, exact)
+
+
+def test_repetition_stats_gopher_signals():
+    from hydra_ray.stages.text import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "spam spam spam spam spam spam",  # one 3-gram repeated
+                    "all words here are fully distinct tokens",
+                    "ab",  # too short for 3-grams
+                ]
+            ),
+        }
+    )
+    out = repetition_stats_batch(t).to_pydict()
+    # doc1: 4 identical 3-grams -> dup frac 1 - 1/4; top 2-gram covers all
+    assert out["dup_3gram_frac"][0] == 0.75
+    assert out["top_2gram_frac"][0] == round(5 * 2 / 6, 6)
+    assert out["dup_3gram_frac"][1] == 0.0
+    assert out["top_2gram_frac"][1] == round(2 / 7, 6)
+    assert out["dup_3gram_frac"][2] == 0.0 and out["top_2gram_frac"][2] == 0.0
