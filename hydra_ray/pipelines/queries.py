@@ -2435,3 +2435,30 @@ ORACLE_REPETITION_STATS = """
 
 QUERIES["repetition_stats"] = q_repetition_stats
 ORACLES["repetition_stats"] = ORACLE_REPETITION_STATS
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch counters over event user_ids (stages/agg.py::
+    cms_counts, depth 4 × width 256) — the heavy-hitter sketch; counter
+    table is bit-exact against the SQL splitmix64 replication (the
+    min-query estimator is tested against exact counts in pytest)."""
+    from hydra_ray.stages.agg import cms_counts
+
+    return cms_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]), col="user_id"
+    )
+
+
+ORACLE_CMS_COUNTS = f"""
+    WITH cm_0 AS (
+        SELECT d.d AS d, CAST(user_id AS UBIGINT) + d.s AS v
+        FROM events
+        CROSS JOIN (VALUES (0, 1000003), (1, 10007), (2, 2003), (3, 31)) d(d, s)
+    ),
+    {_mix64_ctes_sql("cm", "v", "d")}
+    SELECT d, CAST(v % 256 AS BIGINT) AS w, count(*) AS count
+    FROM cm_5 GROUP BY d, w
+"""
+
+QUERIES["cms_counts"] = q_cms_counts
+ORACLES["cms_counts"] = ORACLE_CMS_COUNTS

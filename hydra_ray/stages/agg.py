@@ -262,3 +262,70 @@ def hll_estimate(registers, p: int = 6) -> dict:
             est = m * math.log(m / zeros)
         out[k] = est
     return out
+
+
+CMS_SEEDS = (1000003, 10007, 2003, 31)
+
+
+def cms_counts(
+    ds: "rd.Dataset",
+    col: str,
+    width: int = 256,
+    seeds: tuple[int, ...] = CMS_SEEDS,
+) -> "rd.Dataset":
+    """Count-min sketch counters: (d, w, count) with
+    w = splitmix64(value + seed_d) % width.
+
+    The other mergeable sketch (heavy hitters at 100 TB): counters
+    merge by SUM, so each block contributes ≤ depth × width rows to the
+    shuffle regardless of row count — the grouped_agg partial/combiner
+    path does the merge. Counters are integers, so the DuckDB oracle is
+    bit-exact; ``cms_estimate`` answers point queries (min over rows,
+    the standard overestimate-only guarantee)."""
+    import numpy as np
+
+    from hydra_ray.state.cuckoo import _mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ds_out, ws, cs = [], [], []
+        for d, seed in enumerate(seeds):
+            w = (_mix64(vals + np.uint64(seed)) % np.uint64(width)).astype(np.int64)
+            counts = np.bincount(w, minlength=width)
+            nz = np.nonzero(counts)[0]
+            ds_out.append(np.full(len(nz), d, dtype=np.int64))
+            ws.append(nz.astype(np.int64))
+            cs.append(counts[nz].astype(np.int64))
+        return pa.table(
+            {
+                "d": pa.array(np.concatenate(ds_out) if ds_out else []),
+                "w": pa.array(np.concatenate(ws) if ws else []),
+                "c": pa.array(np.concatenate(cs) if cs else []),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, keys=["d", "w"], aggs=[("c", "sum", "count")])
+
+
+def cms_estimate(counters, items, width: int = 256, seeds: tuple[int, ...] = CMS_SEEDS) -> dict:
+    """Point-query the sketch: {item: estimated count} (min over the
+    depth rows; never underestimates)."""
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.state.cuckoo import _mix64
+
+    if not isinstance(counters, pd.DataFrame):
+        counters = counters.to_pandas()
+    table = {(int(r.d), int(r.w)): int(r.count) for r in counters.itertuples(index=False)}
+    out = {}
+    arr = np.asarray(items, dtype=np.uint64)
+    w64 = np.uint64(width)  # NB: uint64 % python-int promotes to float64
+    for i, item in enumerate(items):
+        est = min(
+            table.get((d, int(_mix64(arr[i : i + 1] + np.uint64(seed))[0] % w64)), 0)
+            for d, seed in enumerate(seeds)
+        )
+        out[item] = est
+    return out

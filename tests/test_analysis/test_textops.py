@@ -234,3 +234,26 @@ def test_repetition_stats_gopher_signals():
     assert out["dup_3gram_frac"][1] == 0.0
     assert out["top_2gram_frac"][1] == round(2 / 7, 6)
     assert out["dup_3gram_frac"][2] == 0.0 and out["top_2gram_frac"][2] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_heavy_hitter_estimates():
+    """CMS never underestimates; the planted heavy hitter's estimate is
+    tight (collision noise bounded by n/width per row)."""
+    import numpy as np
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import cms_counts, cms_estimate
+
+    rng = np.random.default_rng(9)
+    tail = rng.integers(0, 1000, size=5000)
+    heavy = np.full(2000, 777_777, dtype=np.int64)
+    vals = np.concatenate([tail, heavy])
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    counters = cms_counts(rd.from_arrow(t).repartition(6), col="v", width=1024)
+    est = cms_estimate(counters, [777_777, int(tail[0])], width=1024)
+    exact_heavy = 2000 + int((tail == 777_777).sum())
+    assert est[777_777] >= exact_heavy  # overestimate-only
+    assert est[777_777] <= exact_heavy + 7000 // 1024 * 4 + 50  # tight
+    exact_tail = int((tail == tail[0]).sum())
+    assert est[int(tail[0])] >= exact_tail
