@@ -2462,3 +2462,69 @@ ORACLE_CMS_COUNTS = f"""
 
 QUERIES["cms_counts"] = q_cms_counts
 ORACLES["cms_counts"] = ORACLE_CMS_COUNTS
+
+
+def q_sampled_quantiles(sf_dir: str):
+    """Bottom-k hash-sampled quantiles (stages/agg.py::
+    sampled_quantiles, k=128, seed=5): the MERGEABLE quantile sketch —
+    each block ships ≤k rows per key, vs grouped_stats' exact path that
+    co-locates every row of a key. The splitmix64 rank makes the sample
+    (and hence the estimates) parallelism-invariant and bit-exact
+    reproducible in SQL."""
+    from hydra_ray.stages.agg import sampled_quantiles
+
+    return sampled_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value", "event_id"]),
+        key="event_type",
+        value_col="value",
+        id_col="event_id",
+        k=128,
+        quantiles=(0.5, 0.9),
+        seed=5,
+    )
+
+
+ORACLE_SAMPLED_QUANTILES = f"""
+    WITH sq_0 AS (SELECT event_type, value, event_id,
+                         CAST(event_id + 5 AS UBIGINT) AS v FROM events),
+    {_mix64_ctes_sql("sq", "v", "event_type, value, event_id")},
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM sq_5
+    )
+    SELECT event_type,
+           any_value(n) AS n,
+           count(*) AS n_sample,
+           round(quantile_cont(value, 0.5), 6) AS q50,
+           round(quantile_cont(value, 0.9), 6) AS q90
+    FROM ranked WHERE rn <= 128
+    GROUP BY event_type
+"""
+
+QUERIES["sampled_quantiles"] = q_sampled_quantiles
+ORACLES["sampled_quantiles"] = ORACLE_SAMPLED_QUANTILES
+
+
+def q_tdigest_quantiles(sf_dir: str):
+    """t-digest quantile estimates per event_type (stages/agg.py::
+    tdigest_centroids δ=100 + tdigest_quantile): the classic mergeable
+    quantile sketch — ≤δ centroids per (key, block) cross the shuffle.
+    Estimates depend on block boundaries (true of every parallel
+    t-digest), so there is no bit-exact SQL oracle; the invariants —
+    exact integer weight totals, ≤δ centroids per key, rank error
+    bounds at q01/q50/q90/q99 on skewed data — are pytest-asserted
+    (test_textops.py::test_tdigest_exact_weights_and_rank_error)."""
+    from hydra_ray.stages.agg import tdigest_centroids, tdigest_quantile
+
+    cents = tdigest_centroids(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
+        key="event_type",
+        value_col="value",
+        delta=100,
+    )
+    return tdigest_quantile(cents, "event_type", (0.01, 0.5, 0.9, 0.99))
+
+
+QUERIES["tdigest_quantiles"] = q_tdigest_quantiles

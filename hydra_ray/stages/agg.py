@@ -308,6 +308,185 @@ def cms_counts(
     return grouped_agg(partials, keys=["d", "w"], aggs=[("c", "sum", "count")])
 
 
+def sampled_quantiles(
+    ds: "rd.Dataset",
+    key: str,
+    value_col: str,
+    id_col: str,
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    seed: int = 0,
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Approximate per-key quantiles from a bottom-k hash sample.
+
+    The mergeable alternative to ``grouped_stats``'s exact order
+    statistics: each key keeps the ``k`` rows whose
+    ``splitmix64(id + seed)`` rank is smallest — a bottom-k sketch, so
+    partials merge by re-applying keep-k and each block contributes at
+    most ``k`` rows per key to the exchange (O(keys × k) volume at
+    100 TB, independent of row count — ``grouped_stats`` needs every
+    row of a key in one partition). The hash ranks are a uniform
+    permutation of the key's rows, so the sample quantile estimates the
+    true quantile with order-statistic error O(1/sqrt(k)). The rank is
+    a pure function of the row id — deterministic and
+    parallelism-invariant — so the DuckDB oracle reproduces the exact
+    sample with QUALIFY row_number() OVER (ORDER BY mix64, id) <= k.
+
+    Output: one row per key — (key, n, n_sample, q50, q90, ...) with
+    ``n`` the EXACT total row count (block counts piggyback on the
+    sample rows, no second pass over the input)."""
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.state.cuckoo import _mix64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype=df[key].dtype if key in df else "object"),
+                    value_col: pd.Series(dtype="float64"),
+                    id_col: pd.Series(dtype="int64"),
+                    "_r": pd.Series(dtype="uint64"),
+                    "_cnt": pd.Series(dtype="int64"),
+                }
+            )
+        r = _mix64(df[id_col].to_numpy().astype(np.uint64) + np.uint64(seed))
+        out = df[[key, value_col, id_col]].assign(_r=r)
+        out = out.sort_values(["_r", id_col], kind="mergesort")
+        samp = out.groupby(key, sort=False).head(k).copy()
+        # exact per-key batch counts ride on the first sample row of
+        # each key (every key with rows emits >=1 sample row)
+        counts = df.groupby(key, sort=False).size()
+        first = ~samp[key].duplicated()
+        cnt = np.zeros(len(samp), dtype=np.int64)
+        cnt[first.to_numpy()] = counts.loc[samp.loc[first, key]].to_numpy()
+        samp["_cnt"] = cnt
+        return samp
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = {key: pd.Series(dtype="object"), "n": pd.Series(dtype="int64"),
+                    "n_sample": pd.Series(dtype="int64")}
+            for q in quantiles:
+                cols[f"q{int(q * 100)}"] = pd.Series(dtype="float64")
+            return pd.DataFrame(cols)
+        n = df.groupby(key, sort=False)["_cnt"].sum()
+        samp = df.sort_values(["_r", id_col], kind="mergesort").groupby(key, sort=False).head(k)
+        g = samp.groupby(key, sort=False)[value_col]
+        out = pd.DataFrame({key: n.index, "n": n.to_numpy(), "n_sample": g.size().loc[n.index].to_numpy()})
+        for q in quantiles:
+            out[f"q{int(q * 100)}"] = g.quantile(q).loc[n.index].round(6).to_numpy()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    from hydra_ray.sources.store import ds_to_tables
+
+    tables = [t for t in ds_to_tables(partials) if t.num_rows]
+    if not tables:
+        return rd.from_pandas(finalize(pd.DataFrame()))
+    merged = pa.concat_tables(tables, promote_options="default")
+    if merged.num_rows <= DRIVER_MERGE_ROWS:
+        return rd.from_pandas(finalize(merged.to_pandas()))
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    return keyed_map_partitions(rd.from_arrow(merged), [key], finalize, num_parts=num_parts)
+
+
+def tdigest_centroids(
+    ds: "rd.Dataset",
+    key: str,
+    value_col: str,
+    delta: int = 100,
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Mergeable t-digest per key: centroid rows (key, mean, weight).
+
+    Dunning's k1 scale function k(q) = δ/2π · asin(2q−1), built fully
+    vectorized: sort a block's rows by (key, value), assign each row
+    the bucket floor(k(q_mid)) from its within-key cumulative weight,
+    and reduce each bucket to a (weighted-mean, total-weight) centroid
+    — ≤ δ centroids per key per block cross the shuffle regardless of
+    row count, and merging is the same sort+bucket+reduce over centroid
+    rows. Tail quantiles get proportionally finer buckets (k1's
+    defining property), so q01/q99 stay accurate where a plain
+    histogram smears. Weights are exact integer counts: sum(weight) per
+    key == count(*) even though the quantile estimate is approximate
+    (``tdigest_quantile``). Estimates depend on block boundaries (as
+    every parallel t-digest does), hence no bit-exact SQL oracle — the
+    invariants (exact weight totals, rank error ≤ O(1/δ)) are
+    pytest-asserted instead."""
+    import numpy as np
+    import pandas as pd
+
+    def compress(df: pd.DataFrame, w_col: str | None) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {key: pd.Series(dtype="object"), "mean": pd.Series(dtype="float64"),
+                 "weight": pd.Series(dtype="int64")}
+            )
+        vals = df[value_col if w_col is None else "mean"].to_numpy(dtype=np.float64)
+        w = (np.ones(len(df), dtype=np.int64) if w_col is None
+             else df[w_col].to_numpy(dtype=np.int64))
+        d = pd.DataFrame({key: df[key].to_numpy(), "v": vals, "w": w})
+        d = d.sort_values([key, "v"], kind="mergesort")
+        wf = d["w"].to_numpy(dtype=np.float64)
+        cw = d.groupby(key, sort=False)["w"].cumsum().to_numpy(dtype=np.float64)
+        tot = d.groupby(key, sort=False)["w"].transform("sum").to_numpy(dtype=np.float64)
+        q = (cw - wf / 2) / tot
+        b = np.floor(delta * (np.arcsin(2 * q - 1) / np.pi + 0.5)).astype(np.int64)
+        np.clip(b, 0, delta - 1, out=b)
+        d["_b"] = b
+        d["_mw"] = d["v"] * wf
+        g = d.groupby([key, "_b"], sort=False).agg(_mw=("_mw", "sum"), weight=("w", "sum"))
+        g = g.reset_index()
+        g["mean"] = g["_mw"] / g["weight"]
+        return g[[key, "mean", "weight"]]
+
+    partials = ds.map_batches(lambda df: compress(df, None), batch_format="pandas")
+
+    from hydra_ray.sources.store import ds_to_tables
+
+    tables = [t for t in ds_to_tables(partials) if t.num_rows]
+    if not tables:
+        return rd.from_pandas(compress(pd.DataFrame(), "w"))
+    merged = pa.concat_tables(tables, promote_options="default")
+    if merged.num_rows <= DRIVER_MERGE_ROWS:
+        return rd.from_pandas(compress(merged.to_pandas(), "weight"))
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    return keyed_map_partitions(
+        rd.from_arrow(merged), [key], lambda df: compress(df, "weight"), num_parts=num_parts
+    )
+
+
+def tdigest_quantile(centroids, key_col: str, qs: tuple[float, ...]) -> "object":
+    """Centroid rows → per-key quantile estimates (one row per key:
+    key, n, q50, q90, ...). Standard t-digest interpolation: centroid i
+    sits at cumulative rank cw_i − w_i/2; the target rank q·W is
+    linearly interpolated between neighbouring centroid means and
+    clamped to the extreme means at the tails."""
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(centroids, pd.DataFrame):
+        centroids = centroids.to_pandas()
+    rows = []
+    for kval, g in centroids.groupby(key_col, sort=False):
+        g = g.sort_values("mean", kind="mergesort")
+        means = g["mean"].to_numpy(dtype=np.float64)
+        w = g["weight"].to_numpy(dtype=np.float64)
+        cw = np.cumsum(w) - w / 2
+        total = float(w.sum())
+        row = {key_col: kval, "n": int(total)}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = round(float(np.interp(q * total, cw, means)), 6)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def cms_estimate(counters, items, width: int = 256, seeds: tuple[int, ...] = CMS_SEEDS) -> dict:
     """Point-query the sketch: {item: estimated count} (min over the
     depth rows; never underestimates)."""

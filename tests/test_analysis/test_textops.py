@@ -257,3 +257,93 @@ def test_cms_heavy_hitter_estimates():
     assert est[777_777] <= exact_heavy + 7000 // 1024 * 4 + 50  # tight
     exact_tail = int((tail == tail[0]).sum())
     assert est[int(tail[0])] >= exact_tail
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sampled_quantiles_invariant_and_accurate():
+    """Bottom-k hash sample: bit-identical under repartitioning (the
+    rank is a pure function of the id), exact n, and the sample
+    quantile lands near the true quantile."""
+    import numpy as np
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import sampled_quantiles
+
+    rng = np.random.default_rng(4)
+    n = 6000
+    keys = np.repeat(["a", "b", "c"], n // 3)
+    vals = np.concatenate([
+        rng.normal(10, 2, n // 3),
+        rng.lognormal(1, 0.5, n // 3),
+        rng.uniform(0, 100, n // 3),
+    ])
+    t = pa.table({
+        "k": pa.array(keys), "v": pa.array(vals),
+        "rid": pa.array(np.arange(n), type=pa.int64()),
+    })
+
+    def run(parts):
+        return (
+            sampled_quantiles(
+                rd.from_arrow(t).repartition(parts), key="k", value_col="v",
+                id_col="rid", k=256, quantiles=(0.5, 0.9), seed=7,
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(9)
+    assert a.equals(b)  # parallelism-invariant, bit-exact
+    assert (a["n"] == n // 3).all()  # exact counts piggybacked
+    assert (a["n_sample"] == 256).all()
+    import pandas as pd
+
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"]
+    for q in (0.5, 0.9):
+        est = a.set_index("k")[f"q{int(q*100)}"]
+        for kk, g in exact:
+            # true rank of the estimate within ~O(1/sqrt(256)) of q
+            rank = (g <= est[kk]).mean()
+            assert abs(rank - q) < 0.12, (kk, q, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tdigest_exact_weights_and_rank_error():
+    """t-digest invariants: per-key weight totals are EXACT counts,
+    centroid count is bounded by delta, and quantile estimates have
+    small rank error on skewed data at any partitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import tdigest_centroids, tdigest_quantile
+
+    rng = np.random.default_rng(11)
+    n = 9000
+    keys = np.repeat(["x", "y", "z"], n // 3)
+    vals = np.concatenate([
+        rng.lognormal(0, 2, n // 3),           # heavy right tail
+        rng.normal(0, 1, n // 3),
+        np.repeat([1.0, 2.0, 100.0], n // 9),  # atoms + outlier mass
+    ])
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for parts in (3, 13):
+        cents = tdigest_centroids(
+            rd.from_arrow(t).repartition(parts), key="k", value_col="v", delta=100
+        ).to_pandas()
+        per_key = cents.groupby("k")
+        assert (per_key["weight"].sum() == n // 3).all()  # exact totals
+        assert (per_key.size() <= 100).all()              # bounded sketch
+        est = tdigest_quantile(cents, "k", (0.01, 0.5, 0.9, 0.99)).set_index("k")
+        for kk, g in df.groupby("k"):
+            for q in (0.01, 0.5, 0.9, 0.99):
+                e = est.loc[kk, f"q{int(q*100)}"]
+                if kk == "z":
+                    # atoms: rank error is ill-posed (CDF jumps); the
+                    # estimate must sit at/near the atom value itself
+                    true = float(np.quantile(g["v"], q))
+                    assert abs(e - true) <= 0.05 * max(true, 1.0), (parts, kk, q, e, true)
+                else:
+                    rank = (g["v"] <= e).mean()
+                    assert abs(rank - q) < 0.03, (parts, kk, q, rank)
