@@ -13,8 +13,8 @@ not in this container, but both output formats are open specs:
 
 This module implements the subset tippecanoe produces for the
 reference's point-feature GeoJSON exports: one MVT layer per tile,
-point geometries, string/int/double properties, no leaf directories
-(root directory only — guarded; plenty for a single-archive export),
+point geometries, string/int/double properties, leaf directories when
+the root exceeds the spec's 16 KB budget (run_length=0 root pointers),
 no compression (internal_compression = tile_compression = 1/none, both
 legal per spec).
 
@@ -307,13 +307,15 @@ def _pack_header(
     minz: int,
     maxz: int,
     bounds: tuple[float, float, float, float],
+    leaf_off: int = 0,
+    leaf_len: int = 0,
 ) -> bytes:
     h = bytearray(127)
     h[0:7] = b"PMTiles"
     h[7] = 3
     struct.pack_into("<QQ", h, 8, 127, root_len)
     struct.pack_into("<QQ", h, 24, meta_off, meta_len)
-    struct.pack_into("<QQ", h, 40, 0, 0)  # no leaf directories
+    struct.pack_into("<QQ", h, 40, leaf_off, leaf_len)
     struct.pack_into("<QQ", h, 56, tile_off, tile_len)
     struct.pack_into("<QQQ", h, 72, n_tiles, n_tiles, n_tiles)
     h[96] = 1  # clustered
@@ -331,13 +333,41 @@ def _pack_header(
     return bytes(h)
 
 
+def _split_to_leaves(entries: list[tuple[int, int, int, int]]) -> tuple[bytes, bytes]:
+    """Spec leaf-directory split for archives whose root directory
+    exceeds 16 KB: tile entries are packed into fixed-count leaf
+    directories and the root holds one entry per leaf — (first tile id,
+    offset within the leaf section, serialized length, run_length=0;
+    run_length 0 is the spec's leaf marker). Leaf size starts at 4096
+    entries (what the protomaps writers use) and doubles until the root
+    fits. Returns (root_bytes, leaf_section_bytes)."""
+    leaf_n = 4096
+    while True:
+        leaf_blobs = []
+        root_entries = []
+        off = 0
+        for i in range(0, len(entries), leaf_n):
+            chunk = entries[i : i + leaf_n]
+            blob = _serialize_directory(chunk)
+            root_entries.append((chunk[0][0], off, len(blob), 0))
+            leaf_blobs.append(blob)
+            off += len(blob)
+        root = _serialize_directory(root_entries)
+        if len(root) <= MAX_ROOT_DIR_BYTES:
+            return root, b"".join(leaf_blobs)
+        leaf_n *= 2
+
+
 def write_pmtiles(
     tiles: dict[tuple[int, int, int], bytes],
     out_path: str,
     bounds: tuple[float, float, float, float] = (-180.0, -85.0511, 180.0, 85.0511),
     metadata: dict | None = None,
 ) -> str:
-    """(z,x,y)→MVT bytes → a v3 archive (root directory only)."""
+    """(z,x,y)→MVT bytes → a v3 archive. Small archives get a root-only
+    directory; once the root would exceed the spec's 16 KB budget the
+    entries spill into leaf directories (run_length=0 root pointers),
+    so archive size is unbounded."""
     if not tiles:
         raise ValueError("no tiles to write")
     by_id = sorted((hilbert_tile_id(z, x, y), blob) for (z, x, y), blob in tiles.items())
@@ -347,21 +377,22 @@ def write_pmtiles(
         entries.append((tid, len(data), len(blob), 1))
         data += blob
     root = _serialize_directory(entries)
+    leaves = b""
     if len(root) > MAX_ROOT_DIR_BYTES:
-        raise ValueError(
-            f"root directory {len(root)}B exceeds {MAX_ROOT_DIR_BYTES}B — "
-            "leaf directories not implemented (split the export)"
-        )
+        root, leaves = _split_to_leaves(entries)
     meta = json.dumps(metadata or {"vector_layers": [{"id": "features"}]}, sort_keys=True).encode()
     zs = [z for z, _x, _y in tiles]
     meta_off = 127 + len(root)
-    tile_off = meta_off + len(meta)
+    leaf_off = meta_off + len(meta)
+    tile_off = leaf_off + len(leaves)
     header = _pack_header(
-        len(root), meta_off, len(meta), tile_off, len(data), len(entries), min(zs), max(zs), bounds
+        len(root), meta_off, len(meta), tile_off, len(data), len(entries),
+        min(zs), max(zs), bounds,
+        leaf_off=leaf_off if leaves else 0, leaf_len=len(leaves),
     )
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(header + root + meta + data)
+        f.write(header + root + meta + leaves + data)
     import os
 
     os.replace(tmp, out_path)
@@ -370,13 +401,17 @@ def write_pmtiles(
 
 def read_pmtiles(path: str) -> dict:
     """Archive → {'header': {...}, 'metadata': dict,
-    'tiles': {(z,x,y): bytes}} (root directory only, for tests)."""
+    'tiles': {(z,x,y): bytes}}. Root-only and leaf-directory archives
+    both decode: a root entry with run_length 0 points into the leaf
+    section (offset, serialized length) and its tile entries are read
+    from the referenced leaf directory."""
     with open(path, "rb") as f:
         raw = f.read()
     if raw[0:7] != b"PMTiles" or raw[7] != 3:
         raise ValueError("not a PMTiles v3 archive")
     root_off, root_len = struct.unpack_from("<QQ", raw, 8)
     meta_off, meta_len = struct.unpack_from("<QQ", raw, 24)
+    leaf_off, leaf_len = struct.unpack_from("<QQ", raw, 40)
     tile_off, tile_len = struct.unpack_from("<QQ", raw, 56)
     header = {
         "min_zoom": raw[100],
@@ -384,9 +419,15 @@ def read_pmtiles(path: str) -> dict:
         "clustered": raw[96] == 1,
         "tile_type": raw[99],
         "n_entries": struct.unpack_from("<Q", raw, 80)[0],
+        "n_leaf_bytes": leaf_len,
         "bounds": tuple(v / 1e7 for v in struct.unpack_from("<iiii", raw, 102)),
     }
-    entries = _deserialize_directory(raw[root_off : root_off + root_len])
+    entries = []
+    for tid, off, ln, run in _deserialize_directory(raw[root_off : root_off + root_len]):
+        if run == 0:  # leaf pointer
+            entries.extend(_deserialize_directory(raw[leaf_off + off : leaf_off + off + ln]))
+        else:
+            entries.append((tid, off, ln, run))
     tiles = {}
     for tid, off, ln, _run in entries:
         tiles[tile_id_to_zxy(tid)] = raw[tile_off + off : tile_off + off + ln]

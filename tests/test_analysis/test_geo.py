@@ -178,3 +178,30 @@ def test_features_to_pmtiles_distributed_matches_driver_path(tmp_path):
     b1 = open(out1, "rb").read()
     b2 = open(out2, "rb").read()
     assert b1 == b2
+
+
+def test_pmtiles_leaf_directories_roundtrip(tmp_path):
+    """An archive whose root directory would blow the 16 KB spec budget
+    spills into leaf directories; every tile still round-trips and small
+    archives keep the root-only layout (no leaf bytes)."""
+    from hydra_ray.sources.pmtiles import read_pmtiles, write_pmtiles
+
+    # ~12k sparse z10 tiles -> root dir alone would be ~50 KB
+    tiles = {}
+    for i in range(12_000):
+        x, y = i % 1024, (i * 31 // 1024) % 1024
+        tiles[(10, x, y)] = b"blob-%d" % i
+    assert len(tiles) == 12_000
+    out = str(tmp_path / "big.pmtiles")
+    write_pmtiles(tiles, out)
+    arc = read_pmtiles(out)
+    assert arc["header"]["n_leaf_bytes"] > 0
+    assert len(arc["tiles"]) == len(tiles)
+    assert arc["tiles"] == tiles
+
+    small = {(2, x, y): b"s%d%d" % (x, y) for x in range(4) for y in range(4)}
+    outs = str(tmp_path / "small.pmtiles")
+    write_pmtiles(small, outs)
+    arc2 = read_pmtiles(outs)
+    assert arc2["header"]["n_leaf_bytes"] == 0
+    assert arc2["tiles"] == small
