@@ -2172,11 +2172,13 @@ def q_media_decode(sf_dir: str):
     16×16 RGB image — pixel(r,c,k) = (doc_id*7 + r*31 + c*13 + k*97)
     % 256 — is PNG-ENCODED then decoded back through decode_image, and
     a 256-sample waveform — sample(i) = (doc_id*11 + i*37) % 2048 - 1024
-    — round-trips WAV through decode_audio; the compared channel means
-    and sample stats are computed from the DECODED arrays, so a single
-    flipped bit anywhere in either codec fails the oracle (both codecs
-    are lossless; the oracle computes the same stats directly)."""
-    from hydra_ray.sources.codecs import encode_png, encode_wav
+    — round-trips WAV through decode_audio; the same frame also
+    round-trips the BMP (24-bit rows) and GIF (LZW + color table)
+    codecs. All compared channel means / sample stats are computed
+    from the DECODED arrays, so a single flipped bit anywhere in any
+    of the four codecs fails the oracle (all are lossless; the oracle
+    computes the same stats in closed form)."""
+    from hydra_ray.sources.codecs import encode_bmp, encode_gif, encode_png, encode_wav
     from hydra_ray.stages.multimodal import decode_audio, decode_image
 
     ds = _docs(sf_dir, columns=["doc_id"])
@@ -2188,12 +2190,19 @@ def q_media_decode(sf_dir: str):
         k = np.arange(3).reshape(1, 1, 3)
         i = np.arange(256)
         means = np.zeros((len(ids), 3), dtype=np.float64)
+        means_bmp = np.zeros((len(ids), 3), dtype=np.float64)
+        means_gif = np.zeros((len(ids), 3), dtype=np.float64)
         wav_mean = np.zeros(len(ids), dtype=np.float64)
         wav_peak = np.zeros(len(ids), dtype=np.int64)
         for j, d in enumerate(ids):
             img = ((int(d) * 7 + r * 31 + c * 13 + k * 97) % 256).astype(np.uint8)
             decoded = decode_image(encode_png(img, filter_type=int(d) % 5))
             means[j] = decoded.reshape(-1, 3).mean(axis=0)
+            # the same frame through the BMP and GIF paths — all three
+            # codecs are lossless, so all three means must agree with
+            # the oracle's closed-form pixel expression
+            means_bmp[j] = decode_image(encode_bmp(img)).reshape(-1, 3).mean(axis=0)
+            means_gif[j] = decode_image(encode_gif(img)).reshape(-1, 3).mean(axis=0)
             samples = ((int(d) * 11 + i * 37) % 2048 - 1024).astype(np.int16)
             arr, rate = decode_audio(encode_wav(samples, 16000))
             assert rate == 16000
@@ -2205,6 +2214,12 @@ def q_media_decode(sf_dir: str):
                 "mean_r": pa.array(np.round(means[:, 0], 6)),
                 "mean_g": pa.array(np.round(means[:, 1], 6)),
                 "mean_b": pa.array(np.round(means[:, 2], 6)),
+                "mean_r_bmp": pa.array(np.round(means_bmp[:, 0], 6)),
+                "mean_g_bmp": pa.array(np.round(means_bmp[:, 1], 6)),
+                "mean_b_bmp": pa.array(np.round(means_bmp[:, 2], 6)),
+                "mean_r_gif": pa.array(np.round(means_gif[:, 0], 6)),
+                "mean_g_gif": pa.array(np.round(means_gif[:, 1], 6)),
+                "mean_b_gif": pa.array(np.round(means_gif[:, 2], 6)),
                 "wav_mean": pa.array(np.round(wav_mean, 6)),
                 "wav_peak": pa.array(wav_peak),
             }
@@ -2233,6 +2248,10 @@ ORACLE_MEDIA_DECODE = """
     )
     SELECT p0.doc_id,
            round(p0.m, 6) AS mean_r, round(p1.m, 6) AS mean_g, round(p2.m, 6) AS mean_b,
+           round(p0.m, 6) AS mean_r_bmp, round(p1.m, 6) AS mean_g_bmp,
+           round(p2.m, 6) AS mean_b_bmp,
+           round(p0.m, 6) AS mean_r_gif, round(p1.m, 6) AS mean_g_gif,
+           round(p2.m, 6) AS mean_b_gif,
            round(w.wm, 6) AS wav_mean, CAST(w.wp AS BIGINT) AS wav_peak
     FROM px p0
     JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.k = 1

@@ -155,6 +155,224 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → uint8 (H, W, 3) RGB. Supports the common
+    BITMAPINFOHEADER uncompressed 24/32-bit layouts (top-down or
+    bottom-up); alpha is dropped."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    nch = bpp // 8
+    stride = (width * nch + 3) // 4 * 4
+    h = abs(height)
+    rows = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=pix_off)
+    img = rows.reshape(h, stride)[:, : width * nch].reshape(h, width, nch)
+    if height > 0:  # bottom-up storage
+        img = img[::-1]
+    return np.ascontiguousarray(img[:, :, 2::-1])  # BGR(A) → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit uncompressed bottom-up BMP."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def _lzw_decode_gif(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first variable-width codes with CLEAR/EOI
+    and the 12-bit table cap."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = fresh()
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return np.array(out[:n_pixels], dtype=np.uint16)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return np.array(out[:n_pixels], dtype=np.uint16)
+
+
+def _lzw_encode_gif(min_code_size: int, indices: np.ndarray) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prev: tuple[int, ...] = ()
+    for v in indices.tolist():
+        cur = prev + (v,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        if next_code < 4096:
+            # the decoder lags one table entry behind the encoder, so
+            # the width grows just BEFORE adding the entry whose value
+            # is 2^size (the decoder grows after adding it)
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            table[cur] = next_code
+            next_code += 1
+        else:  # table full: reset (decoder mirrors on CLEAR)
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        prev = (v,)
+    if prev:
+        emit(table[prev], code_size)
+    emit(eoi, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → uint8 (H, W, 3) RGB of the first frame.
+    Handles global/local color tables, interlacing, and extension
+    blocks; animation frames past the first are ignored."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _lzw_decode_gif(min_code, bytes(stream), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            img = table[idx.reshape(h, w)]
+            if ipacked & 0x40:  # interlaced: 8/8/4/2-row passes
+                rows = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(img)
+                out[rows] = img
+                img = out
+            return img
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB with ≤256 distinct colors → GIF89a bytes
+    (single frame, global color table, LZW-compressed)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_gif expects (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs ≤256 colors, got {len(palette)}")
+    depth = max(1, (len(palette) - 1).bit_length())  # table size 2^depth
+    n = 1 << depth
+    gct = np.zeros((n, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    min_code = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    lzw = _lzw_encode_gif(min_code, idx.astype(np.int64))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (int16 samples shaped (n, channels), sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as wf:

@@ -62,18 +62,28 @@ class MediaFetcher:
 def decode_image(payload: bytes, decoder=None):
     """Decode an image payload to an HxWxC uint8 array.
 
-    PNG decodes natively (sources/codecs.py — zlib chunks + all five
-    scanline filters, stdlib only). Other formats (JPEG, WebP, …) need
-    an injected ``decoder`` (e.g. PIL.Image.open) — those libs are not
-    in this container, so they stay honestly gated."""
+    PNG, BMP and GIF decode natively (sources/codecs.py — stdlib only:
+    zlib scanline filters / BITMAPINFOHEADER rows / LZW + color
+    tables). Other formats (JPEG, WebP, …) need an injected ``decoder``
+    (e.g. PIL.Image.open) — those libs are not in this container, so
+    they stay honestly gated."""
     if decoder is not None:
         return decoder(payload)
-    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+    head = bytes(payload[:8])
+    if head == b"\x89PNG\r\n\x1a\n":
         from hydra_ray.sources.codecs import decode_png
 
         return decode_png(payload)
+    if head[:2] == b"BM":
+        from hydra_ray.sources.codecs import decode_bmp
+
+        return decode_bmp(payload)
+    if head[:4] == b"GIF8":
+        from hydra_ray.sources.codecs import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only PNG decodes natively; inject a decoder for other image formats"
+        "PNG/BMP/GIF decode natively; inject a decoder for other image formats"
     )
 
 
