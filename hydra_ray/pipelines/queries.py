@@ -2547,3 +2547,64 @@ def q_tdigest_quantiles(sf_dir: str):
 
 
 QUERIES["tdigest_quantiles"] = q_tdigest_quantiles
+
+
+def q_workbook_profile(sf_dir: str):
+    """csv-detective profile over the WORKBOOK route (reference runs
+    csv_detective_routine on Excel content too,
+    csv_like/__init__.py:161-217): the same per-group tables as
+    csv_profile are written as real XLSX bytes, parsed back through the
+    stdlib workbook reader, and profiled via the shared
+    column_profile pipeline — the oracle is the same SQL as the CSV
+    route, so the two routes are pinned to identical reports."""
+    from hydra_ray.sources.xlsx import inspect_xlsx, write_xlsx
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def addgrp(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("grp", pa.array((uid % 16).astype("int64")))
+
+    def profile_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for grp, g in df.groupby("grp", sort=True):
+            g = g.sort_values("event_id")
+            rows: list[list] = [["event_id", "value"]]
+            rows += [[int(e), float(v)] for e, v in zip(g["event_id"], g["value"])]
+            rep = inspect_xlsx(write_xlsx(rows), output_profile=True)
+            for col in ("event_id", "value"):
+                p = rep["profile"][col]
+                out.append(
+                    (
+                        int(grp),
+                        col,
+                        float(p["min"]),
+                        float(p["max"]),
+                        float(p["mean"]),
+                        float(p["std"]),
+                        int(p["nb_distinct"]),
+                        int(p["nb_missing_values"]),
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "grp",
+                "col_name",
+                "col_min",
+                "col_max",
+                "col_mean",
+                "col_std",
+                "nb_distinct",
+                "nb_missing",
+            ],
+        )
+
+    return keyed_map_partitions(
+        ds.map_batches(addgrp, batch_format="pyarrow"), ["grp"], profile_group, num_parts=8
+    )
+
+
+QUERIES["workbook_profile"] = q_workbook_profile
+ORACLES["workbook_profile"] = ORACLE_CSV_PROFILE  # same logical report as the CSV route

@@ -393,14 +393,19 @@ def read_xls_rows(data: bytes) -> list[list[str]]:
     return [[cells.get((r, c), "") for c in range(n_cols)] for r in range(n_rows)]
 
 
-def inspect_xls(data: bytes, sample_rows: int = 100, rows: list[list[str]] | None = None) -> dict:
+def inspect_xls(
+    data: bytes,
+    sample_rows: int = 100,
+    rows: list[list[str]] | None = None,
+    output_profile: bool = False,
+) -> dict:
     """Inspection report in the exact shape of inspect_csv_text (shared
     rows_to_inspection; engine marks the BIFF source)."""
     from hydra_ray.sources.xlsx import rows_to_inspection
 
     if rows is None:
         rows = read_xls_rows(data)
-    return rows_to_inspection(rows, "hydra-ray-xls", sample_rows)
+    return rows_to_inspection(rows, "hydra-ray-xls", sample_rows, output_profile=output_profile)
 
 
 def xls_to_table(

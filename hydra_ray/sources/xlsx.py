@@ -113,12 +113,25 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
 
 
 def rows_to_inspection(
-    rows: list[list[str]], engine: str, sample_rows: int = 100
+    rows: list[list[str]], engine: str, sample_rows: int = 100, output_profile: bool = False
 ) -> dict:
     """Workbook rows (strings) → inspection report in the exact shape of
     inspect_csv_text (engine marks the source; separator is None for
-    workbooks). Shared by the XLSX and XLS (BIFF) readers."""
-    from hydra_ray.stages.inspection import db_col_name, detect_types
+    workbooks). Shared by the XLSX and XLS (BIFF) readers.
+
+    ``output_profile=True`` produces the same csv-detective profile the
+    CSV route emits (per-column min/max/mean/std, top-10 values,
+    nb_distinct, nb_missing over the FULL body) — the reference runs
+    csv_detective_routine on Excel content too
+    (csv_like/__init__.py:161-217), so workbook and CSV twins yield
+    identical reports. Geo-format refinement (latlon / geojson cells)
+    is applied the same way."""
+    from hydra_ray.stages.inspection import (
+        _refine_geo_formats,
+        column_profile,
+        db_col_name,
+        detect_types,
+    )
 
     if not rows:
         return {
@@ -137,7 +150,8 @@ def rows_to_inspection(
         db_col_name(name): {"python_type": t, "format": t, "score": score}
         for name, (t, score) in zip(header, types)
     }
-    return {
+    _refine_geo_formats(body, header, columns)
+    report = {
         "header": header,
         "columns": columns,
         "total_lines": sum(1 for r in rows[1:] if any(c.strip() for c in r)),
@@ -146,14 +160,29 @@ def rows_to_inspection(
         "header_row_idx": 0,
         "engine": engine,
     }
+    if output_profile:
+        full_body = [r for r in rows[1:] if any(c.strip() for c in r)]
+        report["profile"] = {
+            db_col_name(name): column_profile(
+                [row[c] if c < len(row) else None for row in full_body],
+                columns[db_col_name(name)]["python_type"],
+            )
+            for c, name in enumerate(header)
+        }
+    return report
 
 
-def inspect_xlsx(data: bytes, sample_rows: int = 100, rows: list[list[str]] | None = None) -> dict:
+def inspect_xlsx(
+    data: bytes,
+    sample_rows: int = 100,
+    rows: list[list[str]] | None = None,
+    output_profile: bool = False,
+) -> dict:
     """Inspection report for XLSX bytes (see rows_to_inspection).
     Pass ``rows`` (from read_xlsx_rows) to avoid a second XML parse."""
     if rows is None:
         rows = read_xlsx_rows(data)
-    return rows_to_inspection(rows, "hydra-ray-xlsx", sample_rows)
+    return rows_to_inspection(rows, "hydra-ray-xlsx", sample_rows, output_profile=output_profile)
 
 
 def rows_to_typed_table(rows: list[list[str]], insp: dict) -> pa.Table:

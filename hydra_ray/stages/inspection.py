@@ -21,10 +21,12 @@ Components:
                             PYARROW_TYPE_TO_PYTHON semantics)
 
 XLSX ingestion is first-class via the stdlib zip+XML reader in
-``hydra_ray.sources.xlsx`` (no openpyxl needed); workbook rows feed the
-same detect_types + smart_cast pipeline, so an .xlsx and its CSV twin
-produce identical typed tables. Legacy binary .xls (BIFF) remains
-unsupported without xlrd.
+``hydra_ray.sources.xlsx`` (no openpyxl needed) and legacy binary .xls
+via the stdlib BIFF reader in ``hydra_ray.sources.xls`` (no xlrd);
+workbook rows feed the same detect_types + smart_cast +
+``column_profile`` pipeline, so an .xls, its .xlsx twin and its CSV
+twin produce identical typed tables AND identical csv-detective
+profile reports.
 """
 
 from __future__ import annotations

@@ -87,3 +87,34 @@ def test_inspection_shape_matches_csv_report():
 def test_reserved_column_rename_applies():
     t = xlsx_to_table(write_xlsx([["select", "v"], ["a", 1]]))
     assert "select__hydra_renamed" in t.column_names
+
+
+def test_workbook_profile_matches_csv_twin():
+    """output_profile parity: a workbook and its CSV twin produce the
+    identical csv-detective profile (min/max/mean/std, tops, distinct,
+    missing) and the same geo-format refinement."""
+    from hydra_ray.sources.xlsx import inspect_xlsx, write_xlsx
+    from hydra_ray.stages.inspection import inspect_csv_text
+
+    rows = [
+        ["id", "score", "pos", "note"],
+        [1, 0.5, "[48.85, 2.35]", "ok"],
+        [2, 1.25, "[43.6, 1.44]", ""],
+        [3, 2.0, "[45.76, 4.83]", "ok"],
+    ]
+    def cell(c):
+        if c == "":
+            return ""
+        if isinstance(c, float):
+            return repr(c)
+        s = str(c)
+        return f'"{s}"' if "," in s else s
+
+    csv_text = "\n".join(",".join(cell(c) for c in r) for r in rows)
+    wb = inspect_xlsx(write_xlsx(rows), output_profile=True)
+    cv = inspect_csv_text(csv_text, output_profile=True)
+    assert wb["profile"] == cv["profile"]
+    assert {k: v["python_type"] for k, v in wb["columns"].items()} == {
+        k: v["python_type"] for k, v in cv["columns"].items()
+    }
+    assert wb["columns"]["pos"]["format"] == "latlon" == cv["columns"]["pos"]["format"]
