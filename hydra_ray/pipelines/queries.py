@@ -2608,3 +2608,56 @@ def q_workbook_profile(sf_dir: str):
 
 QUERIES["workbook_profile"] = q_workbook_profile
 ORACLES["workbook_profile"] = ORACLE_CSV_PROFILE  # same logical report as the CSV route
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.py::decontaminate, the
+    GPT-3 appendix-C recipe): docs with doc_id % 97 == 0 act as the
+    held-out eval set; every other document is flagged when it shares
+    an exact 5-token gram with any eval doc. Bench grams are collected
+    once and ray.put-broadcast (eval sets are tiny); corpus scoring is
+    one shuffle-free vectorized pass. The distributed semi-join
+    fallback is pinned to this same output by
+    test_dedup.py::test_decontaminate_paths_agree."""
+    from hydra_ray.stages.dedup import decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=5)
+
+
+ORACLE_DECONTAMINATE = """
+    WITH bench AS (
+        SELECT string_split(text, ' ') AS ts FROM documents WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS gram
+        FROM (SELECT ts, unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i FROM bench)
+    ),
+    corpus AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id % 97 <> 0
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+              FROM corpus)
+    ),
+    hits AS (SELECT doc_id, count(*) AS n_overlap FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+    SELECT c.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           COALESCE(h.n_overlap, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM corpus) c
+    LEFT JOIN hits h USING (doc_id)
+"""
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = ORACLE_DECONTAMINATE

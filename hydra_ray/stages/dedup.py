@@ -677,3 +677,144 @@ def duplicated_passages(
         return pd.DataFrame(out, columns=[id_col, "start_tok", "end_tok", "n_grams"])
 
     return keyed_map_partitions(hits, [id_col], merge_spans, num_parts=32)
+
+
+class _ContamScorer:
+    """Actor-pool stage for decontaminate's broadcast path: the bench
+    gram set is ray.put once and fetched per ACTOR (zero-copy plasma
+    read), never re-shipped per batch."""
+
+    def __init__(self, bench_ref, n: int, id_col: str, text_col: str):
+        import ray
+
+        self.bench = bench_ref if isinstance(bench_ref, frozenset) else ray.get(bench_ref)
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, df: "pd.DataFrame") -> "pd.DataFrame":
+        n = self.n
+        ids_out: list[int] = []
+        grams_out: list[str] = []
+        for did, text in zip(df[self.id_col], df[self.text_col]):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - n + 1):
+                ids_out.append(did)
+                grams_out.append(" ".join(toks[i : i + n]))
+        g = pd.DataFrame({self.id_col: ids_out, "gram": grams_out}).drop_duplicates()
+        hit = g[g["gram"].isin(self.bench)]
+        counts = hit.groupby(self.id_col, sort=False).size()
+        out = pd.DataFrame({self.id_col: df[self.id_col].to_numpy()})
+        out["n_overlap"] = out[self.id_col].map(counts).fillna(0).astype("int64")
+        out["contaminated"] = out["n_overlap"] > 0
+        return out
+
+
+def decontaminate(
+    ds: "rd.Dataset",
+    bench: "rd.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max: int = 2_000_000,
+    num_parts: int = 64,
+) -> "rd.Dataset":
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe):
+    flag every corpus document that shares an exact n-token gram with
+    an evaluation-set document, so test data can be removed from
+    training corpora. Output one row per corpus doc: (id, n_overlap =
+    distinct overlapping grams, contaminated).
+
+    Scale shape: eval sets are tiny by definition, so the default path
+    collects the DISTINCT bench grams once, ``ray.put``s the set, and
+    scores each corpus batch vectorized in an actor pool — zero
+    shuffles, one pass over the corpus. A doc's grams never span
+    batches (one row = one doc), so per-batch distinct-hit counts are
+    exact. If the bench gram count exceeds ``broadcast_max`` the op
+    falls back to a distributed gram semi-join (union + one keyed
+    shuffle, the asof_join pattern) plus a per-doc count merge — no
+    driver materialization on either side."""
+    import ray
+
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for text in t[text_col].to_pylist():
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - n + 1):
+                grams.add(" ".join(toks[i : i + n]))
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    bench_gram_ds = bench.map_batches(bench_grams, batch_format="pyarrow")
+    if bench_gram_ds.count() <= broadcast_max:
+        tables = [t for t in ds_to_tables(bench_gram_ds) if t.num_rows]
+        gram_set: set[str] = set()
+        for t in tables:
+            gram_set.update(t["gram"].to_pylist())
+        ref = ray.put(frozenset(gram_set))
+        return ds.map_batches(
+            _ContamScorer,
+            fn_constructor_kwargs={
+                "bench_ref": ref, "n": n, "id_col": id_col, "text_col": text_col
+            },
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+
+    # distributed fallback: gram semi-join + per-doc count merge
+    def corpus_grams(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        grams_out: list[str] = []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = (text or "").split(" ")
+            seen: set[str] = set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                if g not in seen:  # distinct per doc
+                    seen.add(g)
+                    ids_out.append(did)
+                    grams_out.append(g)
+        return pa.table(
+            {id_col: pa.array(ids_out, type=pa.int64()), "gram": pa.array(grams_out)}
+        )
+
+    cg = ds.map_batches(corpus_grams, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("_src", pa.array(np.zeros(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    bg = bench_gram_ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "gram": t["gram"],
+                "_src": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        bench_here = set(df.loc[df["_src"] == 1, "gram"])
+        c = df[df["_src"] == 0]
+        hit = c[c["gram"].isin(bench_here)]
+        out = hit.groupby(id_col, sort=False).size().reset_index(name="n_overlap")
+        return out.astype({id_col: "int64", "n_overlap": "int64"})
+
+    hit_counts = keyed_map_partitions(cg.union(bg), ["gram"], hits, num_parts=num_parts)
+    zero = ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "n_overlap": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    totals = grouped_agg(
+        hit_counts.union(zero), keys=[id_col], aggs=[("n_overlap", "sum", "n_overlap")]
+    )
+    return totals.map_batches(
+        lambda t: t.append_column("contaminated", pc.greater(t["n_overlap"], 0)),
+        batch_format="pyarrow",
+    )

@@ -228,3 +228,52 @@ def test_duplicated_passages_gram_frequency_cap_and_invariance():
         .to_pandas().sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_paths_agree():
+    """Broadcast and distributed semi-join decontamination paths
+    produce identical (doc, n_overlap, contaminated) rows; planted
+    overlaps are found, clean docs score zero."""
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import decontaminate
+
+    bench = pa.table(
+        {
+            "doc_id": pa.array([100, 101], type=pa.int64()),
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "pack my box with five dozen liquor jugs"],
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "intro words then the quick brown fox jumps right out",  # 5-gram overlap
+                "totally clean document with no shared phrases at all",
+                "pack my box with five dozen liquor jugs verbatim copy",  # long overlap
+                "quick brown fox alone is too short to hit",              # <5-gram overlap
+            ],
+        }
+    )
+
+    def run(broadcast_max):
+        return (
+            decontaminate(
+                rd.from_arrow(corpus).repartition(2), rd.from_arrow(bench),
+                n=5, broadcast_max=broadcast_max,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run(2_000_000)  # broadcast path
+    b = run(0)          # distributed semi-join path
+    assert a.equals(b)
+    got = a.set_index("doc_id")
+    assert bool(got.loc[1, "contaminated"]) and got.loc[1, "n_overlap"] == 1
+    assert not bool(got.loc[2, "contaminated"]) and got.loc[2, "n_overlap"] == 0
+    assert bool(got.loc[3, "contaminated"]) and got.loc[3, "n_overlap"] == 4
+    assert not bool(got.loc[4, "contaminated"])
