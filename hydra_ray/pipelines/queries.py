@@ -2661,3 +2661,86 @@ ORACLE_DECONTAMINATE = """
 
 QUERIES["decontaminate"] = q_decontaminate
 ORACLES["decontaminate"] = ORACLE_DECONTAMINATE
+
+
+def q_bm25_search(sf_dir: str):
+    """Okapi BM25 lexical retrieval (stages/search.py::bm25_search):
+    distributed corpus stats (df/avgdl reduced from per-batch partials)
+    + broadcast-model scoring, top-20 by integer micro-unit score. The
+    lexical counterpart to stages/similarity.py's dense kNN; hydra has
+    no retrieval layer — training-data-pipeline extension."""
+    from hydra_ray.stages.search import bm25_search
+
+    return bm25_search(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        "fast merge join stream window",
+        top_n=20,
+    )
+
+
+from hydra_ray.stages.search import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
+
+QUERIES["bm25_search"] = q_bm25_search
+ORACLES["bm25_search"] = _bm25_oracle_sql("fast merge join stream window", top_n=20)
+
+
+def q_lm_perplexity(sf_dir: str):
+    """Corpus-trained bigram-LM negative log-likelihood per document
+    (stages/search.py::lm_perplexity) — the CCNet-style quality filter:
+    add-k smoothed bigram model counted distributively, broadcast once,
+    scored vectorized with order-invariant micro-unit sums."""
+    from hydra_ray.stages.search import lm_perplexity
+
+    return lm_perplexity(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+from hydra_ray.stages.search import lm_perplexity_oracle_sql as _lm_oracle_sql  # noqa: E402
+
+QUERIES["lm_perplexity"] = q_lm_perplexity
+ORACLES["lm_perplexity"] = _lm_oracle_sql()
+
+
+def q_exact_substr_dedup(sf_dir: str):
+    """Exact-substring removal (stages/dedup.py::exact_substr_dedup):
+    tokens covered by any 5-gram shared by >=2 docs are dropped and the
+    cleaned text rebuilt — the output half of Lee et al. 2022's
+    ExactSubstr dedup on top of duplicated_passages' span detection."""
+    from hydra_ray.stages.dedup import exact_substr_dedup
+
+    return exact_substr_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=5, min_docs=2
+    )
+
+
+ORACLE_EXACT_SUBSTR_DEDUP = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pos AS (SELECT doc_id, ts,
+                   unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i
+            FROM toks),
+    grams AS (SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS g FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+    cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS p FROM hits),
+    tok_rows AS (SELECT doc_id, ts,
+                        unnest(generate_series(1, len(ts))) AS p
+                 FROM toks),
+    kept AS (
+        SELECT t.doc_id, t.p, t.ts[t.p] AS w
+        FROM tok_rows t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.doc_id IS NULL
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           len(t.ts) AS n_tokens,
+           len(t.ts) - coalesce(k.n_kept, 0) AS n_removed
+    FROM toks t
+    LEFT JOIN (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+"""
+
+QUERIES["exact_substr_dedup"] = q_exact_substr_dedup
+ORACLES["exact_substr_dedup"] = ORACLE_EXACT_SUBSTR_DEDUP
