@@ -2744,3 +2744,45 @@ ORACLE_EXACT_SUBSTR_DEDUP = """
 
 QUERIES["exact_substr_dedup"] = q_exact_substr_dedup
 ORACLES["exact_substr_dedup"] = ORACLE_EXACT_SUBSTR_DEDUP
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-weighted corpus mixing (stages/text.py::
+    temperature_mix): per-source quotas ∝ n_i^0.5 (integer micro-unit
+    arithmetic), selection by seeded splitmix64 rank — deterministic
+    multi-source sampling for training-mixture construction."""
+    from hydra_ray.stages.text import temperature_mix
+
+    out = temperature_mix(
+        _docs(sf_dir, columns=["doc_id", "source"]),
+        key="source",
+        alpha=0.5,
+        total_n=200,
+        seed=23,
+    )
+    return out.map_batches(
+        lambda t: t.select(["source", "doc_id", "rank", "quota"]),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    sv AS (SELECT source, n,
+                  CAST(floor(pow(n, 0.5) * 1e6 + 0.5) AS BIGINT) AS s
+           FROM cnt),
+    qv AS (SELECT source,
+                  CAST(floor(CAST(200 * s AS DOUBLE) / (SELECT sum(s) FROM sv)) AS BIGINT) AS quota
+           FROM sv),
+    tm_0 AS (SELECT doc_id, source, CAST(doc_id + 23 AS UBIGINT) AS v FROM documents),
+    {_mix64_ctes_sql("tm", "v", "doc_id, source")},
+    r AS (SELECT source, doc_id, v,
+                 row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rank
+          FROM tm_5)
+    SELECT r.source, r.doc_id, r.rank, qv.quota
+    FROM r JOIN qv USING (source)
+    WHERE r.rank <= qv.quota
+"""
+
+QUERIES["temperature_mix"] = q_temperature_mix
+ORACLES["temperature_mix"] = ORACLE_TEMPERATURE_MIX

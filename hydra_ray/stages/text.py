@@ -328,3 +328,62 @@ def repetition_stats_batch(
             "top_2gram_frac": pa.array(top2),
         }
     )
+
+
+def temperature_mix(
+    ds: "rd.Dataset",
+    key: str = "source",
+    alpha: float = 0.5,
+    total_n: int = 200,
+    seed: int = 23,
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Temperature-weighted corpus mixing — the multilingual/multi-source
+    sampling recipe (p_i ∝ n_i^alpha, alpha<1 flattens source skew; the
+    mBERT / XLM-R exponent trick) made deterministic: per-source quotas
+    are derived from exact group counts, and each source contributes its
+    quota of rows chosen by seeded splitmix64 rank (the repo's standard
+    ORDER BY random() replacement — parallelism-invariant).
+
+    Quota arithmetic is integer micro-units so it is order-invariant and
+    bit-exact against the SQL oracle:
+        s_i   = floor(n_i^alpha * 1e6 + 0.5)        (int64)
+        quota = floor((total_n * s_i) / sum_j s_j)   (exact int mul, one
+                                                      float divide)
+
+    Scale shape: group counts reduce from per-batch partials (tiny —
+    one row per source); the quota table is driver-side and closure-
+    shipped (dozens of entries); selection is one keyed shuffle with a
+    vectorized per-partition head(quota). Nothing corpus-sized leaves
+    the workers.
+    """
+    import math
+
+    import numpy as np
+
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.keyed import keyed_map_partitions
+    from hydra_ray.state.cuckoo import _mix64
+
+    counts = grouped_agg(ds, keys=[key], aggs=[(id_col, "count", "n")]).take_all()
+    s = {r[key]: math.floor(float(r["n"]) ** alpha * 1e6 + 0.5) for r in counts}
+    stot = sum(s.values())
+    quota = {g: int(math.floor((total_n * sg) / stot)) for g, sg in s.items()}
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("_rh", pa.array(_mix64(ids + np.uint64(seed))))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(["_rh", id_col], kind="mergesort")
+        df["rank"] = df.groupby(key, sort=False).cumcount() + 1
+        df["quota"] = df[key].map(quota).astype("int64")
+        df = df[df["rank"] <= df["quota"]].copy()
+        return df.drop(columns=["_rh"])
+
+    return keyed_map_partitions(hashed, [key], pick, num_parts=num_parts)

@@ -347,3 +347,35 @@ def test_tdigest_exact_weights_and_rank_error():
                 else:
                     rank = (g["v"] <= e).mean()
                     assert abs(rank - q) < 0.03, (parts, kk, q, rank)
+
+
+def test_temperature_mix_quotas_and_determinism():
+    import math
+
+    import ray.data as rd
+    from hydra_ray.stages.text import temperature_mix
+
+    # skewed sources: 64 / 16 / 4 docs; alpha=0.5 flattens 16:4:1 to 4:2:1
+    rows = [(i, "big") for i in range(64)] + [(100 + i, "mid") for i in range(16)] + [
+        (200 + i, "small") for i in range(4)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = temperature_mix(rd.from_arrow(t), total_n=14, alpha=0.5, seed=5).take_all()
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    s = {g: math.floor(n**0.5 * 1e6 + 0.5) for g, n in {"big": 64, "mid": 16, "small": 4}.items()}
+    st = sum(s.values())
+    expect = {g: math.floor(14 * sg / st) for g, sg in s.items()}
+    assert got == {g: n for g, n in expect.items() if n > 0}
+    # alpha < 1 flattens: big is 16x small by count but only ~4x by quota
+    assert expect["big"] / max(expect["small"], 1) <= 8
+    # determinism across partitioning
+    out2 = temperature_mix(rd.from_arrow(t).repartition(7), total_n=14, alpha=0.5, seed=5).take_all()
+    key = lambda r: (r["source"], r["doc_id"], r["rank"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
