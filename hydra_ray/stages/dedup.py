@@ -593,6 +593,42 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _emit_kgrams(
+    texts: "pa.Array | pa.ChunkedArray", k: int
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Vectorized token k-gram emission for a batch of documents.
+
+    Returns (doc_idx, pos_1based, grams): one row per k-gram, where
+    ``grams[r] = " ".join(tokens(texts[doc_idx[r]])[pos-1 : pos-1+k])``
+    with tokens split on single spaces (``str.split(" ")`` semantics —
+    matches DuckDB ``string_split``). Pure Arrow/numpy: the k shifted
+    ``take``s + ``binary_join_element_wise`` replace the former
+    per-row Python join loop (the gram stage is the hot path of every
+    substring-dedup operator)."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    toks = pc.split_pattern(pc.coalesce(arr, ""), pattern=" ")
+    flat = toks.flatten()
+    dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_grams = np.maximum(dl - k + 1, 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+        )
+    doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), n_grams)
+    starts = np.cumsum(dl) - dl
+    base = np.repeat(starts, n_grams)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_grams) - n_grams, n_grams
+    )
+    gidx = base + offs
+    parts = [pc.take(flat, pa.array(gidx + j)) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_idx, offs + 1, grams
+
+
 def duplicated_passages(
     ds: "rd.Dataset",
     k: int = 5,
@@ -624,21 +660,13 @@ def duplicated_passages(
     from hydra_ray.stages.keyed import keyed_map_partitions
 
     def emit_grams(t: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        pos_out: list[int] = []
-        grams_out: list[str] = []
-        ids = t[id_col].to_pylist()
-        for did, text in zip(ids, t[text_col].to_pylist()):
-            toks = (text or "").split(" ")
-            for i in range(len(toks) - k + 1):
-                ids_out.append(did)
-                pos_out.append(i + 1)  # 1-based (matches the SQL oracle)
-                grams_out.append(" ".join(toks[i : i + k]))
+        doc_idx, pos, grams = _emit_kgrams(t[text_col], k)
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64())
         return pa.table(
             {
-                id_col: pa.array(ids_out, type=pa.int64()),
-                "pos": pa.array(pos_out, type=pa.int64()),
-                "gram": pa.array(grams_out, type=pa.string()),
+                id_col: pc.take(ids, pa.array(doc_idx)),
+                "pos": pa.array(pos),  # 1-based (matches the SQL oracle)
+                "gram": grams,
             }
         )
 
@@ -691,15 +719,13 @@ class _ContamScorer:
         self.n, self.id_col, self.text_col = n, id_col, text_col
 
     def __call__(self, df: "pd.DataFrame") -> "pd.DataFrame":
-        n = self.n
-        ids_out: list[int] = []
-        grams_out: list[str] = []
-        for did, text in zip(df[self.id_col], df[self.text_col]):
-            toks = (text or "").split(" ")
-            for i in range(len(toks) - n + 1):
-                ids_out.append(did)
-                grams_out.append(" ".join(toks[i : i + n]))
-        g = pd.DataFrame({self.id_col: ids_out, "gram": grams_out}).drop_duplicates()
+        doc_idx, _, grams = _emit_kgrams(pa.array(df[self.text_col]), self.n)
+        g = pd.DataFrame(
+            {
+                self.id_col: df[self.id_col].to_numpy()[doc_idx],
+                "gram": grams.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
         hit = g[g["gram"].isin(self.bench)]
         counts = hit.groupby(self.id_col, sort=False).size()
         out = pd.DataFrame({self.id_col: df[self.id_col].to_numpy()})
@@ -739,12 +765,8 @@ def decontaminate(
     from hydra_ray.stages.keyed import keyed_map_partitions
 
     def bench_grams(t: pa.Table) -> pa.Table:
-        grams: set[str] = set()
-        for text in t[text_col].to_pylist():
-            toks = (text or "").split(" ")
-            for i in range(len(toks) - n + 1):
-                grams.add(" ".join(toks[i : i + n]))
-        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+        _, _, grams = _emit_kgrams(t[text_col], n)
+        return pa.table({"gram": pc.unique(grams)})
 
     bench_gram_ds = bench.map_batches(bench_grams, batch_format="pyarrow")
     if bench_gram_ds.count() <= broadcast_max:
@@ -764,20 +786,11 @@ def decontaminate(
 
     # distributed fallback: gram semi-join + per-doc count merge
     def corpus_grams(t: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        grams_out: list[str] = []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            toks = (text or "").split(" ")
-            seen: set[str] = set()
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i : i + n])
-                if g not in seen:  # distinct per doc
-                    seen.add(g)
-                    ids_out.append(did)
-                    grams_out.append(g)
-        return pa.table(
-            {id_col: pa.array(ids_out, type=pa.int64()), "gram": pa.array(grams_out)}
-        )
+        doc_idx, _, grams = _emit_kgrams(t[text_col], n)
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64())
+        g = pa.table({id_col: pc.take(ids, pa.array(doc_idx)), "gram": grams})
+        # distinct per doc (group_by with no aggregates = distinct keys)
+        return g.group_by([id_col, "gram"]).aggregate([])
 
     cg = ds.map_batches(corpus_grams, batch_format="pyarrow").map_batches(
         lambda t: t.append_column("_src", pa.array(np.zeros(len(t), dtype=np.int64))),
