@@ -2786,3 +2786,33 @@ ORACLE_TEMPERATURE_MIX = f"""
 
 QUERIES["temperature_mix"] = q_temperature_mix
 ORACLES["temperature_mix"] = ORACLE_TEMPERATURE_MIX
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids (stages/similarity.py::
+    grouped_centroids): combiner-style per-batch partial sums in
+    integer micro-units, long-form (label, dim, centroid, n)."""
+    from hydra_ray.stages.similarity import grouped_centroids
+
+    return grouped_centroids(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]),
+        key="label",
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+    WITH e AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, dim,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 / count(*) AS centroid,
+           count(*) AS n
+    FROM e GROUP BY label, dim
+"""
+
+QUERIES["embedding_centroids"] = q_embedding_centroids
+ORACLES["embedding_centroids"] = ORACLE_EMBEDDING_CENTROIDS

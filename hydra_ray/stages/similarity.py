@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -408,3 +409,68 @@ def cosine_near_dups(
         return df.drop_duplicates(["vec_a", "vec_b"])
 
     return keyed_map_partitions(pairs, ["vec_a", "vec_b"], dedup_pairs, num_parts=32)
+
+
+def grouped_centroids(
+    ds: "rd.Dataset",
+    key: str = "label",
+    emb_col: str = "embedding",
+) -> "rd.Dataset":
+    """Per-group embedding centroids (cluster summaries / per-source
+    drift monitoring): mean vector per ``key`` in long form
+    (key, dim, centroid, n).
+
+    Scale shape: each batch reduces its vectors to per-key per-dim
+    partial sums BEFORE the shuffle (|keys|×d rows per batch, not
+    n×d), so the groupby moves partials only — the classic combiner.
+    Sums are integer micro-units (floor(x·1e6+0.5) per component) so
+    the aggregate is order-invariant and the DuckDB oracle bit-exact.
+    """
+    from hydra_ray.stages.agg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "sum_micro": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        mat = _matrix_of(t, emb_col).astype(np.float64)
+        micro = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        keys = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        d = mat.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                key: pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+                "sum_micro": pa.array(sums.ravel()),
+                "cnt": pa.array(np.repeat(cnts, d)),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[key, "dim"],
+        aggs=[("sum_micro", "sum", "sum_micro"), ("cnt", "sum", "n")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                key: pc.cast(t[key], pa.int64()),
+                "dim": pc.cast(t["dim"], pa.int64()),
+                "centroid": pa.array(s / 1e6 / n),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

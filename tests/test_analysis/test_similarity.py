@@ -212,3 +212,31 @@ def test_png_wav_codecs_roundtrip_all_filters():
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3mp3-bytes")
     assert decode_image(b"anything", decoder=lambda b: "injected") == "injected"
+
+
+def test_grouped_centroids_matches_numpy_mean():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hydra_ray.stages.similarity import grouped_centroids
+
+    rng = np.random.default_rng(11)
+    n, d = 200, 8
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 3, size=n)
+    t = pa.table(
+        {
+            "label": pa.array(labels, type=pa.int64()),
+            "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+        }
+    )
+    out = grouped_centroids(rd.from_arrow(t).repartition(5), key="label").take_all()
+    got = {(r["label"], r["dim"]): r["centroid"] for r in out}
+    micro = np.floor(mat.astype(np.float64) * 1e6 + 0.5)
+    for lab in range(3):
+        sel = micro[labels == lab]
+        exp = sel.sum(axis=0) / 1e6 / len(sel)
+        for j in range(d):
+            assert got[(lab, j + 1)] == exp[j]
+    assert all(r["n"] == int((labels == r["label"]).sum()) for r in out)
