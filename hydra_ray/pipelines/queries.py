@@ -2174,11 +2174,19 @@ def q_media_decode(sf_dir: str):
     a 256-sample waveform — sample(i) = (doc_id*11 + i*37) % 2048 - 1024
     — round-trips WAV through decode_audio; the same frame also
     round-trips the BMP (24-bit rows) and GIF (LZW + color table)
-    codecs. All compared channel means / sample stats are computed
-    from the DECODED arrays, so a single flipped bit anywhere in any
-    of the four codecs fails the oracle (all are lossless; the oracle
-    computes the same stats in closed form)."""
-    from hydra_ray.sources.codecs import encode_bmp, encode_gif, encode_png, encode_wav
+    codecs, and a block-constant 16×16 grayscale frame — value
+    (doc_id*19 + q*53) % 256 per 8×8 quadrant q — round-trips the
+    baseline JPEG codec EXACTLY (quality=100 makes every quant step 1,
+    so DC-only constant blocks survive Huffman+DCT bit-for-bit). All
+    compared stats are computed from the DECODED arrays, so a single
+    flipped bit anywhere in any of the five codecs fails the oracle."""
+    from hydra_ray.sources.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+    )
     from hydra_ray.stages.multimodal import decode_audio, decode_image
 
     ds = _docs(sf_dir, columns=["doc_id"])
@@ -2194,6 +2202,7 @@ def q_media_decode(sf_dir: str):
         means_gif = np.zeros((len(ids), 3), dtype=np.float64)
         wav_mean = np.zeros(len(ids), dtype=np.float64)
         wav_peak = np.zeros(len(ids), dtype=np.int64)
+        jpeg_mean = np.zeros(len(ids), dtype=np.float64)
         for j, d in enumerate(ids):
             img = ((int(d) * 7 + r * 31 + c * 13 + k * 97) % 256).astype(np.uint8)
             decoded = decode_image(encode_png(img, filter_type=int(d) % 5))
@@ -2203,6 +2212,13 @@ def q_media_decode(sf_dir: str):
             # the oracle's closed-form pixel expression
             means_bmp[j] = decode_image(encode_bmp(img)).reshape(-1, 3).mean(axis=0)
             means_gif[j] = decode_image(encode_gif(img)).reshape(-1, 3).mean(axis=0)
+            gimg = np.zeros((16, 16), dtype=np.uint8)
+            for q in range(4):
+                v = (int(d) * 19 + q * 53) % 256
+                gimg[(q // 2) * 8 : (q // 2) * 8 + 8, (q % 2) * 8 : (q % 2) * 8 + 8] = v
+            jdec = decode_image(encode_jpeg(gimg, quality=100))
+            assert jdec.shape == (16, 16)
+            jpeg_mean[j] = jdec.astype(np.float64).mean()
             samples = ((int(d) * 11 + i * 37) % 2048 - 1024).astype(np.int16)
             arr, rate = decode_audio(encode_wav(samples, 16000))
             assert rate == 16000
@@ -2222,6 +2238,7 @@ def q_media_decode(sf_dir: str):
                 "mean_b_gif": pa.array(np.round(means_gif[:, 2], 6)),
                 "wav_mean": pa.array(np.round(wav_mean, 6)),
                 "wav_peak": pa.array(wav_peak),
+                "jpeg_mean": pa.array(np.round(jpeg_mean, 6)),
             }
         )
 
@@ -2245,6 +2262,12 @@ ORACLE_MEDIA_DECODE = """
                max(abs((doc_id * 11 + i * 37) % 2048 - 1024)) AS wp
         FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS i FROM documents)
         GROUP BY doc_id
+    ),
+    jp AS (
+        SELECT doc_id,
+               avg(CAST((doc_id * 19 + q * 53) % 256 AS DOUBLE)) AS jm
+        FROM (SELECT doc_id, unnest(generate_series(0, 3)) AS q FROM documents)
+        GROUP BY doc_id
     )
     SELECT p0.doc_id,
            round(p0.m, 6) AS mean_r, round(p1.m, 6) AS mean_g, round(p2.m, 6) AS mean_b,
@@ -2252,11 +2275,13 @@ ORACLE_MEDIA_DECODE = """
            round(p2.m, 6) AS mean_b_bmp,
            round(p0.m, 6) AS mean_r_gif, round(p1.m, 6) AS mean_g_gif,
            round(p2.m, 6) AS mean_b_gif,
-           round(w.wm, 6) AS wav_mean, CAST(w.wp AS BIGINT) AS wav_peak
+           round(w.wm, 6) AS wav_mean, CAST(w.wp AS BIGINT) AS wav_peak,
+           round(j.jm, 6) AS jpeg_mean
     FROM px p0
     JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.k = 1
     JOIN px p2 ON p2.doc_id = p0.doc_id AND p2.k = 2
     JOIN wv w ON w.doc_id = p0.doc_id
+    JOIN jp j ON j.doc_id = p0.doc_id
     WHERE p0.k = 0
 """
 

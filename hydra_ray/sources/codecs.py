@@ -395,3 +395,452 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU T.81) — stdlib + numpy only.
+#
+# Encoder: 4:4:4 (or single-component grayscale), Annex-K quantization
+# tables scaled by libjpeg's quality formula, Annex-K Huffman tables.
+# Decoder: baseline SOF0, arbitrary sampling factors up to 2x2,
+# multiple DQT/DHT segments, restart markers, byte unstuffing.
+# quality=100 scales every quant step to 1, which makes block-constant
+# grayscale images round-trip EXACTLY (DC = 8*(v-128) is an integer,
+# every AC quantizes to 0) — the property the media_decode oracle uses.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS counts[1..16], HUFFVAL list)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    u = x.reshape(8, 1)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC value per F.1.2."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline JFIF encode of an HxW (grayscale) or HxWx3 (RGB) uint8
+    array; 4:4:4, Annex-K Huffman tables. quality=100 -> unit quant
+    tables (block-constant grayscale inputs round-trip exactly)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    m = _dct_matrix()
+    qt_l = _quality_scale(_Q_LUMA, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qts = [qt_l]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qt_c = _quality_scale(_Q_CHROMA, quality)
+        qts = [qt_l, qt_c]
+        qsel = [0, 1, 1]
+
+    dc_tabs = [_huff_codes(*_HUFF_DC_LUMA), _huff_codes(*_HUFF_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_HUFF_AC_LUMA), _huff_codes(*_HUFF_AC_CHROMA)]
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    coeffs = []  # per component: (bh, bw, 64) zigzag-quantized ints
+    for ci, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        dct = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+        q = np.floor(dct / qts[qsel[ci]] + 0.5).astype(np.int64)
+        coeffs.append(q)
+
+    bw_writer = _BitWriter()
+    pred = [0] * len(planes)
+    zz = _ZIGZAG
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(len(planes)):
+                tab = 0 if ci == 0 else 1
+                block = coeffs[ci][by, bx].reshape(64)[zz]
+                diff = int(block[0]) - pred[ci]
+                pred[ci] = int(block[0])
+                cat, bits = _magnitude(diff)
+                code, ln = dc_tabs[tab][cat]
+                bw_writer.write(code, ln)
+                if cat:
+                    bw_writer.write(bits, cat)
+                run = 0
+                nz = np.nonzero(block[1:])[0]
+                last_nz = nz[-1] + 1 if len(nz) else 0
+                for i in range(1, last_nz + 1):
+                    v = int(block[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[tab][0xF0]  # ZRL
+                        bw_writer.write(code, ln)
+                        run -= 16
+                    cat, bits = _magnitude(v)
+                    code, ln = ac_tabs[tab][(run << 4) | cat]
+                    bw_writer.write(code, ln)
+                    bw_writer.write(bits, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[tab][0x00]  # EOB
+                    bw_writer.write(code, ln)
+    bw_writer.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, qt in enumerate(qts):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([ti])
+        out += bytes(int(x) for x in qt.reshape(64)[zz])
+    ncomp = len(planes)
+    out += b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, qsel[ci]])
+    specs = [
+        (0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA),
+        (0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA),
+    ][: 2 if gray else 4]
+    for tc_th, (bits, vals) in specs:
+        out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big") + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += bytes([0, 63, 0])
+    out += bw_writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker: rewind and feed zeros (caller handles RST)
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def align_to_marker(self):
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data) and not (
+            self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF decode to HxW (grayscale) or HxWx3 (RGB) uint8.
+    Supports SOF0, sampling factors up to 2x2, restart intervals."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps = []  # (id, h, v, tq)
+    h = w = 0
+    restart = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    vals = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = vals
+                qtabs[tq] = qt.reshape(8, 8)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            restart = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tds = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tds >> 4, tds & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+    if scan is None or not comps:
+        raise ValueError("truncated JPEG")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _dct_matrix()
+    planes = {}
+    for cid, ch, cv, _ in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+
+    br = _BitReader(data[pos:])
+    pred = {cid: 0 for cid, *_ in comps}
+    comp_by_id = {c[0]: c for c in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.align_to_marker()
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                pred = {cid: 0 for cid, *_ in comps}
+            n_mcu += 1
+            for cs, td, ta in scan:
+                cid, ch, cv, tq = comp_by_id[cs]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        sym = _read_symbol(br, htabs[(0, td)])
+                        diff = _extend(br.read(sym), sym)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, htabs[(1, ta)])
+                            if sym == 0x00:
+                                break
+                            run, cat = sym >> 4, sym & 0xF
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                break
+                            zz[k] = _extend(br.read(cat), cat)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz
+                        deq = block.reshape(8, 8) * qtabs[tq]
+                        pix = m.T @ deq @ m + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    out_planes = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

@@ -62,11 +62,12 @@ class MediaFetcher:
 def decode_image(payload: bytes, decoder=None):
     """Decode an image payload to an HxWxC uint8 array.
 
-    PNG, BMP and GIF decode natively (sources/codecs.py — stdlib only:
-    zlib scanline filters / BITMAPINFOHEADER rows / LZW + color
-    tables). Other formats (JPEG, WebP, …) need an injected ``decoder``
-    (e.g. PIL.Image.open) — those libs are not in this container, so
-    they stay honestly gated."""
+    PNG, BMP, GIF and baseline JPEG decode natively (sources/codecs.py
+    — stdlib+numpy only: zlib scanline filters / BITMAPINFOHEADER rows
+    / LZW + color tables / SOF0 Huffman + IDCT). Other formats (WebP,
+    progressive JPEG, …) need an injected ``decoder`` (e.g.
+    PIL.Image.open) — those libs are not in this container, so they
+    stay honestly gated."""
     if decoder is not None:
         return decoder(payload)
     head = bytes(payload[:8])
@@ -82,8 +83,12 @@ def decode_image(payload: bytes, decoder=None):
         from hydra_ray.sources.codecs import decode_gif
 
         return decode_gif(payload)
+    if head[:2] == b"\xff\xd8":
+        from hydra_ray.sources.codecs import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "PNG/BMP/GIF decode natively; inject a decoder for other image formats"
+        "PNG/BMP/GIF/baseline-JPEG decode natively; inject a decoder for other image formats"
     )
 
 

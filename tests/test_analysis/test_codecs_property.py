@@ -183,3 +183,74 @@ def test_gif_interlaced_decode():
     pb[pos + 9] |= 0x40  # interlace flag
     out = decode_gif(bytes(pb))
     assert np.array_equal(out, img)
+
+
+# --- JPEG (baseline sequential) ---------------------------------------------
+
+from hydra_ray.sources.codecs import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+@_FAST
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=4, max_size=4),
+)
+def test_jpeg_block_constant_grayscale_roundtrips_exactly(vals):
+    import numpy as np
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for q, v in enumerate(vals):
+        img[(q // 2) * 8 : (q // 2) * 8 + 8, (q % 2) * 8 : (q % 2) * 8 + 8] = v
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (16, 16)
+    assert np.array_equal(out, img)
+
+
+@_FAST
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_jpeg_color_roundtrip_psnr(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # smooth image (JPEG's design domain): low-freq gradients + offset
+    h, w = int(rng.integers(9, 40)), int(rng.integers(9, 40))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (yy * 255 // max(h - 1, 1)),
+            (xx * 255 // max(w - 1, 1)),
+            ((yy + xx) * 255 // max(h + w - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    mse = float(np.mean((dec.astype(np.float64) - img.astype(np.float64)) ** 2))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    assert psnr > 30.0, (h, w, psnr)
+
+
+def test_jpeg_nonmultiple_of_8_and_gray_shapes():
+    import numpy as np
+
+    img = np.arange(13 * 19, dtype=np.uint8).reshape(13, 19) % 256
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.shape == (13, 19)
+    # q=100 on smooth ramps is near-lossless
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_decoder_rejects_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_decode_image_routes_jpeg_magic():
+    import numpy as np
+
+    from hydra_ray.stages.multimodal import decode_image
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    out = decode_image(encode_jpeg(img, quality=100))
+    assert np.array_equal(out, img)
