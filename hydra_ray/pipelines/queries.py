@@ -2841,3 +2841,51 @@ ORACLE_EMBEDDING_CENTROIDS = """
 
 QUERIES["embedding_centroids"] = q_embedding_centroids
 ORACLES["embedding_centroids"] = ORACLE_EMBEDDING_CENTROIDS
+
+
+def q_audio_features(sf_dir: str):
+    """Audio frame features (stages/multimodal.py::audio_features_batch)
+    over per-doc deterministic 256-sample WAVs (same waveform family as
+    media_decode): 4 frames × (RMS energy, zero-crossing count), the
+    whole path running through the real WAV codec."""
+    from hydra_ray.sources.codecs import encode_wav
+    from hydra_ray.stages.multimodal import audio_features_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def make_wavs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(256)
+        payloads = [
+            encode_wav(((int(d) * 11 + i * 37) % 2048 - 1024).astype(np.int16), 16000)
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(make_wavs, batch_format="pyarrow").map_batches(
+        audio_features_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_AUDIO_FEATURES = """
+    WITH s AS (
+        SELECT doc_id, i, i // 64 AS frame,
+               CAST((doc_id * 11 + i * 37) % 2048 - 1024 AS DOUBLE) AS x
+        FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS i FROM documents)
+    ),
+    z AS (
+        SELECT doc_id, frame, i, x,
+               lead(x) OVER (PARTITION BY doc_id, frame ORDER BY i) AS nx
+        FROM s
+    )
+    SELECT doc_id, frame,
+           floor(sqrt(sum(x * x) / 64.0) * 1e6 + 0.5) / 1e6 AS rms,
+           CAST(sum(CASE WHEN nx IS NOT NULL AND ((x >= 0) <> (nx >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+    FROM z GROUP BY doc_id, frame
+"""
+
+QUERIES["audio_features"] = q_audio_features
+ORACLES["audio_features"] = ORACLE_AUDIO_FEATURES

@@ -135,3 +135,43 @@ class MediaFeatures:
                 "features": feat,
             }
         )
+
+
+def audio_features_batch(
+    batch: pa.Table,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Frame-level audio features from decoded PCM: per equal-length
+    frame the RMS energy (micro-rounded — sqrt is IEEE correctly
+    rounded, so the SQL oracle is bit-exact) and the zero-crossing
+    count (sign changes between adjacent samples, zeros treated as
+    positive). Long-form output (id, frame, rms, zcr) — the standard
+    first stage of any audio-quality / VAD filter."""
+    ids_out: list[int] = []
+    frame_out: list[int] = []
+    rms_out: list[float] = []
+    zcr_out: list[int] = []
+    ids = batch[id_col].to_pylist()
+    for did, payload in zip(ids, batch[payload_col].to_pylist()):
+        samples, _ = decode_audio(payload)
+        x = samples[:, 0].astype(np.float64)
+        flen = len(x) // n_frames
+        for f in range(n_frames):
+            seg = x[f * flen : (f + 1) * flen]
+            rms = float(np.sqrt(np.sum(seg * seg) / len(seg)))
+            sign = seg >= 0
+            zcr = int(np.count_nonzero(sign[1:] != sign[:-1]))
+            ids_out.append(did)
+            frame_out.append(f)
+            rms_out.append(np.floor(rms * 1e6 + 0.5) / 1e6)
+            zcr_out.append(zcr)
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, type=pa.int64()),
+            "frame": pa.array(frame_out, type=pa.int64()),
+            "rms": pa.array(rms_out, type=pa.float64()),
+            "zcr": pa.array(zcr_out, type=pa.int64()),
+        }
+    )

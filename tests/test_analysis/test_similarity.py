@@ -207,7 +207,9 @@ def test_png_wav_codecs_roundtrip_all_filters():
     arr, rate = decode_audio(encode_wav(s, 44100))
     assert rate == 44100 and (arr == s).all()
 
-    with _pytest.raises(NotImplementedError):
+    # JPEG is now a real codec (sources/codecs.py) — truncated bytes are a
+    # parse error, not an unsupported format.
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffjpeg-bytes")
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3mp3-bytes")
@@ -240,3 +242,26 @@ def test_grouped_centroids_matches_numpy_mean():
         for j in range(d):
             assert got[(lab, j + 1)] == exp[j]
     assert all(r["n"] == int((labels == r["label"]).sum()) for r in out)
+
+
+def test_audio_features_frames():
+    """audio_features_batch: per-frame RMS and zero-crossing counts over
+    a known synthetic waveform, via the real WAV codec."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.sources.codecs import encode_wav
+    from hydra_ray.stages.multimodal import audio_features_batch
+
+    # square wave: +1000 for 32 samples, -1000 for 32 → RMS 1000, one
+    # sign change inside each 64-sample frame (plus one at each frame
+    # boundary, counted in the earlier frame's pair window... boundaries
+    # between frames are NOT counted: frames are sliced independently).
+    x = np.tile(np.r_[np.full(32, 1000), np.full(32, -1000)], 4).astype(np.int16)
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "payload": pa.array([encode_wav(x, 8000)], type=pa.binary())})
+    out = audio_features_batch(t, n_frames=4)
+    assert out.num_rows == 4
+    assert out["rms"].to_pylist() == [1000.0] * 4
+    assert out["zcr"].to_pylist() == [1] * 4
+    assert out["frame"].to_pylist() == [0, 1, 2, 3]
