@@ -2889,3 +2889,74 @@ ORACLE_AUDIO_FEATURES = """
 
 QUERIES["audio_features"] = q_audio_features
 ORACLES["audio_features"] = ORACLE_AUDIO_FEATURES
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub (stages/text.py::pii_batch) over documents with
+    deterministically injected emails / FR-style phone numbers / IPv4s
+    (2 of every 3 docs get one of each; the word-soup base text has no
+    digits or '@' so injection fully controls the truth). Counts are
+    taken stepwise on the progressively-redacted string — that order is
+    the operator contract and the oracle reproduces it."""
+    from hydra_ray.stages.text import pii_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        full = [
+            txt
+            if d % 3 == 0
+            else (
+                f"{txt} reach user{d}@mail-{d % 7}.org or "
+                f"0{1 + d % 9} 23 45 67 89 at 10.{d % 256}.0.{d % 100}"
+            )
+            for d, txt in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(full)})
+
+    return ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        pii_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_PII_REDACT = """
+    WITH t AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE
+                 ' reach user' || CAST(doc_id AS VARCHAR) || '@mail-'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.org or 0'
+                 || CAST(1 + doc_id % 9 AS VARCHAR)
+                 || ' 23 45 67 89 at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 100 AS VARCHAR) END AS s0
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, s0,
+               CAST(length(regexp_extract_all(s0,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               regexp_replace(s0,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS s1
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id, n_email,
+               CAST(length(regexp_extract_all(s1,
+                 '\\b0[1-9](?:[ .-][0-9]{2}){4}\\b')) AS BIGINT) AS n_phone,
+               regexp_replace(s1,
+                 '\\b0[1-9](?:[ .-][0-9]{2}){4}\\b', '[PHONE]', 'g') AS s2
+        FROM e
+    )
+    SELECT doc_id,
+           regexp_replace(s2, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                          '[IP]', 'g') AS text,
+           n_email, n_phone,
+           CAST(length(regexp_extract_all(s2,
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
+    FROM p
+"""
+
+
+QUERIES["pii_redact"] = q_pii_redact
+ORACLES["pii_redact"] = ORACLE_PII_REDACT

@@ -387,3 +387,44 @@ def temperature_mix(
         return df.drop(columns=["_rh"])
 
     return keyed_map_partitions(hashed, [key], pick, num_parts=num_parts)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (curation-time scrubbing).
+#
+# The pattern trio below is written in the RE2 subset shared by pyarrow
+# and DuckDB, which is what makes the SQL oracle exact. Order of
+# redaction matters (emails first, so their user part can't later match
+# the phone pattern) and is part of the contract.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b0[1-9](?:[ .-][0-9]{2}){4}\b", "[PHONE]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def pii_batch(
+    batch: pa.Table, text_col: str = "text", redact: bool = True
+) -> pa.Table:
+    """Count and (optionally) redact emails / phone numbers / IPv4
+    addresses in ``text_col``. Pure Arrow kernels: one
+    count_substring_regex + replace_substring_regex pass per pattern.
+    Adds ``n_email / n_phone / n_ipv4`` int64 columns and, when
+    ``redact``, replaces ``text_col`` with the scrubbed string."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = batch
+    scrubbed = text
+    for name, pattern, token in PII_PATTERNS:
+        out = out.append_column(
+            f"n_{name}",
+            pc.cast(pc.count_substring_regex(scrubbed, pattern), pa.int64()),
+        )
+        if redact:
+            scrubbed = pc.replace_substring_regex(scrubbed, pattern, token)
+    if redact:
+        out = out.set_column(
+            out.schema.get_field_index(text_col), text_col, scrubbed
+        )
+    return out
