@@ -2960,3 +2960,91 @@ ORACLE_PII_REDACT = """
 
 QUERIES["pii_redact"] = q_pii_redact
 ORACLES["pii_redact"] = ORACLE_PII_REDACT
+
+
+def q_image_dups(sf_dir: str):
+    """Perceptual image dedup: deterministic 16x18 BMPs (groups of <=4
+    consecutive doc_ids share one image via base = doc_id - doc_id%4),
+    real BMP decode -> integer dHash (stages/multimodal.py::
+    image_dhash_batch), then a dhash-keyed shuffle assigns each image
+    the min doc_id of its hash group (rep) — the standard duplicate-
+    image collapse, fully distributed via keyed_map_partitions."""
+    from hydra_ray.sources.codecs import encode_bmp
+    from hydra_ray.stages.keyed import keyed_map_partitions
+    from hydra_ray.stages.multimodal import image_dhash_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    H, W = 16, 18
+
+    def make_bmps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.arange(H)[:, None]
+        x = np.arange(W)[None, :]
+        payloads = []
+        for d in ids:
+            b = int(d) - int(d) % 4
+            img = np.stack(
+                [
+                    (b * 7 + y * 31 + x * 13) % 256,
+                    (b * 11 + y * 17 + x * 29) % 256,
+                    (b * 13 + y * 23 + x * 37) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(encode_bmp(img))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    hashed = (
+        ds.map_batches(make_bmps, batch_format="pyarrow")
+        .map_batches(image_dhash_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "dhash"])
+    )
+
+    def assign_rep(df):
+        df = df.copy()
+        df["rep"] = df.groupby("dhash", sort=False)["doc_id"].transform("min")
+        return df
+
+    return keyed_map_partitions(hashed, ["dhash"], assign_rep)
+
+
+ORACLE_IMAGE_DUPS = """
+    WITH px AS (
+        SELECT d.doc_id, d.doc_id - d.doc_id % 4 AS b, y.y, x.x
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 15)) AS y) y,
+             (SELECT unnest(generate_series(0, 17)) AS x) x
+    ),
+    luma AS (
+        SELECT doc_id, y // 2 AS gy, x // 2 AS gx,
+               (299 * ((b * 7 + y * 31 + x * 13) % 256)
+              + 587 * ((b * 11 + y * 17 + x * 29) % 256)
+              + 114 * ((b * 13 + y * 23 + x * 37) % 256)) // 1000 AS v
+        FROM px
+    ),
+    cells AS (
+        SELECT doc_id, gy, gx, sum(v) AS s
+        FROM luma GROUP BY doc_id, gy, gx
+    ),
+    bits AS (
+        SELECT l.doc_id, l.gy * 8 + l.gx AS k,
+               CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+        FROM cells l JOIN cells r
+          ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+    ),
+    hashes AS (
+        SELECT doc_id,
+               lpad(lower(hex(CAST(sum(CAST(bit AS HUGEINT)
+                    * (CAST(1 AS HUGEINT) << CAST(k AS INTEGER))) AS UBIGINT))),
+                    16, '0') AS dhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, dhash, min(doc_id) OVER (PARTITION BY dhash) AS rep
+    FROM hashes
+"""
+
+
+QUERIES["image_dups"] = q_image_dups
+ORACLES["image_dups"] = ORACLE_IMAGE_DUPS

@@ -175,3 +175,31 @@ def audio_features_batch(
             "zcr": pa.array(zcr_out, type=pa.int64()),
         }
     )
+
+
+def image_dhash_batch(
+    batch: pa.Table,
+    grid: tuple[int, int] = (8, 9),
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Perceptual difference-hash (dHash) per image: decode → integer
+    luma ((299R+587G+114B)//1000) → average-pool onto a ``grid[0]`` ×
+    ``grid[1]`` grid → bit k set iff cell (gy,gx) is brighter than its
+    right neighbour. All-integer pipeline, so the SQL oracle is exact.
+    Image height/width must be multiples of the grid (the pooling is a
+    reshape-sum, no resampling kernel to disagree over). Output adds
+    ``dhash`` as a 16-hex-char string (64 bits for the default grid)."""
+    gh, gw = grid
+    hashes: list[str] = []
+    for payload in batch[payload_col].to_pylist():
+        img = decode_image(payload).astype(np.int64)
+        h, w, _ = img.shape
+        if h % gh or w % gw:
+            raise ValueError(f"image {h}x{w} not divisible by grid {gh}x{gw}")
+        luma = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+        cells = luma.reshape(gh, h // gh, gw, w // gw).sum(axis=(1, 3))
+        bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+        val = int(np.sum(bits.astype(np.uint64) << np.arange(bits.size, dtype=np.uint64)))
+        hashes.append(f"{val:0{(bits.size + 3) // 4}x}")
+    return batch.append_column("dhash", pa.array(hashes, type=pa.string()))

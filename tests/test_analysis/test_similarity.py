@@ -265,3 +265,26 @@ def test_audio_features_frames():
     assert out["rms"].to_pylist() == [1000.0] * 4
     assert out["zcr"].to_pylist() == [1] * 4
     assert out["frame"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_image_dhash_semantics():
+    """dHash: a left-to-right darkening gradient sets every bit; its
+    mirror sets none; identical images collide, distinct ones don't."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.sources.codecs import encode_bmp
+    from hydra_ray.stages.multimodal import image_dhash_batch
+
+    grad = np.repeat(np.arange(18, 0, -1, dtype=np.uint8)[None, :] * 14, 16, axis=0)
+    bright = np.stack([grad] * 3, axis=2)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array(
+            [encode_bmp(bright), encode_bmp(bright[:, ::-1]), encode_bmp(bright)],
+            type=pa.binary(),
+        ),
+    })
+    out = image_dhash_batch(t)["dhash"].to_pylist()
+    assert out[0] == "f" * 16 and out[1] == "0" * 16
+    assert out[0] == out[2]
