@@ -3048,3 +3048,57 @@ ORACLE_IMAGE_DUPS = """
 
 QUERIES["image_dups"] = q_image_dups
 ORACLES["image_dups"] = ORACLE_IMAGE_DUPS
+
+
+def q_frame_sample(sf_dir: str):
+    """Video-analogue frame sampling: per doc a deterministic animated
+    GIF (2 + doc_id%4 grayscale 6x8 frames) runs through the real
+    multi-frame codec (sources/codecs.py::decode_gif_frames) and
+    stages/multimodal.py::frame_sample_batch keeps 3 uniformly-spaced
+    frames with integer luma sums."""
+    from hydra_ray.sources.codecs import encode_gif_frames
+    from hydra_ray.stages.multimodal import frame_sample_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    H, W = 6, 8
+
+    def make_gifs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.arange(6)[:, None, None]
+        y = np.arange(H)[None, :, None]
+        x = np.arange(W)[None, None, :]
+        payloads = []
+        for d in ids:
+            nf = 2 + int(d) % 4
+            v = ((int(d) * 5 + f[:nf] * 19 + y * 31 + x * 13) % 256).astype(np.uint8)
+            payloads.append(encode_gif_frames(np.stack([v, v, v], axis=3)))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(make_gifs, batch_format="pyarrow").map_batches(
+        frame_sample_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+    WITH s AS (
+        SELECT d.doc_id, 2 + d.doc_id % 4 AS n_frames, j.j,
+               (j.j * (2 + d.doc_id % 4)) // 3 AS frame_idx
+        FROM documents d, (SELECT unnest(generate_series(0, 2)) AS j) j
+    ),
+    px AS (
+        SELECT s.doc_id, s.j, s.frame_idx, s.n_frames,
+               1000 * ((s.doc_id * 5 + s.frame_idx * 19 + y.y * 31 + x.x * 13) % 256) AS lv
+        FROM s,
+             (SELECT unnest(generate_series(0, 5)) AS y) y,
+             (SELECT unnest(generate_series(0, 7)) AS x) x
+    )
+    SELECT doc_id, j AS snum, frame_idx, n_frames,
+           CAST(sum(lv) AS BIGINT) AS sum_luma
+    FROM px GROUP BY doc_id, j, frame_idx, n_frames
+"""
+
+
+QUERIES["frame_sample"] = q_frame_sample
+ORACLES["frame_sample"] = ORACLE_FRAME_SAMPLE

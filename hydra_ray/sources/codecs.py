@@ -286,28 +286,39 @@ def _lzw_encode_gif(min_code_size: int, indices: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF87a/89a bytes → uint8 (H, W, 3) RGB of the first frame.
-    Handles global/local color tables, interlacing, and extension
-    blocks; animation frames past the first are ignored."""
+def decode_gif_frames(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → uint8 (F, H, W, 3) RGB — ALL frames, composited
+    onto the logical screen. Handles global/local color tables,
+    interlacing, sub-rectangle frames, GCE transparency and disposal
+    methods 0/1 (leave) and 2 (restore background)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent = -1  # GCE transparent index for the NEXT frame, or -1
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1]
             pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gpacked = data[pos + 1]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = data[pos + 4] if gpacked & 0x01 else -1
             while data[pos]:
                 pos += data[pos] + 1
             pos += 1
         elif block == 0x2C:  # image descriptor
-            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
             table = gct
             if ipacked & 0x80:
@@ -327,30 +338,49 @@ def decode_gif(data: bytes) -> np.ndarray:
             idx = _lzw_decode_gif(min_code, bytes(stream), w * h)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
-            img = table[idx.reshape(h, w)]
+            idx = idx.reshape(h, w)
             if ipacked & 0x40:  # interlaced: 8/8/4/2-row passes
                 rows = np.concatenate(
                     [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
                 )
-                out = np.empty_like(img)
-                out[rows] = img
-                img = out
-            return img
+                out = np.empty_like(idx)
+                out[rows] = idx
+                idx = out
+            region = canvas[top : top + h, left : left + w]
+            painted = table[idx]
+            if transparent >= 0:
+                painted = np.where((idx == transparent)[:, :, None], region, painted)
+            region[:] = painted
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame's rect
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:
+                raise NotImplementedError("GIF disposal 3 (restore previous)")
+            transparent, disposal = -1, 0
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames)
 
 
-def encode_gif(arr: np.ndarray) -> bytes:
-    """uint8 (H, W, 3) RGB with ≤256 distinct colors → GIF89a bytes
-    (single frame, global color table, LZW-compressed)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("encode_gif expects (H, W, 3) RGB")
-    h, w, _ = arr.shape
-    flat = arr.reshape(-1, 3)
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (H, W, 3) RGB of the first frame."""
+    return decode_gif_frames(data)[0]
+
+
+def encode_gif_frames(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """uint8 (F, H, W, 3) RGB with ≤256 distinct colors across ALL
+    frames → animated GIF89a bytes: one global color table, a NETSCAPE
+    loop extension, and per-frame graphic-control (delay) + full-frame
+    image descriptors."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_gif_frames expects (F, H, W, 3) RGB")
+    f, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
     palette, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
         raise ValueError(f"GIF needs ≤256 colors, got {len(palette)}")
@@ -362,15 +392,31 @@ def encode_gif(arr: np.ndarray) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
     out += gct.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    out.append(min_code)
-    lzw = _lzw_encode_gif(min_code, idx.astype(np.int64))
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    if f > 1:  # NETSCAPE2.0 infinite-loop extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    idx = idx.reshape(f, h * w)
+    for fi in range(f):
+        if f > 1:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<HB", delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode_gif(min_code, idx[fi].astype(np.int64))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB with ≤256 distinct colors → GIF89a bytes
+    (single frame, global color table, LZW-compressed)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_gif expects (H, W, 3) RGB")
+    return encode_gif_frames(arr[None])
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

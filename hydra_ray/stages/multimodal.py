@@ -203,3 +203,46 @@ def image_dhash_batch(
         val = int(np.sum(bits.astype(np.uint64) << np.arange(bits.size, dtype=np.uint64)))
         hashes.append(f"{val:0{(bits.size + 3) // 4}x}")
     return batch.append_column("dhash", pa.array(hashes, type=pa.string()))
+
+
+def frame_sample_batch(
+    batch: pa.Table,
+    n_samples: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Uniform frame sampling over animated payloads (the video
+    analogue): decode all frames, keep sample j at frame ``j*F//n``
+    (j < n; repeats when F < n are kept — deterministic contract),
+    and emit per-sampled-frame integer luma sums (299R+587G+114B
+    summed raw, divided by nothing — exact in SQL). Long output:
+    (id, snum, frame_idx, n_frames, sum_luma)."""
+    from hydra_ray.sources.codecs import decode_gif_frames
+
+    ids_o: list[int] = []
+    snum_o: list[int] = []
+    fidx_o: list[int] = []
+    nf_o: list[int] = []
+    sum_o: list[int] = []
+    for did, payload in zip(batch[id_col].to_pylist(), batch[payload_col].to_pylist()):
+        frames = decode_gif_frames(payload).astype(np.int64)
+        nf = frames.shape[0]
+        lsum = (
+            299 * frames[:, :, :, 0] + 587 * frames[:, :, :, 1] + 114 * frames[:, :, :, 2]
+        ).sum(axis=(1, 2))
+        for j in range(n_samples):
+            fi = j * nf // n_samples
+            ids_o.append(did)
+            snum_o.append(j)
+            fidx_o.append(fi)
+            nf_o.append(nf)
+            sum_o.append(int(lsum[fi]))
+    return pa.table(
+        {
+            id_col: pa.array(ids_o, type=pa.int64()),
+            "snum": pa.array(snum_o, type=pa.int64()),
+            "frame_idx": pa.array(fidx_o, type=pa.int64()),
+            "n_frames": pa.array(nf_o, type=pa.int64()),
+            "sum_luma": pa.array(sum_o, type=pa.int64()),
+        }
+    )

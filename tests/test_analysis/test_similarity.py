@@ -288,3 +288,51 @@ def test_image_dhash_semantics():
     out = image_dhash_batch(t)["dhash"].to_pylist()
     assert out[0] == "f" * 16 and out[1] == "0" * 16
     assert out[0] == out[2]
+
+
+def test_gif_animation_compositing_and_sampling():
+    """Multi-frame GIF: encoder/decoder round-trip, sub-rectangle frame
+    compositing onto the previous canvas, and frame_sample_batch's
+    uniform-index contract."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.sources.codecs import (
+        _lzw_encode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+    from hydra_ray.stages.multimodal import frame_sample_batch
+
+    # hand-built: 2x2 screen, palette [black, red]; frame 1 all black,
+    # frame 2 a 1x1 sub-rect at (1,1) painting red — decoder must
+    # composite it over the previous canvas.
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # gct, 4 entries
+    out += bytes([0, 0, 0, 255, 0, 0] + [0] * 6)  # 4-entry table
+    for left, top, w, h, indices in [(0, 0, 2, 2, [0, 0, 0, 0]), (1, 1, 1, 1, [1])]:
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(2)
+        lzw = _lzw_encode_gif(2, np.array(indices))
+        out.append(len(lzw))
+        out += lzw + b"\x00"
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert frames.shape == (2, 2, 2, 3)
+    assert (frames[0] == 0).all()
+    exp = np.zeros((2, 2, 3), np.uint8)
+    exp[1, 1] = (255, 0, 0)
+    assert (frames[1] == exp).all()
+
+    # sampling contract: j*F//n indices, luma sums integer-exact
+    anim = np.zeros((4, 2, 2, 3), np.uint8)
+    for f in range(4):
+        anim[f] = f * 10
+    t = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                  "payload": pa.array([encode_gif_frames(anim)], type=pa.binary())})
+    s = frame_sample_batch(t, n_samples=2)
+    assert s["frame_idx"].to_pylist() == [0, 2]
+    assert s["n_frames"].to_pylist() == [4, 4]
+    assert s["sum_luma"].to_pylist() == [0, 20 * 1000 * 4]
