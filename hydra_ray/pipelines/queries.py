@@ -2181,6 +2181,8 @@ def q_media_decode(sf_dir: str):
     compared stats are computed from the DECODED arrays, so a single
     flipped bit anywhere in any of the five codecs fails the oracle."""
     from hydra_ray.sources.codecs import (
+        encode_aiff,
+        encode_au,
         encode_bmp,
         encode_gif,
         encode_jpeg,
@@ -2203,6 +2205,8 @@ def q_media_decode(sf_dir: str):
         wav_mean = np.zeros(len(ids), dtype=np.float64)
         wav_peak = np.zeros(len(ids), dtype=np.int64)
         jpeg_mean = np.zeros(len(ids), dtype=np.float64)
+        aiff_mean = np.zeros(len(ids), dtype=np.float64)
+        au_peak = np.zeros(len(ids), dtype=np.int64)
         for j, d in enumerate(ids):
             img = ((int(d) * 7 + r * 31 + c * 13 + k * 97) % 256).astype(np.uint8)
             decoded = decode_image(encode_png(img, filter_type=int(d) % 5))
@@ -2224,6 +2228,14 @@ def q_media_decode(sf_dir: str):
             assert rate == 16000
             wav_mean[j] = arr[:, 0].astype(np.float64).mean()
             wav_peak[j] = np.abs(arr[:, 0].astype(np.int64)).max()
+            # the same waveform through the AIFF and AU codecs — both
+            # lossless big-endian PCM, so means/peaks must agree with
+            # the WAV path (and with the oracle's closed form)
+            aarr, arate = decode_audio(encode_aiff(samples, 16000))
+            uarr, urate = decode_audio(encode_au(samples, 16000))
+            assert arate == urate == 16000
+            aiff_mean[j] = aarr[:, 0].astype(np.float64).mean()
+            au_peak[j] = np.abs(uarr[:, 0].astype(np.int64)).max()
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -2239,6 +2251,8 @@ def q_media_decode(sf_dir: str):
                 "wav_mean": pa.array(np.round(wav_mean, 6)),
                 "wav_peak": pa.array(wav_peak),
                 "jpeg_mean": pa.array(np.round(jpeg_mean, 6)),
+                "aiff_mean": pa.array(np.round(aiff_mean, 6)),
+                "au_peak": pa.array(au_peak),
             }
         )
 
@@ -2276,7 +2290,8 @@ ORACLE_MEDIA_DECODE = """
            round(p0.m, 6) AS mean_r_gif, round(p1.m, 6) AS mean_g_gif,
            round(p2.m, 6) AS mean_b_gif,
            round(w.wm, 6) AS wav_mean, CAST(w.wp AS BIGINT) AS wav_peak,
-           round(j.jm, 6) AS jpeg_mean
+           round(j.jm, 6) AS jpeg_mean,
+           round(w.wm, 6) AS aiff_mean, CAST(w.wp AS BIGINT) AS au_peak
     FROM px p0
     JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.k = 1
     JOIN px p2 ON p2.doc_id = p0.doc_id AND p2.k = 2

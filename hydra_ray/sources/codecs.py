@@ -890,3 +890,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _f80_encode(rate: int) -> bytes:
+    """Integer sample rate → IEEE 754 80-bit extended float (the AIFF
+    COMM sampleRate field): 15-bit exponent biased 16383, explicit
+    integer bit, 64-bit mantissa."""
+    if rate <= 0:
+        raise ValueError("sample rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    exp_sign, mant = struct.unpack(">HQ", b)
+    e = (exp_sign & 0x7FFF) - 16383
+    if exp_sign & 0x8000 or not mant:
+        raise ValueError("bad AIFF sample rate")
+    return mant >> (63 - e) if e <= 63 else mant << (e - 63)
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, channels) → AIFF bytes (big-endian PCM,
+    COMM with 80-bit-extended sample rate, SSND)."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    comm = struct.pack(">HIH", ch, n, 16) + _f80_encode(int(rate))
+    data = samples.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) % 2:
+        body += b"\x00"  # IFF chunks are word-aligned
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF bytes → (int16 samples shaped (n, channels), sample_rate)."""
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    pos, ch, nframes, rate, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            ch, nframes, bits = struct.unpack_from(">HIH", body, 0)
+            if bits != 16:
+                raise ValueError("only 16-bit AIFF supported")
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            off, _blk = struct.unpack_from(">II", body, 0)
+            pcm = body[8 + off :]
+        pos += 8 + clen + (clen & 1)
+    if ch is None or pcm is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    arr = np.frombuffer(pcm, dtype=">i2", count=nframes * ch).reshape(-1, ch)
+    return arr.astype(np.int16), rate
+
+
+def encode_au(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, channels) → Sun AU bytes (encoding 3 =
+    16-bit linear PCM, big-endian)."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    data = samples.astype(">i2").tobytes()
+    return (
+        b".snd"
+        + struct.pack(">IIIII", 24, len(data), 3, int(rate), samples.shape[1])
+        + data
+    )
+
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU bytes → (int16 samples shaped (n, channels), sample_rate)."""
+    if data[:4] != b".snd":
+        raise ValueError("not an AU file")
+    off, size, enc, rate, ch = struct.unpack_from(">IIIII", data, 4)
+    if enc != 3:
+        raise ValueError("only 16-bit linear PCM AU supported")
+    pcm = data[off : off + size]
+    arr = np.frombuffer(pcm, dtype=">i2").reshape(-1, ch)
+    return arr.astype(np.int16), rate

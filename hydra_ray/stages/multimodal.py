@@ -94,16 +94,27 @@ def decode_image(payload: bytes, decoder=None):
 
 def decode_audio(payload: bytes, decoder=None):
     """Decode an audio payload to (int16 samples (n, channels), rate).
-    WAV decodes natively (stdlib wave); other codecs need an injected
-    decoder (ffmpeg et al. absent from this container)."""
+    WAV (stdlib wave), AIFF (big-endian PCM + 80-bit-extended rate) and
+    Sun AU (encoding 3) decode natively; compressed codecs (MP3, AAC…)
+    need an injected decoder (ffmpeg et al. absent from this
+    container)."""
     if decoder is not None:
         return decoder(payload)
-    if bytes(payload[:4]) == b"RIFF":
+    head = bytes(payload[:4])
+    if head == b"RIFF":
         from hydra_ray.sources.codecs import decode_wav
 
         return decode_wav(payload)
+    if head == b"FORM":
+        from hydra_ray.sources.codecs import decode_aiff
+
+        return decode_aiff(payload)
+    if head == b".snd":
+        from hydra_ray.sources.codecs import decode_au
+
+        return decode_au(payload)
     raise NotImplementedError(
-        "only WAV decodes natively; inject a decoder for other audio formats"
+        "WAV/AIFF/AU decode natively; inject a decoder for compressed audio formats"
     )
 
 

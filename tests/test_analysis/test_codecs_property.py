@@ -254,3 +254,34 @@ def test_decode_image_routes_jpeg_magic():
     img = np.full((8, 8), 77, dtype=np.uint8)
     out = decode_image(encode_jpeg(img, quality=100))
     assert np.array_equal(out, img)
+
+
+def test_aiff_au_roundtrip_and_sniffing():
+    """AIFF (80-bit-extended rate field) and Sun AU round-trip 16-bit
+    PCM bit-exact at odd rates/channel counts, and decode_audio routes
+    by magic bytes."""
+    import numpy as np
+
+    from hydra_ray.sources.codecs import (
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+    )
+    from hydra_ray.stages.multimodal import decode_audio
+
+    for rate in (1, 8000, 11025, 44100, 48000, 192000):
+        assert _f80_decode(_f80_encode(rate)) == rate
+
+    rng = np.random.default_rng(2)
+    s = rng.integers(-32768, 32767, size=(101, 2)).astype(np.int16)
+    for enc in (encode_aiff, encode_au):
+        arr, rate = decode_audio(enc(s, 22050))
+        assert rate == 22050 and (arr == s).all()
+    mono = s[:, 0]  # odd byte count exercises the IFF pad byte
+    arr, _ = decode_aiff(encode_aiff(mono[:33], 8000))
+    assert (arr[:, 0] == mono[:33]).all()
+    arr, _ = decode_au(encode_au(mono, 8000))
+    assert (arr[:, 0] == mono).all()
