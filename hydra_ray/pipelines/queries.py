@@ -3117,3 +3117,47 @@ ORACLE_FRAME_SAMPLE = """
 
 QUERIES["frame_sample"] = q_frame_sample
 ORACLES["frame_sample"] = ORACLE_FRAME_SAMPLE
+
+
+def q_model_score(sf_dir: str):
+    """Hashed bag-of-words linear classifier (stages/text.py::
+    HashedLinearScorer) — the batched-model-inference shape: weight
+    table built once per actor in __init__, vectorized hashed-feature
+    scoring per batch, integer arithmetic end-to-end so the oracle
+    replays the exact splitmix64 → bucket → weight → sum pipeline."""
+    from hydra_ray.stages.text import HashedLinearScorer
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        HashedLinearScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+
+
+ORACLE_MODEL_SCORE = rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    m_0 AS (
+        SELECT doc_id, {_le64_sql("substr(rpad(hex(w), 16, '0'), 1, 16)")} AS src
+        FROM toks WHERE w <> ''
+    ),
+    {_mix64_ctes_sql('m', 'src', 'doc_id')},
+    wts AS (
+        SELECT doc_id,
+               CAST((CAST(v % 1024 AS HUGEINT) * 2654435761) % 4294967296 % 21
+                    AS BIGINT) - 10 AS w
+        FROM m_5
+    ),
+    sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM wts GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(s.score, 0) AS score,
+           COALESCE(s.score, 0) > 0 AS keep
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+"""
+
+
+QUERIES["model_score"] = q_model_score
+ORACLES["model_score"] = ORACLE_MODEL_SCORE

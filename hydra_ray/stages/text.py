@@ -428,3 +428,51 @@ def pii_batch(
             out.schema.get_field_index(text_col), text_col, scrubbed
         )
     return out
+
+
+class HashedLinearScorer:
+    """Actor-pool model-inference stage: a hashed bag-of-words linear
+    classifier (the fastText / quality-classifier shape). The weight
+    table is built ONCE per actor in ``__init__`` — in production that
+    is the model-load step; here the weights derive deterministically
+    from the bucket id (integer scramble, so the SQL oracle is exact
+    and the score arithmetic never touches floats).
+
+    score(doc) = sum over tokens of W[splitmix64(token8) % n_buckets],
+    token8 = first 8 utf-8 bytes zero-padded (same token hash as
+    fingerprint_batch); empty tokens are dropped. keep = score > t."""
+
+    def __init__(self, n_buckets: int = 1024, threshold: int = 0):
+        self.n_buckets = n_buckets
+        self.threshold = threshold
+        b = np.arange(n_buckets, dtype=np.uint64)
+        self.weights = (
+            (b * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(21)
+        ).astype(np.int64) - 10
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tokens = _tokens_arr(text).to_pylist()
+        n = len(tokens)
+        flat: list[str] = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            toks = [t for t in (toks or []) if t]
+            flat.extend(toks)
+            counts[i] = len(toks)
+        scores = np.zeros(n, dtype=np.int64)
+        if flat:
+            h = _token_fp_hashes(flat)
+            w = self.weights[(h % np.uint64(self.n_buckets)).astype(np.int64)]
+            nz = counts > 0
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            scores[nz] = np.add.reduceat(w, offsets[nz])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(scores),
+                "keep": pa.array(scores > self.threshold),
+            }
+        )
