@@ -3161,3 +3161,46 @@ ORACLE_MODEL_SCORE = rf"""
 
 QUERIES["model_score"] = q_model_score
 ORACLES["model_score"] = ORACLE_MODEL_SCORE
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chop sequence packing (stages/pack.py): token counts
+    via the shared whitespace-token contract, then a distributed prefix
+    sum (per-block sums to the driver, offsets broadcast back) assigns
+    each doc its training-sequence id and offset at capacity 512."""
+    from hydra_ray.stages.pack import pack_sequences
+    from hydra_ray.stages.text import _tokens_arr
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.cast(pc.list_value_length(_tokens_arr(text)), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    return pack_sequences(counted, capacity=512)
+
+
+ORACLE_PACK_SEQUENCES = r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM c
+    )
+    SELECT doc_id, n_tokens, CAST(start // 512 AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset
+    FROM p
+"""
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
