@@ -48,6 +48,8 @@ QUERY_NAMES = [
     "embedding_nn",
     "minhash_near_dups",
     "media_features",
+    "image_dups",
+    "pack_sequences",
 ]
 
 

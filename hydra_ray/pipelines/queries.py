@@ -3204,3 +3204,71 @@ ORACLE_PACK_SEQUENCES = r"""
 
 QUERIES["pack_sequences"] = q_pack_sequences
 ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle into training shards
+    (stages/pack.py::shuffle_shards): shard = splitmix64(doc_id+99) %
+    8, within-shard position = rank of the hash.  The seeded-rank
+    ordering contract (reference ORDER BY random() replacement,
+    crawler.py:120-134) applied to corpus layout; reproduced bit-exact
+    in SQL via the HUGEINT-limb splitmix64."""
+    from hydra_ray.stages.pack import shuffle_shards
+
+    out = shuffle_shards(
+        _docs(sf_dir, columns=["doc_id"]), n_shards=8, seed=99
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "shard", "pos"]), batch_format="pyarrow"
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = f"""
+    WITH ss_0 AS (SELECT doc_id, CAST(doc_id + 99 AS UBIGINT) AS v FROM documents),
+    {_mix64_ctes_sql("ss", "v", "doc_id")}
+    SELECT doc_id, CAST(v % 8 AS BIGINT) AS shard,
+           row_number() OVER (PARTITION BY v % 8 ORDER BY v, doc_id) AS pos
+    FROM ss_5
+"""
+
+QUERIES["shuffle_shards"] = q_shuffle_shards
+ORACLES["shuffle_shards"] = ORACLE_SHUFFLE_SHARDS
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level exact dedup (stages/dedup.py::
+    paragraph_dedup): 4-token paragraph windows, corpus-wide
+    first-occurrence-wins, surviving paragraphs reassembled in order.
+    Both keyed shuffles (by paragraph text, then by doc) reproduced in
+    SQL with window-function first-wins and ordered string_agg."""
+    from hydra_ray.stages.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), para_words=4
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    p AS (
+        SELECT doc_id, j,
+               array_to_string(list_slice(ts, j * 4 + 1, j * 4 + 4), ' ') AS ptext
+        FROM (SELECT doc_id, ts,
+                     unnest(generate_series(0,
+                         CAST(greatest(ceil(len(ts) / 4.0), 1) AS BIGINT) - 1)) AS j
+              FROM toks)
+    ),
+    k AS (
+        SELECT doc_id, j, ptext,
+               row_number() OVER (PARTITION BY ptext ORDER BY doc_id, j) = 1 AS keep
+        FROM p
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+           coalesce(string_agg(ptext, ' ' ORDER BY j) FILTER (keep), '') AS new_text
+    FROM k GROUP BY doc_id
+"""
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+ORACLES["paragraph_dedup"] = ORACLE_PARAGRAPH_DEDUP

@@ -925,3 +925,87 @@ def exact_substr_dedup(
         return pd.DataFrame(rows, columns=[id_col, "clean_text", "n_tokens", "n_removed"])
 
     return keyed_map_partitions(u, [id_col], rebuild, num_parts=32)
+
+
+def paragraph_dedup(
+    ds: "rd.Dataset",
+    para_words: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020
+    §3.1: drop every paragraph already seen elsewhere in the corpus,
+    keep the first occurrence in corpus order).  Paragraphs here are
+    consecutive ``para_words``-token windows (the splitter is
+    pluggable; data.gouv resource text carries no newline structure).
+
+    Fully distributed, two keyed shuffles, no driver state:
+
+      1. explode docs into (doc, j, paragraph) rows;
+      2. shuffle BY PARAGRAPH TEXT — every copy of a paragraph lands in
+         one partition, so first-wins (min (doc_id, j)) is a vectorized
+         per-partition groupby-transform, no global join;
+      3. shuffle back BY DOC and reassemble the surviving paragraphs
+         in order.
+
+    Returns one row per doc: n_paras, n_kept, new_text (kept
+    paragraphs joined; '' if everything was a duplicate)."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    stride = 1 << 20  # total order (doc_id, j) as one int64 key
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        o_id: list[int] = []
+        o_j: list[int] = []
+        o_p: list[str] = []
+        for did, txt in zip(ids, texts):
+            words = (txt or "").split(" ")
+            n = max(-(-len(words) // para_words), 1)
+            o_id.extend([int(did)] * n)
+            o_j.extend(range(n))
+            o_p.extend(
+                " ".join(words[j * para_words : (j + 1) * para_words])
+                for j in range(n)
+            )
+        return pa.table(
+            {
+                id_col: pa.array(o_id, type=pa.int64()),
+                "j": pa.array(o_j, type=pa.int64()),
+                "ptext": pa.array(o_p, type=pa.string()),
+            }
+        )
+
+    paras = ds.map_batches(explode, batch_format="pyarrow")
+
+    def mark(df: "pd.DataFrame") -> "pd.DataFrame":
+        key = df[id_col] * stride + df["j"]
+        df = df.assign(_k=key)
+        df["keep"] = df["_k"] == df.groupby("ptext", sort=False)["_k"].transform("min")
+        return df.drop(columns=["_k"])
+
+    marked = keyed_map_partitions(paras, ["ptext"], mark, num_parts=num_parts)
+
+    def rebuild(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_paras": pd.Series(dtype="int64"),
+                    "n_kept": pd.Series(dtype="int64"),
+                    "new_text": pd.Series(dtype="object"),
+                }
+            )
+        df = df.sort_values([id_col, "j"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        kept = df[df["keep"]]
+        out = g.size().rename("n_paras").to_frame()
+        out["n_kept"] = kept.groupby(id_col, sort=False).size()
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        out["new_text"] = kept.groupby(id_col, sort=False)["ptext"].agg(" ".join)
+        out["new_text"] = out["new_text"].fillna("")
+        return out.reset_index()
+
+    return keyed_map_partitions(marked, [id_col], rebuild, num_parts=num_parts)
