@@ -3272,3 +3272,104 @@ ORACLE_PARAGRAPH_DEDUP = r"""
 
 QUERIES["paragraph_dedup"] = q_paragraph_dedup
 ORACLES["paragraph_dedup"] = ORACLE_PARAGRAPH_DEDUP
+
+
+def q_audio_companding(sf_dir: str):
+    """G.711 μ-law/A-law AU round-trip (sources/codecs.py): per doc a
+    deterministic full-range waveform — s(i) = ((doc_id*11 + i*37) %
+    2048 - 1024) * 32, i<256, hitting every segment incl. the clip
+    paths — is AU-encoded with encoding 1 (μ-law) and 27 (A-law),
+    decoded back, and summarized as sum / peak / position-weighted sum
+    of the DECODED samples.  The oracle reproduces both ITU-T
+    quantizers in closed form (seg = floor(log2(biased)) arithmetic),
+    so any flipped bit in encode, container, or decode fails the hash."""
+    from hydra_ray.sources.codecs import encode_au
+    from hydra_ray.stages.multimodal import decode_audio
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(256, dtype=np.int64)
+        w = i + 1
+        cols: dict[str, list] = {
+            "ulaw_sum": [], "ulaw_peak": [], "ulaw_wsum": [],
+            "alaw_sum": [], "alaw_peak": [], "alaw_wsum": [],
+        }
+        for d in ids:
+            s = (((int(d) * 11 + i * 37) % 2048) - 1024) * 32
+            s16 = s.astype(np.int16)
+            for name, enc in (("ulaw", 1), ("alaw", 27)):
+                arr, rate = decode_audio(encode_au(s16, 8000, encoding=enc))
+                assert rate == 8000
+                v = arr[:, 0].astype(np.int64)
+                cols[f"{name}_sum"].append(int(v.sum()))
+                cols[f"{name}_peak"].append(int(np.abs(v).max()))
+                cols[f"{name}_wsum"].append(int((w * v).sum()))
+        return pa.table({"doc_id": pa.array(ids), **{k: pa.array(v) for k, v in cols.items()}})
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_AUDIO_COMPANDING = r"""
+    WITH s AS (
+        SELECT doc_id, i,
+               ((doc_id * 11 + i * 37) % 2048 - 1024) * 32 AS sv
+        FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS i FROM documents)
+    ),
+    u2 AS (
+        SELECT doc_id, i, sv, x < 0 AS sg,
+               least(least(abs(x), 8159) + 33, 8191) AS a
+        FROM (SELECT doc_id, i, sv, CAST(floor(sv / 4.0) AS BIGINT) AS x FROM s)
+    ),
+    u3 AS (
+        SELECT doc_id, i, sg, a,
+               greatest(CAST(floor(log2(a)) AS BIGINT) - 5, 0) AS seg
+        FROM u2
+    ),
+    uo AS (
+        SELECT doc_id, i,
+               CASE WHEN sg THEN 132 - t ELSE t - 132 END AS uout
+        FROM (SELECT doc_id, i, sg,
+                     ((a // CAST(power(2, seg + 1) AS BIGINT)) % 16 * 8 + 132)
+                         * CAST(power(2, seg) AS BIGINT) AS t
+              FROM u3)
+    ),
+    a2 AS (
+        SELECT doc_id, i, x >= 0 AS pos,
+               least(CASE WHEN x >= 0 THEN x ELSE -x - 1 END, 4095) AS a
+        FROM (SELECT doc_id, i, CAST(floor(sv / 8.0) AS BIGINT) AS x FROM s)
+    ),
+    a3 AS (
+        SELECT doc_id, i, pos, a,
+               CASE WHEN a <= 31 THEN 0
+                    ELSE CAST(floor(log2(greatest(a, 1))) AS BIGINT) - 4 END AS seg
+        FROM a2
+    ),
+    a4 AS (
+        SELECT doc_id, i, pos, seg,
+               CASE WHEN seg < 1 THEN (a // 2) % 16
+                    ELSE (a // CAST(power(2, seg) AS BIGINT)) % 16 END AS mant
+        FROM a3
+    ),
+    ao AS (
+        SELECT doc_id, i, CASE WHEN pos THEN t ELSE -t END AS aout
+        FROM (SELECT doc_id, i, pos,
+                     CASE WHEN seg = 0 THEN mant * 16 + 8
+                          ELSE (mant * 16 + 264) * CAST(power(2, seg - 1) AS BIGINT)
+                     END AS t
+              FROM a4)
+    )
+    SELECT uo.doc_id,
+           CAST(sum(uout) AS BIGINT) AS ulaw_sum,
+           CAST(max(abs(uout)) AS BIGINT) AS ulaw_peak,
+           CAST(sum((uo.i + 1) * uout) AS BIGINT) AS ulaw_wsum,
+           CAST(sum(aout) AS BIGINT) AS alaw_sum,
+           CAST(max(abs(aout)) AS BIGINT) AS alaw_peak,
+           CAST(sum((uo.i + 1) * aout) AS BIGINT) AS alaw_wsum
+    FROM uo JOIN ao ON ao.doc_id = uo.doc_id AND ao.i = uo.i
+    GROUP BY uo.doc_id
+"""
+
+QUERIES["audio_companding"] = q_audio_companding
+ORACLES["audio_companding"] = ORACLE_AUDIO_COMPANDING

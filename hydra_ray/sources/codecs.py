@@ -952,27 +952,93 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
     return arr.astype(np.int16), rate
 
 
-def encode_au(samples: np.ndarray, rate: int = 16000) -> bytes:
-    """int16 (n,) or (n, channels) → Sun AU bytes (encoding 3 =
-    16-bit linear PCM, big-endian)."""
+def encode_au(samples: np.ndarray, rate: int = 16000, encoding: int = 3) -> bytes:
+    """int16 (n,) or (n, channels) → Sun AU bytes.  Encodings: 3 =
+    16-bit linear PCM big-endian, 1 = G.711 μ-law, 27 = G.711 A-law
+    (8-bit companded, the classic telephony AU payloads)."""
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim == 1:
         samples = samples[:, None]
-    data = samples.astype(">i2").tobytes()
+    if encoding == 3:
+        data = samples.astype(">i2").tobytes()
+    elif encoding == 1:
+        data = ulaw_encode(samples).tobytes()
+    elif encoding == 27:
+        data = alaw_encode(samples).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
     return (
         b".snd"
-        + struct.pack(">IIIII", 24, len(data), 3, int(rate), samples.shape[1])
+        + struct.pack(">IIIII", 24, len(data), encoding, int(rate), samples.shape[1])
         + data
     )
 
 
 def decode_au(data: bytes) -> tuple[np.ndarray, int]:
-    """Sun AU bytes → (int16 samples shaped (n, channels), sample_rate)."""
+    """Sun AU bytes → (int16 samples shaped (n, channels), sample_rate).
+    Encoding 3 (16-bit PCM) passes through; 1 (μ-law) and 27 (A-law)
+    expand through the G.711 decoders."""
     if data[:4] != b".snd":
         raise ValueError("not an AU file")
     off, size, enc, rate, ch = struct.unpack_from(">IIIII", data, 4)
-    if enc != 3:
-        raise ValueError("only 16-bit linear PCM AU supported")
     pcm = data[off : off + size]
-    arr = np.frombuffer(pcm, dtype=">i2").reshape(-1, ch)
+    if enc == 3:
+        arr = np.frombuffer(pcm, dtype=">i2").reshape(-1, ch)
+    elif enc == 1:
+        arr = ulaw_decode(np.frombuffer(pcm, dtype=np.uint8)).reshape(-1, ch)
+    elif enc == 27:
+        arr = alaw_decode(np.frombuffer(pcm, dtype=np.uint8)).reshape(-1, ch)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
     return arr.astype(np.int16), rate
+
+
+# --- G.711 companding (μ-law / A-law), the classic Sun AU encodings ---
+# Vectorized re-derivation of the ITU-T G.711 quantizers (reference
+# behavior: udata-hydra stores raw bodies; telephony AU resources are
+# encoding 1/27).  Bit-for-bit equal to CPython's audioop tables —
+# tests/test_analysis/test_codecs.py checks all 65536 int16 inputs.
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM → μ-law codes (uint8), G.711 encode."""
+    x = np.asarray(samples, dtype=np.int64) >> 2  # 14-bit domain
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    a = np.minimum(np.abs(x), 8159) + 33
+    seg = np.maximum(np.floor(np.log2(a)).astype(np.int64) - 5, 0)
+    over = seg >= 8
+    seg = np.minimum(seg, 7)
+    mant = (a >> (seg + 1)) & 0xF
+    uval = (seg << 4) | np.where(over, 0xF, mant)
+    return ((np.where(over, 0x7F, uval)) ^ mask).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """μ-law codes (uint8) → int16 linear PCM, G.711 decode."""
+    u = ~np.asarray(codes, dtype=np.int64) & 0xFF
+    t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM → A-law codes (uint8), G.711 encode."""
+    x = np.asarray(samples, dtype=np.int64) >> 3  # 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    a = np.where(x >= 0, x, -x - 1)
+    over = a > 0xFFF
+    a = np.minimum(a, 0xFFF)
+    seg = np.where(
+        a <= 0x1F, 0, np.floor(np.log2(np.maximum(a, 1))).astype(np.int64) - 4
+    )
+    mant = np.where(seg < 1, (a >> 1) & 0xF, (a >> seg) & 0xF)
+    aval = (seg << 4) | np.where(over, 0xF, mant)
+    return (np.where(over, 0x7F, aval) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law codes (uint8) → int16 linear PCM, G.711 decode."""
+    c = (np.asarray(codes, dtype=np.int64) ^ 0x55) & 0xFF
+    seg = (c >> 4) & 7
+    t = (c & 0xF) << 4
+    t = np.where(seg == 0, t + 8, ((t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(c & 0x80, t, -t).astype(np.int16)

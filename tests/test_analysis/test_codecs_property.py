@@ -285,3 +285,61 @@ def test_aiff_au_roundtrip_and_sniffing():
     assert (arr[:, 0] == mono[:33]).all()
     arr, _ = decode_au(encode_au(mono, 8000))
     assert (arr[:, 0] == mono).all()
+
+
+def test_g711_companding_matches_audioop_exhaustively():
+    """Our vectorized G.711 μ-law/A-law must equal CPython's audioop
+    tables on EVERY int16 input and every 8-bit code."""
+    import numpy as np
+
+    audioop = __import__("audioop")  # stdlib until 3.13; present here
+    from hydra_ray.sources.codecs import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    all16 = np.arange(-32768, 32768, dtype=np.int16)
+    raw = all16.tobytes()
+    assert (
+        ulaw_encode(all16) == np.frombuffer(audioop.lin2ulaw(raw, 2), np.uint8)
+    ).all()
+    assert (
+        alaw_encode(all16) == np.frombuffer(audioop.lin2alaw(raw, 2), np.uint8)
+    ).all()
+    codes = np.arange(256, dtype=np.uint8)
+    assert (
+        ulaw_decode(codes)
+        == np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), np.int16)
+    ).all()
+    assert (
+        alaw_decode(codes)
+        == np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), np.int16)
+    ).all()
+
+
+def test_au_companded_container_roundtrip():
+    """AU encodings 1/27 route through the G.711 quantizers; decode of
+    an encode is idempotent (re-encoding the decoded signal reproduces
+    the same codes)."""
+    import numpy as np
+
+    from hydra_ray.sources.codecs import decode_au, encode_au
+    from hydra_ray.stages.multimodal import decode_audio
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=300).astype(np.int16)
+    for enc in (1, 27):
+        blob = encode_au(s, 8000, encoding=enc)
+        arr, rate = decode_au(blob)
+        assert rate == 8000 and arr.shape == (300, 1)
+        # quantizer idempotence
+        again, _ = decode_au(encode_au(arr[:, 0], 8000, encoding=enc))
+        assert (again == arr).all()
+        # the magic-byte router sees the same result
+        routed, _ = decode_audio(blob)
+        assert (routed == arr).all()
+    # PCM path still lossless
+    arr, _ = decode_au(encode_au(s, 8000, encoding=3))
+    assert (arr[:, 0] == s).all()
