@@ -3373,3 +3373,53 @@ ORACLE_AUDIO_COMPANDING = r"""
 
 QUERIES["audio_companding"] = q_audio_companding
 ORACLES["audio_companding"] = ORACLE_AUDIO_COMPANDING
+
+
+def q_video_mjpeg(sf_dir: str):
+    """Real video container path (sources/codecs.py::encode_avi_mjpeg /
+    decode_avi_frames): per doc an AVI with 2 + doc_id%3 MJPEG frames —
+    16×16 grayscale, 8×8 quadrant constants (doc_id*23 + f*41 + q*53)
+    % 256, quality=100 so every frame survives the baseline JPEG codec
+    bit-exact — then stages/multimodal.py::frame_sample_batch keeps 2
+    uniformly-spaced frames with integer luma sums.  RIFF walker, JPEG
+    Huffman/DCT, and the sampler all sit on the hashed path."""
+    from hydra_ray.sources.codecs import encode_avi_mjpeg
+    from hydra_ray.stages.multimodal import frame_sample_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def make_avis(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            nf = 2 + int(d) % 3
+            fr = np.zeros((nf, 16, 16), dtype=np.uint8)
+            for f in range(nf):
+                for q in range(4):
+                    v = (int(d) * 23 + f * 41 + q * 53) % 256
+                    fr[f, (q // 2) * 8 : (q // 2) * 8 + 8, (q % 2) * 8 : (q % 2) * 8 + 8] = v
+            payloads.append(encode_avi_mjpeg(fr, fps=12, quality=100))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return ds.map_batches(make_avis, batch_format="pyarrow").map_batches(
+        lambda t: frame_sample_batch(t, n_samples=2), batch_format="pyarrow"
+    )
+
+
+ORACLE_VIDEO_MJPEG = """
+    WITH s AS (
+        SELECT d.doc_id, 2 + d.doc_id % 3 AS n_frames, j.j,
+               (j.j * (2 + d.doc_id % 3)) // 2 AS frame_idx
+        FROM documents d, (SELECT unnest(generate_series(0, 1)) AS j) j
+    )
+    SELECT doc_id, j AS snum, frame_idx, n_frames,
+           CAST(sum(64000 * ((doc_id * 23 + frame_idx * 41 + q.q * 53) % 256))
+                AS BIGINT) AS sum_luma
+    FROM s, (SELECT unnest(generate_series(0, 3)) AS q) q
+    GROUP BY doc_id, j, frame_idx, n_frames
+"""
+
+QUERIES["video_mjpeg"] = q_video_mjpeg
+ORACLES["video_mjpeg"] = ORACLE_VIDEO_MJPEG

@@ -1042,3 +1042,79 @@ def alaw_decode(codes: np.ndarray) -> np.ndarray:
     t = (c & 0xF) << 4
     t = np.where(seg == 0, t + 8, ((t + 0x108) << np.maximum(seg - 1, 0)))
     return np.where(c & 0x80, t, -t).astype(np.int16)
+
+
+# --- AVI / MJPEG container (the real-video analogue) ---------------------
+# RIFF 'AVI ' with one Motion-JPEG video stream: every frame is a
+# standalone baseline JPEG (our SOF0 codec above), so container parsing
+# + per-frame decode exercises the same path a production MJPEG asset
+# would.  H.264/MP4 stay behind an injected decoder (no ffmpeg here).
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
+    """uint8 frames (n,h,w) grayscale or (n,h,w,3) RGB → AVI bytes with
+    an MJPG 'vids' stream (hdrl avih/strh/strf, movi 00dc chunks, idx1)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim not in (3, 4):
+        raise ValueError("frames must be (n,h,w) or (n,h,w,3)")
+    n, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg(fr, quality=quality) for fr in frames]
+    sbuf = max(len(j) for j in jpegs)
+
+    movi = b"movi"
+    idx = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi), len(j))
+        movi += b"00dc" + struct.pack("<I", len(j)) + j
+        if len(j) % 2:
+            movi += b"\x00"
+
+    avih = struct.pack(
+        "<10I4x4x4x4x",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, n, 0, 1, sbuf, w, h,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, max(fps, 1), 0, n, sbuf, -1, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → (uint8 frames (n,h,w) or (n,h,w,3), fps).  Walks the
+    RIFF tree, reads avih for the frame period, decodes every 00dc/00db
+    movi chunk as a baseline JPEG."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"avih":
+                (usec,) = struct.unpack_from("<I", data, body_start)
+                fps = round(1_000_000 / usec) if usec else 0
+            elif cid[2:4] in (b"dc", b"db") and clen:
+                frames.append(decode_jpeg(data[body_start : body_start + clen]))
+            pos = body_start + clen + (clen & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return np.stack(frames), fps

@@ -216,6 +216,28 @@ def image_dhash_batch(
     return batch.append_column("dhash", pa.array(hashes, type=pa.string()))
 
 
+def decode_video_frames(payload: bytes, decoder=None) -> "np.ndarray":
+    """Decode a multi-frame (video-analogue) payload to a frame stack:
+    animated GIF → (n,h,w,3); AVI/MJPEG (RIFF 'AVI ', per-frame
+    baseline JPEGs) → (n,h,w) or (n,h,w,3).  MP4/H.264 and friends
+    need an injected ``decoder`` (ffmpeg is absent from this
+    container)."""
+    if decoder is not None:
+        return decoder(payload)
+    head = bytes(payload[:12])
+    if head[:4] == b"GIF8":
+        from hydra_ray.sources.codecs import decode_gif_frames
+
+        return decode_gif_frames(payload)
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        from hydra_ray.sources.codecs import decode_avi_frames
+
+        return decode_avi_frames(payload)[0]
+    raise NotImplementedError(
+        "GIF/AVI-MJPEG decode natively; inject a decoder for other video formats"
+    )
+
+
 def frame_sample_batch(
     batch: pa.Table,
     n_samples: int = 3,
@@ -226,21 +248,25 @@ def frame_sample_batch(
     analogue): decode all frames, keep sample j at frame ``j*F//n``
     (j < n; repeats when F < n are kept — deterministic contract),
     and emit per-sampled-frame integer luma sums (299R+587G+114B
-    summed raw, divided by nothing — exact in SQL). Long output:
+    summed raw, divided by nothing — exact in SQL; grayscale frames
+    weigh 1000·v). Long output:
     (id, snum, frame_idx, n_frames, sum_luma)."""
-    from hydra_ray.sources.codecs import decode_gif_frames
-
     ids_o: list[int] = []
     snum_o: list[int] = []
     fidx_o: list[int] = []
     nf_o: list[int] = []
     sum_o: list[int] = []
     for did, payload in zip(batch[id_col].to_pylist(), batch[payload_col].to_pylist()):
-        frames = decode_gif_frames(payload).astype(np.int64)
+        frames = decode_video_frames(payload).astype(np.int64)
         nf = frames.shape[0]
-        lsum = (
-            299 * frames[:, :, :, 0] + 587 * frames[:, :, :, 1] + 114 * frames[:, :, :, 2]
-        ).sum(axis=(1, 2))
+        if frames.ndim == 3:  # grayscale (n,h,w): same 299+587+114 total
+            lsum = (1000 * frames).sum(axis=(1, 2))
+        else:
+            lsum = (
+                299 * frames[:, :, :, 0]
+                + 587 * frames[:, :, :, 1]
+                + 114 * frames[:, :, :, 2]
+            ).sum(axis=(1, 2))
         for j in range(n_samples):
             fi = j * nf // n_samples
             ids_o.append(did)

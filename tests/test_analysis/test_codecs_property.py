@@ -343,3 +343,37 @@ def test_au_companded_container_roundtrip():
     # PCM path still lossless
     arr, _ = decode_au(encode_au(s, 8000, encoding=3))
     assert (arr[:, 0] == s).all()
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """Block-constant gray frames at quality=100 survive the AVI
+    container + baseline JPEG codec bit-exact; fps round-trips; the
+    video router dispatches on RIFF magic."""
+    import numpy as np
+
+    from hydra_ray.sources.codecs import decode_avi_frames, encode_avi_mjpeg
+    from hydra_ray.stages.multimodal import decode_video_frames
+
+    fr = np.zeros((5, 16, 16), dtype=np.uint8)
+    for f in range(5):
+        for q in range(4):
+            fr[f, (q // 2) * 8 : (q // 2) * 8 + 8, (q % 2) * 8 : (q % 2) * 8 + 8] = (
+                f * 41 + q * 53
+            ) % 256
+    blob = encode_avi_mjpeg(fr, fps=12, quality=100)
+    out, fps = decode_avi_frames(blob)
+    assert fps == 12 and out.shape == (5, 16, 16) and (out == fr).all()
+    assert (decode_video_frames(blob) == fr).all()
+    # RGB frames: lossy but close (same PSNR contract as the JPEG test)
+    rng = np.random.default_rng(1)
+    smooth = np.cumsum(rng.integers(-3, 4, (2, 24, 24, 3)), axis=1) % 200
+    rgb = smooth.astype(np.uint8) + 20
+    dec, _ = decode_avi_frames(encode_avi_mjpeg(rgb, quality=95))
+    assert dec.shape == rgb.shape
+    err = (dec.astype(float) - rgb.astype(float)) ** 2
+    psnr = 10 * np.log10(255**2 / max(err.mean(), 1e-9))
+    assert psnr > 28, psnr
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x01\x02\x03moovdata....")
