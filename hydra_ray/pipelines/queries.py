@@ -3423,3 +3423,42 @@ ORACLE_VIDEO_MJPEG = """
 
 QUERIES["video_mjpeg"] = q_video_mjpeg
 ORACLES["video_mjpeg"] = ORACLE_VIDEO_MJPEG
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Large×large distributed equi-join (stages/joins.py::hash_join):
+    lineitem LEFT JOIN a filtered orders slice (o_orderstatus='F') on
+    the order key — both sides corpus-sized, one hash shuffle each, no
+    broadcast; unmatched lineitems keep NULL order columns (nullable
+    Int64 restore on the co-partition merge)."""
+    from hydra_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.rename_columns(
+            ["l_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+
+    right = orders.map_batches(prep_right, batch_format="pyarrow")
+    return hash_join(li, right, key="l_orderkey", how="left")
+
+
+ORACLE_ORDERS_LINEITEM_JOIN = """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+           o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           ON o.o_orderkey = l.l_orderkey
+"""
+
+QUERIES["orders_lineitem_join"] = q_orders_lineitem_join
+ORACLES["orders_lineitem_join"] = ORACLE_ORDERS_LINEITEM_JOIN

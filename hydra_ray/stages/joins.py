@@ -214,3 +214,83 @@ def semi_join(
         return out
 
     return keyed_map_partitions(lt.union(kt), [key], keep_members, num_parts=num_parts)
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key: str,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_parts: int = DEFAULT_PARTS,
+) -> "rd.Dataset":
+    """Distributed large×large equi-join (the shape broadcast joins
+    can't cover: both sides corpus-sized).  Reference analogue: the
+    checks×catalog / stats joins (webservice/views SQL) when neither
+    side fits a worker.  Both sides take ONE hash shuffle on ``key``;
+    each co-partition is joined with a vectorized pandas ``merge`` —
+    no driver materialization, no broadcast.  ``how`` in
+    {'inner','left'}; right columns colliding with left names get
+    ``suffix``.  Partitioning assumption (per the brief): all rows of
+    one key value fit a single partition — size ``num_parts`` so the
+    largest co-partition fits a worker heap; skewed keys want salting
+    upstream (stages/partitioning.py)."""
+    if how not in ("inner", "left"):
+        raise ValueError("hash_join supports how='inner'|'left'")
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    ls, rs = lt.schema(), rt.schema()
+    lcols = [n for n in ls.names if n != "_side"]
+    rcols = [n for n in rs.names if n not in ("_side", key)]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    int_cols = {
+        n
+        for n, t in zip(ls.names, ls.types)
+        if pa.types.is_integer(t) and n != "_side"
+    } | {
+        rename[n]
+        for n, t in zip(rs.names, rs.types)
+        if pa.types.is_integer(t) and n in rename
+    }
+
+    # union needs one schema: pad each side with the other's columns
+    merged_names = lcols + [c for c in rs.names if c not in ls.names]
+    types = {n: t for n, t in zip(rs.names, rs.types)}
+    types.update({n: t for n, t in zip(ls.names, ls.types)})
+
+    def pad(t: pa.Table) -> pa.Table:
+        for n in merged_names:
+            if n not in t.column_names:
+                t = t.append_column(n, pa.nulls(t.num_rows, types[n]))
+        return t.select(merged_names + ["_side"])
+
+    u = lt.map_batches(pad, batch_format="pyarrow").union(
+        rt.map_batches(pad, batch_format="pyarrow")
+    )
+
+    def join_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        ldf = df.loc[df["_side"] == 0, lcols]
+        rdf = df.loc[df["_side"] == 1, [key] + rcols].rename(columns=rename)
+        out = ldf.merge(rdf, on=key, how=how, sort=False)
+        for c in out.columns:
+            if c in int_cols:
+                if out[c].isna().any():
+                    # unmatched rows: keep SQL NULLable-BIGINT semantics
+                    # (float64 + NaN, what DuckDB hands pandas) rather
+                    # than the pandas Int64 extension dtype, which ray
+                    # blocks and the driver compare both handle worse
+                    out[c] = out[c].astype("float64")
+                else:
+                    out[c] = out[c].astype("int64")
+        return out
+
+    return keyed_map_partitions(u, [key], join_part, num_parts=num_parts)

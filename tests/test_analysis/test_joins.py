@@ -251,3 +251,60 @@ def test_curate_corpus_near_dup_removal():
         .to_dict()
     )
     assert nd == {"fr": 1, "en": 1}  # doc 2 dropped as near-dup of doc 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_inner_left_and_collisions():
+    from hydra_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "v": pa.array([10, 11, 20, 30], type=pa.int64()),
+            "tag": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 2, 2, 9], type=pa.int64()),
+            "w": pa.array([100, 200, 201, 900], type=pa.int64()),
+            "tag": pa.array(["x", "y", "z", "q"]),  # collides with left
+        }
+    )
+    for parts in (1, 4):
+        inner = (
+            hash_join(
+                rd.from_arrow(left).repartition(2),
+                rd.from_arrow(right).repartition(2),
+                key="k",
+                num_parts=parts,
+            )
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        expect = (
+            left.to_pandas()
+            .merge(right.to_pandas(), on="k", suffixes=("", "_r"))
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        assert list(inner.columns) == ["k", "v", "tag", "w", "tag_r"]
+        pd.testing.assert_frame_equal(inner[expect.columns], expect)
+
+        lj = (
+            hash_join(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                key="k",
+                how="left",
+                num_parts=parts,
+            )
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        assert len(lj) == 5  # k=3 survives with nulls, k=1 1x, k=2 2x
+        k3 = lj[lj["k"] == 3]
+        assert k3["w"].isna().all() and k3["tag_r"].isna().all()
+        assert lj["w"].dtype == np.float64  # SQL NULLable-int semantics
