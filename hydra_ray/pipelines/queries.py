@@ -3462,3 +3462,96 @@ ORACLE_ORDERS_LINEITEM_JOIN = """
 
 QUERIES["orders_lineitem_join"] = q_orders_lineitem_join
 ORACLES["orders_lineitem_join"] = ORACLE_ORDERS_LINEITEM_JOIN
+
+
+# 89-entry IMA step table inlined into the recursive oracle
+_IMA_STEPS_SQL = "[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]"
+
+
+def q_audio_adpcm(sf_dir: str):
+    """IMA ADPCM WAV round-trip (sources/codecs.py): per doc a 64-sample
+    sawtooth — s(i) = ((doc_id*11 + i*37) % 2048 - 1024) * 8 — is
+    encoded as WAVE_FORMAT_IMA_ADPCM (0x11, 4-bit nibbles, per-block
+    predictor/step-index state), decoded back through the magic-routed
+    decode_audio, and summarized from the DECODED samples.  The oracle
+    replays the full sequential quantizer state machine in a RECURSIVE
+    SQL CTE (64 state transitions per doc, step table inlined) — even
+    an inherently sequential codec is bit-verifiable."""
+    from hydra_ray.sources.codecs import encode_wav_adpcm
+    from hydra_ray.stages.multimodal import decode_audio
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(64, dtype=np.int64)
+        w = i + 1
+        sums, peaks, wsums = [], [], []
+        for d in ids:
+            s = (((int(d) * 11 + i * 37) % 2048) - 1024) * 8
+            arr, rate = decode_audio(encode_wav_adpcm(s.astype(np.int16), 8000))
+            assert rate == 8000
+            v = arr[:, 0].astype(np.int64)
+            sums.append(int(v.sum()))
+            peaks.append(int(np.abs(v).max()))
+            wsums.append(int((w * v).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "adpcm_sum": pa.array(sums),
+                "adpcm_peak": pa.array(peaks),
+                "adpcm_wsum": pa.array(wsums),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_AUDIO_ADPCM = """
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, i, ((doc_id * 11 + i * 37) % 2048 - 1024) * 8 AS sv
+        FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents)
+    ),
+    st AS (
+        SELECT doc_id, i, sv AS pred, 0 AS idx, sv AS dec
+        FROM sig WHERE i = 0
+      UNION ALL
+        SELECT doc_id, i,
+               greatest(-32768, least(32767,
+                   CASE WHEN sign = 1 THEN pred - vp ELSE pred + vp END)) AS pred,
+               greatest(0, least(88, idx +
+                   CASE WHEN delta < 4 THEN -1 WHEN delta = 4 THEN 2
+                        WHEN delta = 5 THEN 4 WHEN delta = 6 THEN 6 ELSE 8 END)) AS idx,
+               greatest(-32768, least(32767,
+                   CASE WHEN sign = 1 THEN pred - vp ELSE pred + vp END)) AS dec
+        FROM (
+            SELECT doc_id, i, pred, idx, sign,
+                   b2 * 4 + b1 * 2 + b0 AS delta,
+                   step // 8 + b2 * step + b1 * (step // 2) + b0 * (step // 4) AS vp
+            FROM (
+                SELECT *, CASE WHEN d - b2 * step - b1 * (step // 2) >= step // 4
+                               THEN 1 ELSE 0 END AS b0
+                FROM (
+                    SELECT *, CASE WHEN d - b2 * step >= step // 2 THEN 1 ELSE 0 END AS b1
+                    FROM (
+                        SELECT st.doc_id, n.i, st.pred, st.idx,
+                               CASE WHEN n.sv < st.pred THEN 1 ELSE 0 END AS sign,
+                               abs(n.sv - st.pred) AS d,
+                               STEPS_LIST[st.idx + 1] AS step,
+                               CASE WHEN abs(n.sv - st.pred) >= STEPS_LIST[st.idx + 1]
+                                    THEN 1 ELSE 0 END AS b2
+                        FROM st JOIN sig n ON n.doc_id = st.doc_id AND n.i = st.i + 1
+                    )
+                )
+            )
+        )
+    )
+    SELECT doc_id,
+           CAST(sum(dec) AS BIGINT) AS adpcm_sum,
+           CAST(max(abs(dec)) AS BIGINT) AS adpcm_peak,
+           CAST(sum((i + 1) * dec) AS BIGINT) AS adpcm_wsum
+    FROM st GROUP BY doc_id
+"""
+
+QUERIES["audio_adpcm"] = q_audio_adpcm
+ORACLES["audio_adpcm"] = ORACLE_AUDIO_ADPCM.replace("STEPS_LIST", _IMA_STEPS_SQL)

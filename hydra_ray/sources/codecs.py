@@ -1118,3 +1118,129 @@ def decode_avi_frames(data: bytes) -> tuple[np.ndarray, int]:
     if not frames:
         raise ValueError("AVI contains no video frames")
     return np.stack(frames), fps
+
+
+# --- IMA ADPCM (DVI/IMA, WAVE_FORMAT_IMA_ADPCM 0x0011) -------------------
+# A sequential predictive codec: 4-bit nibbles, per-block (predictor,
+# step-index) state.  The query oracle replays the exact state machine
+# in a recursive SQL CTE — even stateful codecs are verifiable.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step: (nibble, new predictor, new index)."""
+    step = int(_IMA_STEPS[idx])
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    d = -diff if diff < 0 else diff
+    delta = 0
+    if d >= step:
+        delta = 4
+        d -= step
+    if d >= step >> 1:
+        delta |= 2
+        d -= step >> 1
+    if d >= step >> 2:
+        delta |= 1
+    vp = (step >> 3) + (step if delta & 4 else 0) + ((step >> 1) if delta & 2 else 0) \
+        + ((step >> 2) if delta & 1 else 0)
+    pred = pred - vp if sign else pred + vp
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[delta & 7])))
+    return delta | sign, pred, idx
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono (n,) → WAV bytes, format 0x11 (IMA ADPCM), one block:
+    4-byte header (first sample verbatim as the predictor, step index
+    0), then low-nibble-first 4-bit codes for samples[1:]."""
+    samples = np.asarray(samples, dtype=np.int64).ravel()
+    if samples.size == 0:
+        raise ValueError("empty signal")
+    pred, idx = int(samples[0]), 0
+    nibbles: list[int] = []
+    for s in samples[1:]:
+        nib, pred, idx = _ima_step(int(s), pred, idx)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    block = struct.pack("<hBB", int(samples[0]), 0, 0) + packed
+    spb = samples.size  # samples per block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * len(block) // max(spb, 1), len(block), 4, 2, spb
+    )
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, spb)
+    body += b"data" + struct.pack("<I", len(block)) + block
+    if len(block) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV format-0x11 (IMA ADPCM, mono single block) → (int16 (n,1),
+    rate).  Replays the predictor/step-index state machine."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos, rate, spb, payload = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, rate, _bps, _ba, bits, _cbs, spb = struct.unpack_from(
+                "<HHIIHHHH", body, 0
+            )
+            if tag != 0x11 or ch != 1 or bits != 4:
+                raise ValueError("only mono 4-bit IMA ADPCM supported")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + clen + (clen & 1)
+    if rate is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pred, idx = struct.unpack_from("<hB", payload, 0)
+    out = [pred]
+    pos = 4
+    n_nib = (spb - 1) if spb else (len(payload) - 4) * 2
+    for k in range(n_nib):
+        byte = payload[4 + (k >> 1)]
+        nib = (byte >> 4) if k & 1 else (byte & 0xF)
+        step = int(_IMA_STEPS[idx])
+        delta, sign = nib & 7, nib & 8
+        vp = (step >> 3) + (step if delta & 4 else 0) + ((step >> 1) if delta & 2 else 0) \
+            + ((step >> 2) if delta & 1 else 0)
+        pred = pred - vp if sign else pred + vp
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[delta])))
+        out.append(pred)
+    return np.array(out, dtype=np.int16)[:, None], rate
+
+
+def wav_format_tag(data: bytes) -> int:
+    """Peek the fmt-chunk wFormatTag of a RIFF/WAVE payload (1 = PCM,
+    0x11 = IMA ADPCM); raises ValueError if no fmt chunk."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            return struct.unpack_from("<H", data, pos + 8)[0]
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("WAV missing fmt chunk")

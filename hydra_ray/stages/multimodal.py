@@ -102,8 +102,14 @@ def decode_audio(payload: bytes, decoder=None):
         return decoder(payload)
     head = bytes(payload[:4])
     if head == b"RIFF":
-        from hydra_ray.sources.codecs import decode_wav
+        from hydra_ray.sources.codecs import (
+            decode_wav,
+            decode_wav_adpcm,
+            wav_format_tag,
+        )
 
+        if wav_format_tag(payload) == 0x11:
+            return decode_wav_adpcm(payload)
         return decode_wav(payload)
     if head == b"FORM":
         from hydra_ray.sources.codecs import decode_aiff

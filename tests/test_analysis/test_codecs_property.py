@@ -377,3 +377,36 @@ def test_avi_mjpeg_container_roundtrip():
 
     with pytest.raises(NotImplementedError):
         decode_video_frames(b"\x00\x01\x02\x03moovdata....")
+
+
+def test_ima_adpcm_roundtrip_properties():
+    """IMA ADPCM: first sample verbatim, decoded signal tracks a
+    smooth input within a few steps, re-encoding the decoded signal is
+    bit-identical (quantizer idempotence), and decode_audio routes on
+    the fmt-chunk tag."""
+    import numpy as np
+
+    from hydra_ray.sources.codecs import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+        wav_format_tag,
+    )
+    from hydra_ray.stages.multimodal import decode_audio
+
+    rng = np.random.default_rng(7)
+    s = np.cumsum(rng.integers(-300, 301, 400)).clip(-30000, 30000).astype(np.int16)
+    blob = encode_wav_adpcm(s, 8000)
+    assert wav_format_tag(blob) == 0x11
+    dec, rate = decode_wav_adpcm(blob)
+    assert rate == 8000 and dec.shape == (400, 1)
+    assert dec[0, 0] == s[0]
+    err = np.abs(dec[:, 0].astype(np.int64) - s.astype(np.int64))
+    assert err.mean() < 100, err.mean()  # tracks a smooth signal
+    again, _ = decode_wav_adpcm(encode_wav_adpcm(dec[:, 0], 8000))
+    assert (again == dec).all()
+    routed, _ = decode_audio(blob)
+    assert (routed == dec).all()
+    # PCM WAV still routes through the stdlib path
+    from hydra_ray.sources.codecs import encode_wav
+
+    assert wav_format_tag(encode_wav(s, 8000)) == 1
