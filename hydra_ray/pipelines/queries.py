@@ -3555,3 +3555,19 @@ ORACLE_AUDIO_ADPCM = """
 
 QUERIES["audio_adpcm"] = q_audio_adpcm
 ORACLES["audio_adpcm"] = ORACLE_AUDIO_ADPCM.replace("STEPS_LIST", _IMA_STEPS_SQL)
+
+
+def q_bpe_train(sf_dir: str):
+    """Corpus-scale BPE tokenizer training (stages/text.py::bpe_train):
+    12 merge rules learned from the distinct-word frequency table —
+    one corpus pass, then vocabulary-sized iterations with block-local
+    pair pre-aggregation.  Iterative (each merge depends on the last),
+    so no SQL oracle; pinned instead by the in-memory Sennrich
+    reference parity test (test_textops.py) and deterministic
+    tie-breaks (rows-only driver check)."""
+    from hydra_ray.stages.text import bpe_train
+
+    return bpe_train(_docs(sf_dir, columns=["text"]), n_merges=12)
+
+
+QUERIES["bpe_train"] = q_bpe_train

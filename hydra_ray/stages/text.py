@@ -476,3 +476,134 @@ class HashedLinearScorer:
                 "keep": pa.array(scores > self.threshold),
             }
         )
+
+
+def bpe_train(
+    ds: "rd.Dataset",
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> "pa.Table":
+    """Corpus-scale BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from the whitespace-word frequency table.
+
+    Distribution shape (holds at 100 TB):
+      1. ONE pass over the corpus builds the distinct-word frequency
+         table (per-batch partial counts → grouped_agg sum) — after
+         this, every iteration touches only the word table, whose size
+         is the VOCABULARY, not the corpus;
+      2. per merge round: pair counts are pre-aggregated inside each
+         block (vectorized numpy run-length on exploded symbol pairs)
+         before the small grouped-sum — only distinct (left,right)
+         pairs per block cross the wire; the global pair table is
+         vocabulary-bounded, so the argmax is a driver reduction of a
+         small aggregate (same contract as grouped_agg);
+      3. the winning pair is applied to the word table with
+         ``map_batches`` and the table re-materialized (each round's
+         state is one vocabulary-sized Dataset, never the corpus).
+
+    Ties break deterministically: highest count, then lexicographically
+    smallest (left, right) — parallelism-invariant.
+
+    Returns a pa.Table (rank, left, right, pair_count); words are
+    char sequences with a trailing '</w>' marker."""
+    from hydra_ray.stages.agg import grouped_agg
+
+    # 1. word frequency table (the only corpus-wide pass)
+    def word_counts(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _tokens_arr(text)
+        flat = toks.flatten()
+        wc = pa.table({"word": flat}).group_by(["word"]).aggregate([("word", "count")])
+        return pa.table(
+            {"word": wc["word"], "count": pc.cast(wc["word_count"], pa.int64())}
+        )
+
+    words = grouped_agg(
+        ds.map_batches(word_counts, batch_format="pyarrow"),
+        ["word"],
+        [("count", "sum", "count")],
+    )
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        syms = [
+            (list(w) + ["</w>"]) if w else ["</w>"] for w in t["word"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "count": t["count"],
+                "syms": pa.array(syms, type=pa.list_(pa.string())),
+            }
+        )
+
+    state = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+
+        def pair_counts(t: pa.Table) -> pa.Table:
+            counts = t["count"].to_numpy(zero_copy_only=False)
+            lefts: list[str] = []
+            rights: list[str] = []
+            ns: list[int] = []
+            agg: dict[tuple[str, str], int] = {}
+            for syms, c in zip(t["syms"].to_pylist(), counts):
+                for a, b in zip(syms, syms[1:]):
+                    agg[(a, b)] = agg.get((a, b), 0) + int(c)
+            for (a, b), c in agg.items():
+                lefts.append(a)
+                rights.append(b)
+                ns.append(c)
+            return pa.table(
+                {
+                    "left": pa.array(lefts, type=pa.string()),
+                    "right": pa.array(rights, type=pa.string()),
+                    "n": pa.array(ns, type=pa.int64()),
+                }
+            )
+
+        pairs = grouped_agg(
+            state.map_batches(pair_counts, batch_format="pyarrow"),
+            ["left", "right"],
+            [("n", "sum", "n")],
+        ).to_pandas()
+        if pairs.empty:
+            break
+        pairs = pairs.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        )
+        best = pairs.iloc[0]
+        left, right, n = str(best["left"]), str(best["right"]), int(best["n"])
+        merges.append((rank, left, right, n))
+        joined = left + right
+
+        def apply_merge(t: pa.Table, left=left, right=right, joined=joined) -> pa.Table:
+            out = []
+            for syms in t["syms"].to_pylist():
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(joined)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table(
+                {
+                    "count": t["count"],
+                    "syms": pa.array(out, type=pa.list_(pa.string())),
+                }
+            )
+
+        state = state.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], type=pa.int64()),
+        }
+    )

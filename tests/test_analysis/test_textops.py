@@ -379,3 +379,64 @@ def test_temperature_mix_quotas_and_determinism():
     out2 = temperature_mix(rd.from_arrow(t).repartition(7), total_n=14, alpha=0.5, seed=5).take_all()
     key = lambda r: (r["source"], r["doc_id"], r["rank"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_matches_reference_and_is_partition_invariant():
+    """Distributed BPE merge learning equals the classic in-memory
+    Sennrich algorithm (same deterministic tie-break) on a small
+    corpus, for every merge rank, at any partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hydra_ray.stages.text import bpe_train
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "low lower newest widest widest new new new",
+    ]
+
+    def reference_bpe(texts, n_merges):
+        from collections import Counter
+
+        wc = Counter(w for t in texts for w in t.split())
+        vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+        out = []
+        for rank in range(n_merges):
+            pc_ = Counter()
+            for syms, c in vocab.items():
+                for p in zip(syms, syms[1:]):
+                    pc_[p] += c
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            (a, b), n = best
+            out.append((rank, a, b, n))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+            vocab = new_vocab
+        return out
+
+    expect = reference_bpe(texts, 8)
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()), "text": pa.array(texts)})
+    for parts in (1, 3):
+        got = bpe_train(rd.from_arrow(t).repartition(parts), n_merges=8)
+        rows = list(
+            zip(
+                got["rank"].to_pylist(),
+                got["left"].to_pylist(),
+                got["right"].to_pylist(),
+                got["pair_count"].to_pylist(),
+            )
+        )
+        assert rows == expect, (rows, expect)
