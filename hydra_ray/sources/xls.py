@@ -621,3 +621,52 @@ def write_xls(rows: list[list[object]]) -> bytes:
     other numbers NUMBER, bools BOOLERR — exercising every cell-record
     decoder in read_xls_rows."""
     return _write_cfb("Workbook", _build_workbook_stream(rows))
+
+
+def _build_biff5_stream(rows: list[list[object]]) -> bytes:
+    """BIFF5 workbook stream: BOF version 0x0500, no SST — strings are
+    inline LABEL records (cch + latin-1 chars), BOUNDSHEET uses the
+    byte-counted short string without a unicode options byte.  Numbers
+    and bools share the BIFF8 record layouts."""
+    cell_recs: list[bytes] = []
+    for ri, row in enumerate(rows):
+        for ci, val in enumerate(row):
+            if isinstance(val, bool):
+                cell_recs.append(
+                    _rec(_BOOLERR, struct.pack("<HHHBB", ri, ci, 0, int(val), 0))
+                )
+            elif isinstance(val, int) and -(2**29) <= val < 2**29:
+                rk = ((val << 2) & 0xFFFFFFFC) | 0x02
+                cell_recs.append(_rec(_RK, struct.pack("<HHHI", ri, ci, 0, rk)))
+            elif isinstance(val, (int, float)):
+                cell_recs.append(
+                    _rec(_NUMBER, struct.pack("<HHHd", ri, ci, 0, float(val)))
+                )
+            else:
+                s = "" if val is None else str(val)
+                raw = s.encode("latin-1", "replace")
+                cell_recs.append(
+                    _rec(
+                        _LABEL,
+                        struct.pack("<HHHH", ri, ci, 0, len(raw)) + raw,
+                    )
+                )
+
+    bof_globals = _rec(_BOF, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    bof_sheet = _rec(_BOF, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+    sheet = bof_sheet + b"".join(cell_recs) + _rec(_EOF, b"")
+    name = "Sheet1".encode("latin-1")
+    bs_payload_len = 4 + 2 + 1 + len(name)  # pos + grbit + cch + chars
+    globals_len = len(bof_globals) + 4 + bs_payload_len + 4
+    boundsheet = _rec(
+        _BOUNDSHEET,
+        struct.pack("<IH", globals_len, 0) + bytes([len(name)]) + name,
+    )
+    return bof_globals + boundsheet + _rec(_EOF, b"") + sheet
+
+
+def write_xls_biff5(rows: list[list[object]]) -> bytes:
+    """Rows (str/int/float/bool) → single-sheet legacy BIFF5 .xls bytes
+    in a 'Book' CFB stream — the pre-97 Excel format the reader's
+    biff8=False branches exist for."""
+    return _write_cfb("Book", _build_biff5_stream(rows))
