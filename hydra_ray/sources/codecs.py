@@ -1244,3 +1244,42 @@ def wav_format_tag(data: bytes) -> int:
             return struct.unpack_from("<H", data, pos + 8)[0]
         pos += 8 + clen + (clen & 1)
     raise ValueError("WAV missing fmt chunk")
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000, alaw: bool = False) -> bytes:
+    """int16 mono (n,) → RIFF/WAVE with wFormatTag 7 (μ-law) or 6
+    (A-law): 8-bit companded payload, the telephony WAV variant."""
+    samples = np.asarray(samples, dtype=np.int16).ravel()
+    payload = (alaw_encode(samples) if alaw else ulaw_encode(samples)).tobytes()
+    tag = 6 if alaw else 7
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, samples.size)
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_g711(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE format 6/7 → (int16 (n,1), rate) via the G.711
+    expanders."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos, rate, tag, payload = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            tag, ch, rate = struct.unpack_from("<HHI", data, pos + 8)
+            if ch != 1:
+                raise ValueError("only mono G.711 WAV supported")
+        elif cid == b"data":
+            payload = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if tag not in (6, 7) or payload is None:
+        raise ValueError("not a G.711 WAV")
+    codes = np.frombuffer(payload, dtype=np.uint8)
+    arr = alaw_decode(codes) if tag == 6 else ulaw_decode(codes)
+    return arr[:, None], rate

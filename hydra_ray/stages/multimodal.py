@@ -108,8 +108,13 @@ def decode_audio(payload: bytes, decoder=None):
             wav_format_tag,
         )
 
-        if wav_format_tag(payload) == 0x11:
+        tag = wav_format_tag(payload)
+        if tag == 0x11:
             return decode_wav_adpcm(payload)
+        if tag in (6, 7):
+            from hydra_ray.sources.codecs import decode_wav_g711
+
+            return decode_wav_g711(payload)
         return decode_wav(payload)
     if head == b"FORM":
         from hydra_ray.sources.codecs import decode_aiff

@@ -427,3 +427,20 @@ def test_ima_adpcm_roundtrip_properties():
     from hydra_ray.sources.codecs import encode_wav
 
     assert wav_format_tag(encode_wav(s, 8000)) == 1
+
+
+def test_g711_wav_variants_agree_with_au():
+    """WAV wFormatTag 6/7 payloads decode to exactly the same samples
+    as the matching AU encodings (same quantizer, different container),
+    via the magic+tag router."""
+    import numpy as np
+
+    from hydra_ray.sources.codecs import encode_au, encode_wav_g711
+    from hydra_ray.stages.multimodal import decode_audio
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 256).astype(np.int16)
+    for alaw, au_enc in ((False, 1), (True, 27)):
+        wv, rate = decode_audio(encode_wav_g711(s, 8000, alaw=alaw))
+        au, _ = decode_audio(encode_au(s, 8000, encoding=au_enc))
+        assert rate == 8000 and (wv == au).all()
