@@ -89,3 +89,78 @@ def curate_corpus(
             ("n_toks", "sum", "sum_toks"),
         ],
     )
+
+
+def training_shards(
+    ds: "rd.Dataset",
+    capacity: int = 256,
+    n_shards: int = 4,
+    seed: int = 7,
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """The full corpus→training-set layout chain, one streaming
+    pipeline: quality gate → exact dedup → survivor semi-join →
+    context-window chunking → concat-and-chop sequence packing
+    (distributed prefix sum) → deterministic shard assignment
+    (splitmix64 of the sequence id).  Every chunk row comes out with
+    its (seq_id, seq_offset, shard) — exactly what a training-data
+    writer needs to emit fixed-capacity sequences into per-shard
+    files.  Chunk order is the global (doc_id, chunk_id) order via one
+    int64 order key; only vocabulary-free O(blocks) driver state (the
+    pack offsets)."""
+    from hydra_ray.stages.dedup import dedup_exact
+    from hydra_ray.stages.joins import semi_join
+    from hydra_ray.stages.pack import pack_sequences
+    from hydra_ray.stages.text import chunk_documents, quality_batch
+    from hydra_ray.state.cuckoo import _mix64
+
+    import numpy as np
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        return t.filter(quality_batch(t, id_col, text_col)["keep"])
+
+    good = ds.map_batches(qfilter, batch_format="pyarrow")
+    winners = dedup_exact(good, id_col=id_col, text_col=text_col).map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    survivors = semi_join(good, winners, id_col)
+    chunks = chunk_documents(
+        survivors, max_tokens=max_tokens, overlap=overlap,
+        id_col=id_col, text_col=text_col,
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ok = (
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64) * 4096
+            + t["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "chunk_id": t["chunk_id"],
+                "n_toks": t["n_toks"],
+                "_ok": pa.array(ok),
+            }
+        )
+
+    keyed = chunks.map_batches(add_key, batch_format="pyarrow")
+    packed = pack_sequences(keyed, capacity=capacity, id_col="_ok", count_col="n_toks")
+
+    def assign_shard(t: pa.Table) -> pa.Table:
+        seq = t["seq_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (_mix64(seq + np.uint64(seed)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "chunk_id": t["chunk_id"],
+                "n_toks": t["n_toks"],
+                "seq_id": t["seq_id"],
+                "seq_offset": t["seq_offset"],
+                "shard": pa.array(shard),
+            }
+        )
+
+    return packed.map_batches(assign_shard, batch_format="pyarrow")

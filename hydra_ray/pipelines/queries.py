@@ -3571,3 +3571,75 @@ def q_bpe_train(sf_dir: str):
 
 
 QUERIES["bpe_train"] = q_bpe_train
+
+
+def q_training_shards(sf_dir: str):
+    """Flagship corpus→training-layout chain (pipelines/curate.py::
+    training_shards): quality gate → exact dedup → semi-join →
+    32/8-token chunking → capacity-256 concat-and-chop packing →
+    splitmix64(seq_id+7)%4 shard assignment; the whole chain — window
+    prefix sum and HUGEINT-limb hash included — replayed in SQL."""
+    from hydra_ray.pipelines.curate import training_shards
+
+    return training_shards(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        capacity=256,
+        n_shards=4,
+        seed=7,
+    )
+
+
+ORACLE_TRAINING_SHARDS = (
+    r"""
+    WITH q AS (
+        SELECT doc_id, text
+        FROM (
+            SELECT doc_id, text,
+                   CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents
+        )
+        WHERE n_tokens >= 5 AND n_tokens <= 10000 AND digit_ratio < 0.3
+    ),
+    surv AS (
+        SELECT doc_id, text FROM q
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM surv),
+    c AS (
+        SELECT doc_id, len(ts) AS n,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil((len(ts) - 8.0) / 24.0), 1) AS BIGINT) - 1)) AS j
+        FROM toks
+    ),
+    ch AS (
+        SELECT doc_id, j AS chunk_id,
+               least(j * 24 + 32, n) - j * 24 AS n_toks,
+               doc_id * 4096 + j AS ok
+        FROM c
+    ),
+    p AS (
+        SELECT doc_id, chunk_id, n_toks,
+               COALESCE(sum(n_toks) OVER (ORDER BY ok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM ch
+    ),
+    sh_0 AS (
+        SELECT doc_id, chunk_id, n_toks,
+               CAST(start // 256 AS BIGINT) AS seq_id,
+               CAST(start % 256 AS BIGINT) AS seq_offset,
+               CAST(start // 256 + 7 AS UBIGINT) AS v
+        FROM p
+    ),
+"""
+    + _mix64_ctes_sql("sh", "v", "doc_id, chunk_id, n_toks, seq_id, seq_offset")
+    + r"""
+    SELECT doc_id, chunk_id, n_toks, seq_id, seq_offset,
+           CAST(v % 4 AS BIGINT) AS shard
+    FROM sh_5
+"""
+)
+
+QUERIES["training_shards"] = q_training_shards
+ORACLES["training_shards"] = ORACLE_TRAINING_SHARDS
