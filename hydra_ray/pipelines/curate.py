@@ -164,3 +164,20 @@ def training_shards(
         )
 
     return packed.map_batches(assign_shard, batch_format="pyarrow")
+
+
+def write_shards(ds: "rd.Dataset", out_dir: str) -> list[str]:
+    """Write a ``training_shards`` result as hive-partitioned parquet —
+    one directory per shard (``shard=K/``), many part files per shard
+    (per-block writes, heavy bytes never on the driver).  This is the
+    resumable layout the brief asks for: a restarted run lists the
+    finished ``shard=`` directories and skips them.  Returns the shard
+    directories written."""
+    import os
+
+    ds.write_parquet(out_dir, partition_cols=["shard"])
+    return sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("shard=")
+    )

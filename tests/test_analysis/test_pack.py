@@ -87,3 +87,33 @@ def test_paragraph_dedup_first_wins_and_reassembly():
         assert out["n_paras"].tolist() == [2, 2, 2]
         assert out["n_kept"].tolist() == [2, 1, 0]
         assert out["new_text"].tolist() == ["a b c d e f g h", "x y z w", ""]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_shards_writes_partitioned_output(tmp_path):
+    from hydra_ray.pipelines.curate import training_shards, write_shards
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(
+                        "word" + "abcdefghijklmnopqrstuvw"[(i * 7 + j) % 23]
+                        for j in range(30 + i % 11)
+                    )
+                    for i in range(40)
+                ]
+            ),
+        }
+    )
+    out = training_shards(rd.from_arrow(docs).repartition(4), capacity=64, n_shards=3)
+    dirs = write_shards(out, str(tmp_path / "shards"))
+    assert 1 <= len(dirs) <= 3 and all("shard=" in d for d in dirs)
+    back = rd.read_parquet(str(tmp_path / "shards")).to_pandas()
+    ref = out.to_pandas()
+    assert len(back) == len(ref)
+    # hive partition column survives the round trip with the same totals
+    assert sorted(back["n_toks"].groupby(back["shard"].astype(int)).sum().items()) == sorted(
+        ref["n_toks"].groupby(ref["shard"]).sum().items()
+    )
