@@ -195,6 +195,8 @@ def semi_join(
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     ls = lt.schema()
+    if ls is None:  # left side produced no rows: the semi-join is empty
+        return left
     schema = pa.schema(zip(ls.names, ls.types))
     left_cols = [n for n in schema.names if n != "_side"]
     kt = keys.map_batches(
@@ -249,6 +251,10 @@ def hash_join(
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt = right.map_batches(tag(1), batch_format="pyarrow")
     ls, rs = lt.schema(), rt.schema()
+    if ls is None:  # empty left: the join result is empty
+        return left
+    if rs is None:  # empty right: inner join is empty; left join = left
+        return left if how == "left" else left.limit(0)
     lcols = [n for n in ls.names if n != "_side"]
     rcols = [n for n in rs.names if n not in ("_side", key)]
     rename = {c: (c + suffix if c in lcols else c) for c in rcols}

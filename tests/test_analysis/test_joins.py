@@ -308,3 +308,17 @@ def test_hash_join_inner_left_and_collisions():
         k3 = lj[lj["k"] == 3]
         assert k3["w"].isna().all() and k3["tag_r"].isna().all()
         assert lj["w"].dtype == np.float64  # SQL NULLable-int semantics
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_joins_tolerate_empty_sides():
+    from hydra_ray.stages.joins import hash_join, semi_join
+
+    t = pa.table({"k": pa.array([1, 2], type=pa.int64()), "v": pa.array([10, 20])})
+    empty = rd.from_arrow(t).filter(lambda r: False)
+    # empty left: no crash, empty result
+    assert semi_join(empty, rd.from_arrow(t.select(["k"])), "k").count() == 0
+    assert hash_join(empty, rd.from_arrow(t), "k").count() == 0
+    # empty right: inner empty, left keeps its rows
+    assert hash_join(rd.from_arrow(t), empty, "k").count() == 0
+    assert hash_join(rd.from_arrow(t), empty, "k", how="left").count() == 2
