@@ -1160,74 +1160,104 @@ def _ima_step(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
     return delta | sign, pred, idx
 
 
-def encode_wav_adpcm(samples: np.ndarray, rate: int = 16000) -> bytes:
-    """int16 mono (n,) → WAV bytes, format 0x11 (IMA ADPCM), one block:
-    4-byte header (first sample verbatim as the predictor, step index
-    0), then low-nibble-first 4-bit codes for samples[1:]."""
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int = 16000, samples_per_block: int | None = None
+) -> bytes:
+    """int16 mono (n,) → WAV bytes, format 0x11 (IMA ADPCM).  Each
+    block: 4-byte header (the block's first sample verbatim as the
+    predictor + the step index carried in from the previous block),
+    then low-nibble-first 4-bit codes for the block's remaining
+    samples.  Default is one block; pass ``samples_per_block`` for the
+    standard multi-block layout (real ADPCM files are many blocks)."""
     samples = np.asarray(samples, dtype=np.int64).ravel()
-    if samples.size == 0:
+    n = int(samples.size)
+    if n == 0:
         raise ValueError("empty signal")
-    pred, idx = int(samples[0]), 0
-    nibbles: list[int] = []
-    for s in samples[1:]:
-        nib, pred, idx = _ima_step(int(s), pred, idx)
-        nibbles.append(nib)
-    if len(nibbles) % 2:
-        nibbles.append(0)
-    packed = bytes(
-        (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
-        for i in range(0, len(nibbles), 2)
-    )
-    block = struct.pack("<hBB", int(samples[0]), 0, 0) + packed
-    spb = samples.size  # samples per block
+    spb = n if samples_per_block is None else int(samples_per_block)
+    if spb < 1:
+        raise ValueError("samples_per_block must be >= 1")
+    block_bytes = 4 + (spb - 1 + 1) // 2
+    idx = 0
+    blocks: list[bytes] = []
+    for p in range(0, n, spb):
+        chunk = samples[p : p + spb]
+        pred, idx_start = int(chunk[0]), idx
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            nib, pred, idx = _ima_step(int(s), pred, idx)
+            nibbles.append(nib)
+        nibbles += [0] * ((spb - 1) - len(nibbles))  # pad a short last block
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        packed = bytes(
+            (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(struct.pack("<hBB", int(chunk[0]), idx_start, 0) + packed)
+    data = b"".join(blocks)
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, rate, rate * len(block) // max(spb, 1), len(block), 4, 2, spb
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_bytes // max(spb, 1),
+        block_bytes, 4, 2, spb,
     )
     body = b"WAVE"
     body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"fact" + struct.pack("<II", 4, spb)
-    body += b"data" + struct.pack("<I", len(block)) + block
-    if len(block) % 2:
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
         body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav_adpcm(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV format-0x11 (IMA ADPCM, mono single block) → (int16 (n,1),
-    rate).  Replays the predictor/step-index state machine."""
+    """WAV format-0x11 (IMA ADPCM, mono) → (int16 (n,1), rate).
+    Walks EVERY block_align-sized block (real files are many blocks),
+    replaying the predictor/step-index state machine; the fact chunk
+    bounds the total sample count so last-block padding is dropped."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV file")
-    pos, rate, spb, payload = 12, None, None, None
+    pos, rate, spb, ba, n_total, payload = 12, None, None, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
-            tag, ch, rate, _bps, _ba, bits, _cbs, spb = struct.unpack_from(
+            tag, ch, rate, _bps, ba, bits, _cbs, spb = struct.unpack_from(
                 "<HHIIHHHH", body, 0
             )
             if tag != 0x11 or ch != 1 or bits != 4:
                 raise ValueError("only mono 4-bit IMA ADPCM supported")
+        elif cid == b"fact":
+            (n_total,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             payload = body
         pos += 8 + clen + (clen & 1)
     if rate is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
-    pred, idx = struct.unpack_from("<hB", payload, 0)
-    out = [pred]
-    pos = 4
-    n_nib = (spb - 1) if spb else (len(payload) - 4) * 2
-    for k in range(n_nib):
-        byte = payload[4 + (k >> 1)]
-        nib = (byte >> 4) if k & 1 else (byte & 0xF)
-        step = int(_IMA_STEPS[idx])
-        delta, sign = nib & 7, nib & 8
-        vp = (step >> 3) + (step if delta & 4 else 0) + ((step >> 1) if delta & 2 else 0) \
-            + ((step >> 2) if delta & 1 else 0)
-        pred = pred - vp if sign else pred + vp
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + int(_IMA_INDEX[delta])))
+    if not spb or not ba or ba < 5:
+        raise ValueError("bad IMA ADPCM fmt chunk (block align / samples per block)")
+    n_blocks = -(-len(payload) // ba)
+    if n_total is None:
+        n_total = n_blocks * spb  # no fact chunk: assume full blocks
+    out: list[int] = []
+    for b in range(n_blocks):
+        block = payload[b * ba : (b + 1) * ba]
+        if len(block) < 4 or len(out) >= n_total:
+            break
+        pred, idx = struct.unpack_from("<hB", block, 0)
+        idx = max(0, min(88, idx))
         out.append(pred)
+        take = min(spb, n_total - len(out) + 1)  # samples in this block
+        for k in range(take - 1):
+            byte = block[4 + (k >> 1)]
+            nib = (byte >> 4) if k & 1 else (byte & 0xF)
+            step = int(_IMA_STEPS[idx])
+            delta, sign = nib & 7, nib & 8
+            vp = (step >> 3) + (step if delta & 4 else 0) \
+                + ((step >> 1) if delta & 2 else 0) + ((step >> 2) if delta & 1 else 0)
+            pred = pred - vp if sign else pred + vp
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[delta])))
+            out.append(pred)
     return np.array(out, dtype=np.int16)[:, None], rate
 
 

@@ -429,6 +429,30 @@ def test_ima_adpcm_roundtrip_properties():
     assert wav_format_tag(encode_wav(s, 8000)) == 1
 
 
+def test_ima_adpcm_multi_block():
+    """Standard multi-block layout: the step index carries across block
+    boundaries, the fact chunk trims last-block padding, and the
+    decoded signal is identical to the single-block decode (same
+    quantizer state machine, just re-anchored predictors)."""
+    import numpy as np
+
+    from hydra_ray.sources.codecs import decode_wav_adpcm, encode_wav_adpcm
+
+    rng = np.random.default_rng(11)
+    s = np.cumsum(rng.integers(-400, 401, 505)).clip(-30000, 30000).astype(np.int16)
+    # 505 samples, 64 per block → 8 blocks, last one padded (505 = 7*64 + 57)
+    blob = encode_wav_adpcm(s, 8000, samples_per_block=64)
+    dec, rate = decode_wav_adpcm(blob)
+    assert rate == 8000 and dec.shape == (505, 1)
+    # every block's first sample is verbatim
+    assert (dec[::64, 0] == s[::64]).all()
+    err = np.abs(dec[:, 0].astype(np.int64) - s.astype(np.int64))
+    assert err.mean() < 150, err.mean()
+    # single-block encode of the same signal decodes to a similar track
+    one, _ = decode_wav_adpcm(encode_wav_adpcm(s, 8000))
+    assert one.shape == dec.shape
+
+
 def test_g711_wav_variants_agree_with_au():
     """WAV wFormatTag 6/7 payloads decode to exactly the same samples
     as the matching AU encodings (same quantizer, different container),
