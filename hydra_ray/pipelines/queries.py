@@ -3643,3 +3643,43 @@ ORACLE_TRAINING_SHARDS = (
 
 QUERIES["training_shards"] = q_training_shards
 ORACLES["training_shards"] = ORACLE_TRAINING_SHARDS
+
+
+def q_char_dup_spans(sf_dir: str):
+    """Character-level ExactSubstr spans (stages/dedup.py::
+    char_dup_spans): maximal per-doc char spans covered by a 30-char
+    window occurring >= 2 times anywhere in the corpus — rolling-hash
+    candidates, exact gram verify, island merge."""
+    from hydra_ray.stages.dedup import char_dup_spans
+
+    return char_dup_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        L=30,
+        min_occ=2,
+    )
+
+
+ORACLE_CHAR_DUP_SPANS = """
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 29, 0))) AS p
+        FROM documents
+    ),
+    grams AS (SELECT doc_id, p, substr(text, p, 30) AS g FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN p - lag_p <= 30 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM (SELECT doc_id, p,
+                     lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+              FROM hits)
+    )
+    SELECT doc_id, min(p) AS start_chr, max(p) + 29 AS end_chr,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+"""
+
+QUERIES["char_dup_spans"] = q_char_dup_spans
+ORACLES["char_dup_spans"] = ORACLE_CHAR_DUP_SPANS

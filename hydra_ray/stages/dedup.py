@@ -1009,3 +1009,248 @@ def paragraph_dedup(
         return out.reset_index()
 
     return keyed_map_partitions(marked, [id_col], rebuild, num_parts=num_parts)
+
+
+# --- character-level ExactSubstr (suffix-window) dedup --------------------
+
+
+def _rolling_hash_emit(
+    ids: np.ndarray, texts: list[str], L: int, powers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per doc: 64-bit polynomial hash of every L-char window, fully
+    vectorized (sliding_window_view × power vector, natural uint64
+    wraparound). Returns (doc_id, pos(1-based), hash-as-int64)."""
+    o_id: list[np.ndarray] = []
+    o_pos: list[np.ndarray] = []
+    o_h: list[np.ndarray] = []
+    for did, tx in zip(ids, texts):
+        b = np.frombuffer((tx or "").encode("utf-8"), dtype=np.uint8)
+        if b.size < L:
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(b, L).astype(np.uint64)
+        h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        n = h.size
+        o_id.append(np.full(n, did, dtype=np.int64))
+        o_pos.append(np.arange(1, n + 1, dtype=np.int64))
+        o_h.append(h.view(np.int64))
+    if not o_id:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return np.concatenate(o_id), np.concatenate(o_pos), np.concatenate(o_h)
+
+
+def _char_span_merge_fn(L: int, id_col: str):
+    """Shared island-merge consumer: sorted duplicated positions →
+    maximal (start_chr, end_chr) spans (gap > L breaks an island)."""
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "start_chr": pd.Series(dtype="int64"),
+                    "end_chr": pd.Series(dtype="int64"),
+                    "n_windows": pd.Series(dtype="int64"),
+                }
+            )
+        out = []
+        for did, g in df.groupby(id_col, sort=False):
+            pos = np.sort(g["pos"].to_numpy())
+            breaks = np.nonzero(np.diff(pos) > L)[0]
+            starts = np.concatenate(([pos[0]], pos[breaks + 1]))
+            ends = np.concatenate((pos[breaks], [pos[-1]])) + L - 1
+            seg = np.zeros(len(pos), dtype=np.int64)
+            seg[breaks + 1] = 1
+            counts = np.bincount(np.cumsum(seg))
+            for s, e, c in zip(starts, ends, counts):
+                out.append((int(did), int(s), int(e), int(c)))
+        return pd.DataFrame(
+            out, columns=[id_col, "start_chr", "end_chr", "n_windows"]
+        )
+
+    return merge_spans
+
+
+def char_dup_spans_direct(
+    ds: "rd.Dataset",
+    L: int = 30,
+    min_occ: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Small-corpus fast path for `char_dup_spans`: materialize the
+    L-char window TEXT into the first shuffle (the L× expansion the
+    scale path avoids) — two keyed shuffles instead of five, which wins
+    below ~10^5 docs where Ray's per-shuffle fixed cost dominates.
+    Identical output to the scale path (tested)."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        o_id, o_pos, o_g = [], [], []
+        for did, tx in zip(ids, t[text_col].to_pylist()):
+            tx = tx or ""
+            for p in range(len(tx) - L + 1):
+                o_id.append(int(did))
+                o_pos.append(p + 1)
+                o_g.append(tx[p : p + L])
+        return pa.table(
+            {
+                id_col: pa.array(o_id, type=pa.int64()),
+                "pos": pa.array(o_pos, type=pa.int64()),
+                "gram": pa.array(o_g, type=pa.string()),
+            }
+        )
+
+    grams = ds.map_batches(emit, batch_format="pyarrow")
+
+    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
+            )
+        keep = df.groupby("gram", sort=False)["gram"].transform("size") >= min_occ
+        return df.loc[keep, [id_col, "pos"]]
+
+    hits = keyed_map_partitions(grams, ["gram"], dup_hits, num_parts)
+    return keyed_map_partitions(
+        hits, [id_col], _char_span_merge_fn(L, id_col), num_parts=32
+    )
+
+
+def char_dup_spans(
+    ds: "rd.Dataset",
+    L: int = 30,
+    min_occ: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 64,
+    small_threshold: int | None = 200_000,
+) -> "rd.Dataset":
+    """Character-level ExactSubstr span detection (Lee et al. 2022 §4,
+    the suffix-array formulation): every maximal character span covered
+    by an L-char window occurring >= ``min_occ`` times ANYWHERE in the
+    corpus (across or within documents — a suffix array does not care).
+
+    The scale shape deliberately differs from `duplicated_passages`
+    (which ships the gram TEXT into its first shuffle, a k× corpus
+    expansion). Here the heavy first shuffle carries 24 bytes/position
+    (hash, doc, pos) regardless of L:
+
+      1. map_batches: vectorized 64-bit rolling polynomial hash of all
+         windows (no window materialized in the shuffle);
+      2. hash-keyed shuffle: positions whose hash occurs >= min_occ
+         survive as CANDIDATES — at corpus scale the duplicated tail
+         is a small fraction, so everything after is cheap;
+      3. doc-keyed co-partition of candidates with their documents to
+         read back the actual L-char windows (candidates only);
+      4. gram-keyed shuffle re-counts on the TEXT — exact, so a 64-bit
+         collision can only add a candidate in (2), never a false span;
+      5. doc-keyed island merge into maximal (start_chr, end_chr).
+
+    Below ``small_threshold`` docs the five-shuffle pipeline loses to
+    Ray's per-shuffle fixed cost, so the call auto-routes to
+    `char_dup_spans_direct` (same output; same auto-route pattern as
+    knn/nn_all and grouped_agg). The row probe uses ``ds.count()`` —
+    O(1) on a fresh parquet read; pass ``small_threshold=None`` when
+    ``ds`` already carries transforms (count would execute them) or to
+    force the scale path.
+
+    Positions are 1-based UTF-8 BYTE offsets (== char offsets on ASCII
+    corpora; the synthetic corpus is ASCII, as is the DuckDB oracle's
+    substr arithmetic). Returns (doc_id, start_chr, end_chr,
+    n_windows)."""
+    from hydra_ray.stages.keyed import keyed_map_partitions
+
+    if small_threshold is not None and ds.count() <= small_threshold:
+        return char_dup_spans_direct(
+            ds, L=L, min_occ=min_occ, id_col=id_col, text_col=text_col
+        )
+
+    base = np.uint64(1099511628211)
+    powers = np.empty(L, dtype=np.uint64)
+    powers[L - 1] = 1
+    for j in range(L - 2, -1, -1):
+        powers[j] = powers[j + 1] * base
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        did, pos, h = _rolling_hash_emit(ids, t[text_col].to_pylist(), L, powers)
+        return pa.table({id_col: did, "pos": pos, "h": h})
+
+    hashes = ds.map_batches(emit, batch_format="pyarrow")
+
+    def cands(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
+            )
+        keep = df.groupby("h", sort=False)["h"].transform("size") >= min_occ
+        return df.loc[keep, [id_col, "pos"]]
+
+    cand = keyed_map_partitions(hashes, ["h"], cands, num_parts)
+
+    # co-partition candidates with docs (pos = -1 marks a doc row)
+    def docs_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": pc.cast(t[text_col], pa.string()),
+            }
+        )
+
+    def cand_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "pos": pc.cast(t["pos"], pa.int64()),
+                "text": pa.array([""] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    u = ds.map_batches(docs_side, batch_format="pyarrow").union(
+        cand.map_batches(cand_side, batch_format="pyarrow")
+    )
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+                "gram": pd.Series(dtype="object"),
+            }
+        )
+        if df.empty:
+            return empty
+        c = df[df["pos"] >= 0]
+        if c.empty:
+            return empty
+        tmap = dict(
+            zip(df.loc[df["pos"] < 0, id_col], df.loc[df["pos"] < 0, "text"])
+        )
+        grams = [
+            tmap[d][p - 1 : p - 1 + L] for d, p in zip(c[id_col], c["pos"])
+        ]
+        return pd.DataFrame({id_col: c[id_col], "pos": c["pos"], "gram": grams})
+
+    extracted = keyed_map_partitions(u, [id_col], extract, num_parts=32)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
+            )
+        keep = df.groupby("gram", sort=False)["gram"].transform("size") >= min_occ
+        return df.loc[keep, [id_col, "pos"]]
+
+    verified = keyed_map_partitions(extracted, ["gram"], verify, num_parts)
+    return keyed_map_partitions(
+        verified, [id_col], _char_span_merge_fn(L, id_col), num_parts=32
+    )

@@ -329,3 +329,70 @@ def test_exact_substr_dedup_partition_invariant():
         for r in exact_substr_dedup(rd.from_arrow(t).repartition(9)).take_all()
     }
     assert a == b
+
+
+def _brute_char_spans(docs, L, min_occ):
+    """Reference: duplicated L-windows by exact text count, islands."""
+    from collections import Counter
+
+    c = Counter()
+    for _, tx in docs:
+        for p in range(len(tx) - L + 1):
+            c[tx[p : p + L]] += 1
+    spans = []
+    for did, tx in docs:
+        pos = [
+            p + 1
+            for p in range(len(tx) - L + 1)
+            if c[tx[p : p + L]] >= min_occ
+        ]
+        if not pos:
+            continue
+        start, prev, n = pos[0], pos[0], 1
+        for p in pos[1:]:
+            if p - prev > L:
+                spans.append((did, start, prev + L - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        spans.append((did, start, prev + L - 1, n))
+    return sorted(spans)
+
+
+def test_char_dup_spans_both_paths_match_bruteforce(ray_session):
+    """Scale (hash-candidate/verify) and direct paths both equal the
+    brute-force reference, including a WITHIN-doc repeat (a suffix
+    array counts occurrences, not documents)."""
+    from hydra_ray.stages.dedup import char_dup_spans, char_dup_spans_direct
+
+    L = 12
+    shared = "XxYzCommonDuplicatedRun12345"  # > L chars, in docs 0 & 2
+    docs = [
+        (0, "prefix alpha " + shared + " suffix omega one two three"),
+        (1, "totally unrelated content with nothing repeated here at all"),
+        (2, "other header " + shared + " trailing words differ"),
+        # within-doc repeat: the same >L block twice in one document
+        (3, "qqq InsideRepeatBlock!! mid InsideRepeatBlock!! end"),
+        (4, "short"),
+    ]
+    want = _brute_char_spans(docs, L, 2)
+    assert want, "fixture must contain duplicated spans"
+    assert any(d == 3 for d, *_ in want), "within-doc repeat must surface"
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": [tx for _, tx in docs],
+        }
+    )
+    for fn, kw in (
+        (char_dup_spans, {"small_threshold": None, "num_parts": 8}),
+        (char_dup_spans, {"small_threshold": 1000}),
+        (char_dup_spans_direct, {"num_parts": 8}),
+    ):
+        out = fn(rd.from_arrow(t), L=L, min_occ=2, **kw).to_pandas()
+        got = sorted(
+            (int(r.doc_id), int(r.start_chr), int(r.end_chr), int(r.n_windows))
+            for r in out.itertuples()
+        )
+        assert got == want, (fn.__name__, kw, got, want)
