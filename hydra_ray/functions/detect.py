@@ -23,6 +23,7 @@ _FORMATS: list[tuple[str, tuple[str, ...], str | None]] = [
     ("csvgz", ("application/gzip", "application/octet-stream", "application/x-gzip"), "csv.gz"),
     ("xls", ("application/vnd.ms-excel",), None),
     ("xlsx", ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",), None),
+    ("ods", ("application/vnd.oasis.opendocument.spreadsheet",), None),
     ("geojson", ("application/vnd.geo+json",), "geojson"),
     ("parquet", ("application/vnd.apache.parquet",), "parquet"),
 ]
@@ -78,6 +79,7 @@ FORMAT_MIME = {
     "csvgz": "application/gzip",
     "xls": "application/vnd.ms-excel",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
     "geojson": "application/json",
     "parquet": "application/vnd.apache.parquet",
     "json": "application/json",
@@ -104,6 +106,10 @@ def sniff_mime(body: bytes, fmt: str | None = None) -> str:
         probe = bytes(body[:4096])
         if b"[Content_Types].xml" in probe and (b"xl/" in probe or b"workbook" in probe):
             return "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+        # ODF packages store the literal mimetype string uncompressed as
+        # the FIRST zip entry (spec §3.3), so it sits in the probe window
+        if b"mimetype" in probe and b"opendocument.spreadsheet" in probe:
+            return "application/vnd.oasis.opendocument.spreadsheet"
         return "application/zip"
     if head.startswith(b"PAR1"):
         return "application/vnd.apache.parquet"

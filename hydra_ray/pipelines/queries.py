@@ -1366,6 +1366,41 @@ QUERIES["xls_inspect"] = q_xls_inspect
 ORACLES["xls_inspect"] = ORACLE_XLSX_INSPECT  # same logical table as xlsx_inspect
 
 
+def q_ods_inspect(sf_dir: str):
+    """S4 (OpenDocument ingestion — reference config_default.toml:63
+    declares .ods a first-class size-capped format): same deterministic
+    workbook as xlsx_inspect, round-tripped through the stdlib ODF
+    reader (sources/ods.py — content.xml typed cells, column/row
+    repeats) and the shared typing + smart_cast pipeline; the oracle
+    computes the same typed values directly."""
+    from datetime import date as _date
+
+    from hydra_ray.sources.ods import ods_to_table, write_ods
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows: list[list] = [["id", "name", "score", "flag", "day"]]
+        for d in ids:
+            d = int(d)
+            rows.append(
+                [d, f"res-{d}", d * 0.5, d % 2 == 0, _date(2024, 1, 1 + d % 28).isoformat()]
+            )
+        tbl = ods_to_table(write_ods(rows))
+        assert tbl["id"].type == pa.int64() and tbl["score"].type == pa.float64()
+        assert tbl["flag"].type == pa.bool_() and tbl["day"].type == pa.date32()
+        return tbl.set_column(
+            tbl.column_names.index("day"), "day", pc.cast(tbl["day"], pa.string())
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+QUERIES["ods_inspect"] = q_ods_inspect
+ORACLES["ods_inspect"] = ORACLE_XLSX_INSPECT  # same logical table as xlsx_inspect
+
+
 def q_csv_profile(sf_dir: str):
     """csv-detective profile parity (reference csv_like/__init__.py:35-58
     output_profile=True): deterministic per-group CSV texts built from

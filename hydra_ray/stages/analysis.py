@@ -45,7 +45,7 @@ from hydra_ray.stages.fetcher import make_transport
 from hydra_ray.functions.detect import FORMAT_MIME as _MAGIC_MIME  # noqa: E402
 from hydra_ray.functions.detect import sniff_mime  # noqa: E402
 
-PARSEABLE_FORMATS = {"csv", "csvgz", "xls", "xlsx", "parquet"}
+PARSEABLE_FORMATS = {"csv", "csvgz", "xls", "xlsx", "ods", "parquet"}
 
 
 def _max_size_for(fmt: str | None) -> int:
@@ -271,11 +271,12 @@ class Analyser:
             if not parse:
                 continue
             text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=self.content_rows)
-            if fmts[j] in ("xls", "xlsx"):
-                # Excel route (S4): the synthetic download is materialized
-                # as a real workbook — OOXML zip for .xlsx, BIFF8-in-CFB
-                # for .xls — and ingested through the matching stdlib
-                # reader; same inspection shape + typed cast as CSV.
+            if fmts[j] in ("xls", "xlsx", "ods"):
+                # Workbook route (S4): the synthetic download is
+                # materialized as a real workbook — OOXML zip for .xlsx,
+                # BIFF8-in-CFB for .xls, ODF zip for .ods — and ingested
+                # through the matching stdlib reader; same inspection
+                # shape + typed cast as CSV.
                 # The synthesized workbook is capped at 64 data rows: the
                 # round-trip exists to exercise the reader per resource
                 # (~4 ms), and a 2000-row workbook SYNTHESIS (~124 ms)
@@ -295,6 +296,18 @@ class Analyser:
                     wb_rows = read_xls_rows(blob)  # parse the BIFF once
                     insp = inspect_xls(blob, rows=wb_rows)
                     xls_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
+                elif fmts[j] == "ods":
+                    from hydra_ray.sources.ods import (
+                        inspect_ods,
+                        ods_to_table,
+                        read_ods_rows,
+                        write_ods,
+                    )
+
+                    blob = write_ods(wb_cells)
+                    wb_rows = read_ods_rows(blob)  # parse the XML once
+                    insp = inspect_ods(blob, rows=wb_rows)
+                    ods_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
                 else:
                     from hydra_ray.sources.xlsx import (
                         inspect_xlsx,

@@ -189,3 +189,38 @@ def test_xls_resource_routes_through_biff_reader(tmp_path, make_crawl_engine):
             assert row["resource_id"] in doc_ids  # span doc built from the workbook route
     assert got > 0
     eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ods_resource_routes_through_odf_reader(tmp_path, make_crawl_engine):
+    """A catalog row with format='ods' parses through the ODF reader
+    in the analyse stage (S4 OpenDocument route, sources/ods.py): the check carries a
+    parsing_table and an inspection report with the ods engine mark."""
+    import numpy as np
+
+    from hydra_ray.synth import catalog_from_documents
+
+    docs = pa.table({"doc_id": pa.array(np.arange(30), type=pa.int64())})
+    seed = catalog_from_documents(docs)
+    fmt = pa.array(
+        ["ods" if i % 3 == 0 else f for i, f in enumerate(seed["format"].to_pylist())]
+    )
+    seed = seed.set_column(seed.column_names.index("format"), "format", fmt)
+    eng = make_crawl_engine(str(tmp_path / "wd"), batch_size=30, actor_pools=False)
+    eng.load_catalog(seed)
+    eng.run(1)
+    checks = eng.checks.read_arrow()
+    cat = eng.catalog.read_arrow(columns=["resource_id", "format"])
+    ods_ids = {
+        r for r, f in zip(cat["resource_id"].to_pylist(), cat["format"].to_pylist()) if f == "ods"
+    }
+    assert ods_ids
+    got = 0
+    docs_tbl = eng.read_documents()
+    doc_ids = set(docs_tbl["doc_id"].to_pylist())
+    for row in checks.to_pylist():
+        if row["resource_id"] in ods_ids and row["parsing_table"]:
+            got += 1
+            assert row["resource_id"] in doc_ids  # span doc built from the workbook route
+    assert got > 0
+    eng.shutdown()
