@@ -3718,3 +3718,72 @@ ORACLE_CHAR_DUP_SPANS = """
 
 QUERIES["char_dup_spans"] = q_char_dup_spans
 ORACLES["char_dup_spans"] = ORACLE_CHAR_DUP_SPANS
+
+
+def q_c4_filter(sf_dir: str):
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2; stages/text.py::
+    c4_filter_batch). The synthetic documents are single-line token
+    streams, so the query first synthesizes deterministic line
+    structure — 'batch' ends a sentence+line, 'stream' introduces a
+    page-poisoning '{', 'window' becomes the line-dropping word
+    'javascript' — with the SAME string replaces as the SQL oracle,
+    then applies the vectorized filter. Shuffle-free map_batches."""
+    import pyarrow.compute as pc
+
+    from hydra_ray.stages.text import c4_filter_batch
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.replace_substring(pc.fill_null(t, ""), pattern="batch", replacement="batch.\n")
+        t = pc.replace_substring(t, pattern="stream", replacement="stream {")
+        t = pc.replace_substring(t, pattern="window", replacement="javascript")
+        return c4_filter_batch(batch.set_column(batch.schema.get_field_index("text"), "text", t))
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+
+
+ORACLE_C4_FILTER = """
+    WITH pre AS (
+        SELECT doc_id,
+               replace(replace(replace(COALESCE(text, ''),
+                   'batch', 'batch.' || chr(10)),
+                   'stream', 'stream {'),
+                   'window', 'javascript') AS t
+        FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM pre),
+    lines AS (
+        SELECT doc_id, i, arr[i] AS ln
+        FROM (SELECT doc_id, arr,
+                     unnest(generate_series(1, len(arr))) AS i FROM ls)
+    ),
+    judged AS (
+        SELECT doc_id, i, ln,
+               (right(rtrim(ln, ' ' || chr(9) || chr(13)), 1)
+                    IN ('.', '!', '?', '"'))
+               AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+               AND NOT contains(lower(ln), 'javascript') AS kept,
+               contains(lower(ln), 'lorem ipsum') OR contains(ln, '{') AS poison
+        FROM lines
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE kept) AS n_kept,
+               bool_or(poison) AS poisoned,
+               string_agg(CASE WHEN kept THEN ln END, chr(10) ORDER BY i) AS joined
+        FROM judged GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_kept,
+           (NOT poisoned) AND n_kept >= 5 AS keep,
+           CASE WHEN (NOT poisoned) AND n_kept >= 5
+                THEN COALESCE(joined, '') ELSE '' END AS cleaned
+    FROM agg
+"""
+
+QUERIES["c4_filter"] = q_c4_filter
+ORACLES["c4_filter"] = ORACLE_C4_FILTER

@@ -295,6 +295,87 @@ def sample_per_group(
     return keyed_map_partitions(hashed, [key], pick, num_parts=num_parts)
 
 
+# terminal punctuation accepted by the C4 line rule (Raffel et al.
+# 2020 §2.2: period, exclamation mark, question mark, end quote)
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_filter_batch(
+    batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) over newline-
+    structured documents — the standard web-corpus line/page filter:
+
+      line rules:  keep a line only if it (a) ends in terminal
+        punctuation, (b) has ≥3 words, (c) does not contain the word
+        'javascript';
+      page rules:  drop the whole page if any line contains
+        'lorem ipsum' or a curly brace '{', or if fewer than 5 lines
+        survive the line rules (C4 counts sentences; kept lines are the
+        line-structured equivalent — documented approximation).
+
+    The reference's quality gates are row-level (M5/M9); this is the
+    corpus-curation analogue for training-data prep. Output per doc:
+    n_lines, n_kept, keep (page verdict) and the cleaned text (kept
+    lines joined by \\n; '' for dropped pages). Fully vectorized:
+    one split + flat per-line Arrow kernels + bincount fold back to
+    docs + pc.binary_join for the cleaned text. Shuffle-free.
+
+    Word-count contract matches the DuckDB oracle:
+    len(regexp_split(trim(line), '\\s+')) — a whitespace-only line
+    counts 1 empty token (it can never pass the punctuation rule, so
+    the difference vs Python str.split() is unobservable).
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    n_docs = len(text)
+    lines_list = pc.split_pattern(text, pattern="\n")
+    n_lines = pc.cast(pc.list_value_length(lines_list), pa.int64())
+    flat = pc.list_flatten(lines_list)
+    parent = pc.list_parent_indices(lines_list).to_numpy(zero_copy_only=False)
+
+    low = pc.utf8_lower(flat)
+    stripped = pc.utf8_rtrim_whitespace(flat)
+    ends_ok = pc.ends_with(stripped, pattern=C4_TERMINAL[0])
+    for p in C4_TERMINAL[1:]:
+        ends_ok = pc.or_(ends_ok, pc.ends_with(stripped, pattern=p))
+    n_words = pc.list_value_length(_tokens_arr(flat))
+    has_js = pc.match_substring(low, pattern="javascript")
+    kept = pc.and_(
+        pc.and_(ends_ok, pc.greater_equal(n_words, 3)), pc.invert(has_js)
+    )
+    poison = pc.or_(
+        pc.match_substring(low, pattern="lorem ipsum"),
+        pc.match_substring(flat, pattern="{"),
+    )
+
+    kept_np = kept.to_numpy(zero_copy_only=False)
+    n_kept = np.bincount(parent[kept_np], minlength=n_docs).astype(np.int64)
+    poisoned = np.bincount(
+        parent[poison.to_numpy(zero_copy_only=False)], minlength=n_docs
+    ) > 0
+    keep = (~poisoned) & (n_kept >= 5)
+
+    # rebuild list<string> of kept lines per doc (parent is sorted
+    # ascending, so offsets come from a searchsorted) and join with \n
+    kept_parent = parent[kept_np]
+    offsets = np.searchsorted(kept_parent, np.arange(n_docs + 1)).astype(np.int32)
+    kept_lines = pa.ListArray.from_arrays(pa.array(offsets), flat.filter(kept))
+    joined = pc.binary_join(kept_lines, "\n")
+    cleaned = pc.if_else(pa.array(keep), joined, "")
+    return pa.table(
+        {
+            "doc_id": batch[doc_id_col],
+            "n_lines": n_lines,
+            "n_kept": pa.array(n_kept),
+            "keep": pa.array(keep),
+            "cleaned": cleaned,
+        }
+    )
+
+
 def repetition_stats_batch(
     batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:

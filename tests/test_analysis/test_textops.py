@@ -440,3 +440,51 @@ def test_bpe_train_matches_reference_and_is_partition_invariant():
             )
         )
         assert rows == expect, (rows, expect)
+
+
+class TestC4Filter:
+    """C4 line/page rules (Raffel et al. 2020 §2.2) — stages/text.py::
+    c4_filter_batch (vectorized; no per-row Python)."""
+
+    def _run(self, texts):
+        from hydra_ray.stages.text import c4_filter_batch
+
+        t = pa.table({"doc_id": [str(i) for i in range(len(texts))], "text": texts})
+        return c4_filter_batch(t).to_pylist()
+
+    def test_line_rules(self):
+        doc = "\n".join(
+            [
+                "This line is kept fine.",     # kept
+                "Short one.",                  # <3 words
+                "No terminal punctuation at all",  # no punct
+                "Enable javascript to view this page.",  # javascript
+                'A quoted good line "here"',   # ends with quote -> kept
+                "   ",                         # whitespace only
+            ]
+        )
+        (row,) = self._run([doc])
+        assert row["n_lines"] == 6
+        assert row["n_kept"] == 2
+        assert row["keep"] is False  # <5 kept lines
+        assert row["cleaned"] == ""
+
+    def test_page_keep_and_cleaned_join(self):
+        lines = [f"Good solid line number {i}." for i in range(6)] + ["junk"]
+        (row,) = self._run(["\n".join(lines)])
+        assert row["keep"] is True
+        assert row["cleaned"] == "\n".join(lines[:6])
+
+    def test_page_poison(self):
+        good = "\n".join(f"Good solid line number {i}." for i in range(6))
+        for poison in ["contains Lorem Ipsum filler", "css { display: none }"]:
+            (row,) = self._run([good + "\n" + poison])
+            assert row["n_kept"] == 6
+            assert row["keep"] is False, poison
+            assert row["cleaned"] == ""
+
+    def test_null_and_empty(self):
+        rows = self._run([None, ""])
+        for row in rows:
+            assert row["n_lines"] == 1 and row["n_kept"] == 0
+            assert row["keep"] is False and row["cleaned"] == ""
