@@ -3787,3 +3787,86 @@ ORACLE_C4_FILTER = """
 
 QUERIES["c4_filter"] = q_c4_filter
 ORACLES["c4_filter"] = ORACLE_C4_FILTER
+
+
+def q_word_freq_topk(sf_dir: str):
+    """Corpus vocabulary: distributed word count (the classic wordcount,
+    Zipf-head extraction for tokenizer/vocab prep). Per-block explode +
+    Arrow group_by partials → grouped_agg merge (one row per
+    (word, block) over the shuffle, not one per token) → top-50 by
+    count desc / word asc."""
+    import pyarrow.compute as pc
+
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.text import _tokens_arr
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = _tokens_arr(pc.fill_null(t["text"].combine_chunks(), ""))
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"word": flat})
+
+    counts = grouped_agg(
+        _docs(sf_dir, columns=["text"]).map_batches(explode, batch_format="pyarrow"),
+        ["word"],
+        [("word", "count", "n")],
+    )
+    return counts.sort(["n", "word"], descending=[True, False]).limit(50)
+
+
+ORACLE_WORD_FREQ_TOPK = r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS word
+        FROM documents
+    )
+    SELECT word, count(*) AS n FROM toks WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+QUERIES["word_freq_topk"] = q_word_freq_topk
+ORACLES["word_freq_topk"] = ORACLE_WORD_FREQ_TOPK
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode text normalization (NFC compose + lowercase) — the
+    canonicalization pass every multilingual corpus runs before dedup/
+    tokenization. The ASCII synthetic docs are first given deterministic
+    work to do — combining acute accents after every 'a' (U+0301, NFC
+    composes to 'á') and an uppercased 'THE' — with the SAME replaces
+    as the SQL oracle. Shuffle-free vectorized map_batches; emits
+    codepoint lengths before/after so composition is observable."""
+    import pyarrow.compute as pc
+
+    from hydra_ray.stages.text import normalize_text_batch
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.replace_substring(pc.fill_null(t, ""), pattern="a", replacement="á")
+        t = pc.replace_substring(t, pattern="the", replacement="THE")
+        return normalize_text_batch(
+            batch.set_column(batch.schema.get_field_index("text"), "text", t)
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+ORACLE_NORMALIZE_TEXT = """
+    WITH pre AS (
+        SELECT doc_id,
+               replace(replace(COALESCE(text, ''), 'a', 'a' || chr(769)),
+                       'the', 'THE') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           length(t) AS n_cp_raw,
+           length(lower(nfc_normalize(t))) AS n_cp_norm,
+           lower(nfc_normalize(t)) AS norm
+    FROM pre
+"""
+
+QUERIES["normalize_text"] = q_normalize_text
+ORACLES["normalize_text"] = ORACLE_NORMALIZE_TEXT

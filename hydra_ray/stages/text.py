@@ -295,6 +295,44 @@ def sample_per_group(
     return keyed_map_partitions(hashed, [key], pick, num_parts=num_parts)
 
 
+def normalize_text_batch(
+    batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Unicode canonicalization (NFC compose, then lowercase) — the
+    pass every multilingual corpus runs before dedup/tokenization.
+
+    pyarrow 16's ``utf8_normalize`` is broken for composition (NFC of
+    'a'+U+0301 stays decomposed, and even pre-composed 'á' is
+    DEcomposed), so this is a hybrid: pure-ASCII strings (NFC-invariant
+    by construction, the overwhelming majority of a web corpus) take
+    the vectorized ``utf8_lower`` fast path; only non-ASCII strings go
+    through CPython's ``unicodedata.normalize`` (a C call per string).
+    Contract matches DuckDB ``lower(nfc_normalize(t))``.
+    """
+    import unicodedata
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    lowered = pc.utf8_lower(text)
+    ascii_mask = pc.string_is_ascii(text).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        vals = lowered.to_numpy(zero_copy_only=False).copy()
+        raw = text.to_numpy(zero_copy_only=False)
+        for i in np.nonzero(~ascii_mask)[0]:
+            vals[i] = unicodedata.normalize("NFC", raw[i]).lower()
+        lowered = pa.array(vals, type=pa.string())
+    return pa.table(
+        {
+            "doc_id": batch[doc_id_col],
+            "n_cp_raw": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_cp_norm": pc.cast(pc.utf8_length(lowered), pa.int64()),
+            "norm": lowered,
+        }
+    )
+
+
 # terminal punctuation accepted by the C4 line rule (Raffel et al.
 # 2020 §2.2: period, exclamation mark, question mark, end quote)
 C4_TERMINAL = (".", "!", "?", '"')

@@ -488,3 +488,31 @@ class TestC4Filter:
         for row in rows:
             assert row["n_lines"] == 1 and row["n_kept"] == 0
             assert row["keep"] is False and row["cleaned"] == ""
+
+
+class TestNormalizeText:
+    """NFC + lowercase hybrid normalizer (stages/text.py::
+    normalize_text_batch): ASCII fast path == Python path; non-ASCII
+    routes through CPython NFC (pyarrow 16 utf8_normalize is broken
+    for composition)."""
+
+    def test_compose_and_lower(self):
+        from hydra_ray.stages.text import normalize_text_batch
+
+        t = pa.table(
+            {
+                "doc_id": ["1", "2", "3", "4"],
+                "text": [
+                    "Plain ASCII Text",
+                    "de\u0301compose\u0301",  # decomposed acutes
+                    "ÅNGSTROM",  # U+212B singleton -> U+00C5 -> å
+                    None,
+                ],
+            }
+        )
+        out = normalize_text_batch(t).to_pylist()
+        assert out[0]["norm"] == "plain ascii text"
+        assert out[1]["norm"] == "d\u00e9compos\u00e9"
+        assert out[1]["n_cp_raw"] == 11 and out[1]["n_cp_norm"] == 9
+        assert out[2]["norm"] == "ångstrom"
+        assert out[3]["norm"] == "" and out[3]["n_cp_raw"] == 0
