@@ -3870,3 +3870,89 @@ ORACLE_NORMALIZE_TEXT = """
 
 QUERIES["normalize_text"] = q_normalize_text
 ORACLES["normalize_text"] = ORACLE_NORMALIZE_TEXT
+
+
+def q_table_profile(sf_dir: str):
+    """Per-column profile of lineitem's numeric columns (stages/agg.py::
+    table_profile): row/null counts, exact distinct, min/max — one
+    combiner partial per (column, block), driver-side merge."""
+    from hydra_ray.stages.agg import table_profile
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    return table_profile(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols), cols
+    )
+
+
+ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+        count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct,
+        CAST(min({c}) AS DOUBLE) AS min_val, CAST(max({c}) AS DOUBLE) AS max_val
+        FROM lineitem"""
+    for c in [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+)
+
+QUERIES["table_profile"] = q_table_profile
+ORACLES["table_profile"] = ORACLE_TABLE_PROFILE
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (stages/graph.py::pagerank — the
+    engine's iterative-algorithm showcase; 10 iterations, bit-exact
+    under any block split). The graph is synthesized deterministically
+    from events: distinct edges (user_id % 101 → event_id % 101, no
+    self-loops) — identical construction in the SQL oracle, which
+    unrolls the same 10 integer iterations as chained CTEs."""
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.graph import pagerank
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        src = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 101
+        dst = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 101
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    raw = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    edges = grouped_agg(raw, ["src", "dst"], [("src", "count", "_n")]).drop_columns(["_n"])
+    return pagerank(edges, iters=10)
+
+
+def _pagerank_oracle(iters: int = 10, scale: int = 10**12) -> str:
+    head = f"""
+    WITH edges AS (
+        SELECT DISTINCT user_id % 101 AS src, event_id % 101 AS dst
+        FROM events WHERE user_id % 101 <> event_id % 101
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    pr{k} AS (
+        SELECT n.node,
+               CAST((15 * {scale}) // (100 * (SELECT n FROM nn))
+                    + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r // d.outdeg) AS m
+            FROM edges e
+            JOIN pr{k - 1} p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node)""")
+    return head + "".join(steps) + f"\n    SELECT node, r FROM pr{iters} ORDER BY node"
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+QUERIES["pagerank"] = q_pagerank
+ORACLES["pagerank"] = ORACLE_PAGERANK

@@ -508,3 +508,81 @@ def cms_estimate(counters, items, width: int = 256, seeds: tuple[int, ...] = CMS
         )
         out[item] = est
     return out
+
+
+def table_profile(ds: "rd.Dataset", columns: list[str]) -> pa.Table:
+    """Per-column dataset profile — the csv-detective/inspection profile
+    (stages/inspection.py, reference csv_detective routine) lifted to
+    table scale: one output row per column with row/null counts, EXACT
+    distinct count and min/max (as float64).
+
+    Shape: one combiner map_batches emits a single partial row per
+    (column, block) — counts, min/max, and the block's UNIQUE values as
+    a list<double> — so the data that leaves the workers is bounded by
+    (true distinct cardinality) × blocks, never the row count. Partials
+    merge on the driver (#cols × #blocks rows). At 100 TB with
+    high-cardinality columns, swap the exact-uniques list for the
+    mergeable HLL registers in this module (`hll_registers`) — the
+    pattern and the shuffle shape stay identical.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, n_rows, n_null, mins, maxs, uoff, uvals = [], [], [], [], [], [0], []
+        for c in columns:
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = pc.cast(arr, pa.float64())
+            names.append(c)
+            n_rows.append(len(arr))
+            n_null.append(arr.null_count)
+            mm = pc.min_max(arr)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+            u = pc.unique(arr.drop_null())
+            uvals.append(u)
+            uoff.append(uoff[-1] + len(u))
+        uniq = pa.ListArray.from_arrays(
+            pa.array(uoff, type=pa.int32()),
+            pa.concat_arrays(uvals) if uvals else pa.array([], type=pa.float64()),
+        )
+        return pa.table(
+            {
+                "col_name": pa.array(names, type=pa.string()),
+                "n_rows": pa.array(n_rows, type=pa.int64()),
+                "n_null": pa.array(n_null, type=pa.int64()),
+                "min_val": pa.array(mins, type=pa.float64()),
+                "max_val": pa.array(maxs, type=pa.float64()),
+                "uniq": uniq,
+            }
+        )
+
+    from hydra_ray.sources.store import ds_to_tables
+
+    parts = [
+        t
+        for t in ds_to_tables(ds.map_batches(partial, batch_format="pyarrow"))
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(parts, promote_options="default")
+    out = {k: [] for k in ("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")}
+    for c in sorted(columns):
+        sel = merged.filter(pc.equal(merged["col_name"], c))
+        out["col_name"].append(c)
+        out["n_rows"].append(pc.sum(sel["n_rows"]).as_py() or 0)
+        out["n_null"].append(pc.sum(sel["n_null"]).as_py() or 0)
+        flat = pc.list_flatten(sel["uniq"].combine_chunks())
+        out["n_distinct"].append(len(pc.unique(flat)))
+        out["min_val"].append(pc.min(sel["min_val"]).as_py())
+        out["max_val"].append(pc.max(sel["max_val"]).as_py())
+    return pa.table(
+        {
+            "col_name": pa.array(out["col_name"], type=pa.string()),
+            "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+            "n_null": pa.array(out["n_null"], type=pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], type=pa.int64()),
+            "min_val": pa.array(out["min_val"], type=pa.float64()),
+            "max_val": pa.array(out["max_val"], type=pa.float64()),
+        }
+    )

@@ -1,0 +1,58 @@
+"""stages/graph.py — integer fixed-point PageRank."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from hydra_ray.stages.graph import pagerank
+
+SCALE = 10**12
+
+
+def _reference_pagerank(edges, iters=10, scale=SCALE):
+    """Plain-Python mirror of the documented integer update rule."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outdeg = [0] * len(nodes)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    n = len(nodes)
+    r = [scale // n] * n
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        in_sum = [0] * n
+        for u, v in edges:
+            in_sum[idx[v]] += r[idx[u]] // outdeg[idx[u]]
+        r = [base + (85 * s) // 100 for s in in_sum]
+    return dict(zip(nodes, r))
+
+
+EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4)]
+
+
+def test_pagerank_matches_reference(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, _ in EDGES], pa.int64()),
+                "dst": pa.array([v for _, v in EDGES], pa.int64()),
+            }
+        )
+    )
+    out = pagerank(ds, iters=10)
+    got = dict(zip(out["node"].to_pylist(), out["r"].to_pylist()))
+    assert got == _reference_pagerank(EDGES)
+    # the hub (3) outranks everything; total mass is conserved-ish
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_block_split_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 50, size=4000).astype(np.int64)
+    dst = rng.integers(0, 50, size=4000).astype(np.int64)
+    keep = src != dst
+    t = pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    a = pagerank(rd.from_arrow(t).repartition(1), iters=5)
+    b = pagerank(rd.from_arrow(t).repartition(13), iters=5)
+    assert a.equals(b)
