@@ -3956,3 +3956,75 @@ ORACLE_PAGERANK = _pagerank_oracle()
 
 QUERIES["pagerank"] = q_pagerank
 ORACLES["pagerank"] = ORACLE_PAGERANK
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Per-document keyword extraction (stages/text.py::tfidf_keywords):
+    top-3 terms per doc by tf DESC, document-frequency ASC, term ASC —
+    TF-IDF ranking made integer-exact (idf is monotone in df). One
+    explode pass (tf is block-local — a doc is one row), a grouped_agg
+    for df, one vocab broadcast, no row shuffle."""
+    from hydra_ray.stages.text import tfidf_keywords
+
+    return tfidf_keywords(_docs(sf_dir, columns=["doc_id", "text"]), k=3)
+
+
+ORACLE_TFIDF_KEYWORDS = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, rank FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+        FROM tf t JOIN df d USING (term))
+    WHERE rank <= 3
+"""
+
+QUERIES["tfidf_keywords"] = q_tfidf_keywords
+ORACLES["tfidf_keywords"] = ORACLE_TFIDF_KEYWORDS
+
+
+def q_triangle_count(sf_dir: str):
+    """Global triangle count (stages/graph.py::triangle_count) over the
+    same deterministic events graph as `pagerank` (user_id % 101 →
+    event_id % 101, no self-loops), treated as undirected with
+    canonical (min, max) edges. Bitset wedge-intersection, fully
+    vectorized, one broadcast of the adjacency bit-matrix."""
+    from hydra_ray.stages.graph import triangle_count
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        src = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 101
+        dst = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 101
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    raw = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    return triangle_count(raw)
+
+
+ORACLE_TRIANGLE_COUNT = """
+    WITH e AS (
+        SELECT DISTINCT least(user_id % 101, event_id % 101) AS u,
+                        greatest(user_id % 101, event_id % 101) AS v
+        FROM events WHERE user_id % 101 <> event_id % 101
+    ),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e a JOIN e b ON b.u = a.v
+                     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles
+"""
+
+QUERIES["triangle_count"] = q_triangle_count
+ORACLES["triangle_count"] = ORACLE_TRIANGLE_COUNT

@@ -127,3 +127,91 @@ def pagerank(
         r = base + (85 * in_sum) // 100
 
     return pa.table({"node": pa.array(nodes), "r": pa.array(r)})
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def triangle_count(edges: "rd.Dataset", src_col: str = "src", dst_col: str = "dst") -> pa.Table:
+    """Global triangle count over an undirected graph given as a
+    directed edge-list Dataset (self-loops dropped, direction and
+    multi-edges collapsed to one canonical (min, max) edge).
+
+    Algorithm: the compact-forward / wedge-intersection count —
+    triangles = Σ over canonical edges (u, v), u<v of
+    |N(u) ∩ N(v) ∩ {w : w > v}| — computed fully vectorized with
+    adjacency BITSETS: the N×⌈N/8⌉ adjacency bit-matrix broadcasts once
+    via the object store, and each edge block does one numpy AND +
+    popcount over (block_edges × N/8) bytes; per-block partial sums
+    merge on the driver. Driver/broadcast state is O(N²/8) bits — right
+    for graphs whose node set fits memory (the documented assumption);
+    beyond that, partition edges by min-node and intersect per-partition
+    adjacency shards (same math, keyed shuffle).
+
+    Returns a one-row table (n_nodes, n_edges, n_triangles).
+    """
+    import ray
+
+    from hydra_ray.sources.store import ds_to_tables
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    from hydra_ray.stages.agg import grouped_agg
+
+    dedup = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [("u", "count", "_n")]
+    ).drop_columns(["_n"]).materialize()
+
+    parts = [t for t in ds_to_tables(dedup) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"n_nodes": pa.array([0], pa.int64()), "n_edges": pa.array([0], pa.int64()),
+             "n_triangles": pa.array([0], pa.int64())}
+        )
+    all_e = pa.concat_tables(parts).combine_chunks()
+    u = all_e["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = all_e["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    width = (n + 7) // 8
+    bits = np.zeros((n, width), dtype=np.uint8)
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    for a, b in ((ui, vi), (vi, ui)):  # undirected adjacency
+        np.bitwise_or.at(bits, (a, b // 8), (1 << (b % 8)).astype(np.uint8))
+    # gt_mask[j] = bitset of node indices strictly greater than j
+    gt = np.zeros((n, width), dtype=np.uint8)
+    idx = np.arange(n)
+    for j in range(n):
+        m = idx > j
+        gt[j] = np.packbits(m, bitorder="little")[:width]
+    bits_ref = ray.put(bits)
+    gt_ref = ray.put(gt)
+    nodes_ref = ray.put(nodes)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        g = ray.get(gt_ref)
+        nd = ray.get(nodes_ref)
+        eu = np.searchsorted(nd, t["u"].to_numpy(zero_copy_only=False))
+        ev = np.searchsorted(nd, t["v"].to_numpy(zero_copy_only=False))
+        rows = b[eu] & b[ev] & g[ev]
+        total = int(_POP8[rows].sum())
+        return pa.table({"c": pa.array([total], pa.int64())})
+
+    c_parts = [t for t in ds_to_tables(dedup.map_batches(count_partial, batch_format="pyarrow")) if t.num_rows]
+    tri = sum(int(pc.sum(t["c"]).as_py() or 0) for t in c_parts)
+    return pa.table(
+        {
+            "n_nodes": pa.array([n], pa.int64()),
+            "n_edges": pa.array([len(u)], pa.int64()),
+            "n_triangles": pa.array([tri], pa.int64()),
+        }
+    )

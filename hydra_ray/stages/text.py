@@ -726,3 +726,72 @@ def bpe_train(
             "pair_count": pa.array([m[3] for m in merges], type=pa.int64()),
         }
     )
+
+
+def tfidf_keywords(docs: "rd.Dataset", k: int = 3) -> "rd.Dataset":
+    """Per-document keyword extraction, TF-IDF-shaped but integer-exact
+    (oracle-friendly): top-k terms per doc ranked by tf DESC, global
+    document-frequency ASC, term ASC — the float idf = ln(N/df) is
+    monotone-decreasing in df, so the ranking is identical without any
+    floating point.
+
+    Shape: one explode pass computes per-(doc, term) tf with Arrow
+    group_by INSIDE each block (a doc is one input row, so its terms
+    never span blocks — tf is exact with no shuffle); df is a
+    grouped_agg over the tf rows (one row per (term, block) moves);
+    the vocabulary-sized df table broadcasts once via ray.put and the
+    top-k is a vectorized per-block sort + groupby-head (again no
+    shuffle, docs are block-local). At 100 TB the only growing state is
+    the vocab broadcast — swap for a keyed-shuffle join on term
+    (stages/keyed.py) when the vocabulary outgrows worker heaps.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _tokens_arr(pc.fill_null(text, ""))
+        flat = pc.list_flatten(toks)
+        doc = t["doc_id"].combine_chunks().take(pc.list_parent_indices(toks))
+        pairs = pa.table({"doc_id": doc, "term": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "term": g["term"],
+                "tf": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    df_tables = [
+        t for t in ds_to_tables(grouped_agg(tf, ["term"], [("term", "count", "df")])) if t.num_rows
+    ]
+    df_table = pa.concat_tables(df_tables, promote_options="default").combine_chunks()
+    df_ref = ray.put(df_table)
+
+    def topk(t: pa.Table, *, df_ref=df_ref, k=k) -> "pd.DataFrame":
+        import pandas as pd  # noqa: F401
+
+        vocab = ray.get(df_ref)
+        idx = pc.index_in(t["term"].combine_chunks(), value_set=vocab["term"].combine_chunks())
+        dfv = vocab["df"].combine_chunks().take(idx)
+        p = t.to_pandas()
+        p["df"] = dfv.to_numpy(zero_copy_only=False)
+        p = p.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        p["rank"] = (p.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = p[p["rank"] <= k].reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tf.map_batches(topk, batch_format="pyarrow")

@@ -56,3 +56,32 @@ def test_pagerank_block_split_invariant(ray_session):
     a = pagerank(rd.from_arrow(t).repartition(1), iters=5)
     b = pagerank(rd.from_arrow(t).repartition(13), iters=5)
     assert a.equals(b)
+
+
+def test_triangle_count_known_graph(ray_session):
+    from hydra_ray.stages.graph import triangle_count
+
+    # K4 (4 triangles... actually C(4,3)=4) plus a pendant edge, given
+    # as noisy directed multi-edges with self-loops
+    edges = []
+    for u in range(4):
+        for v in range(4):
+            if u != v:
+                edges.append((u, v))  # both directions + dups collapse
+    edges += [(0, 0), (3, 9), (9, 3)]
+    t = pa.table(
+        {
+            "src": pa.array([u for u, _ in edges], pa.int64()),
+            "dst": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    out = triangle_count(rd.from_arrow(t).repartition(5)).to_pylist()[0]
+    assert out == {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}
+
+
+def test_triangle_count_empty(ray_session):
+    from hydra_ray.stages.graph import triangle_count
+
+    t = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    out = triangle_count(rd.from_arrow(t)).to_pylist()[0]
+    assert out["n_triangles"] == 0

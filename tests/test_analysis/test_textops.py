@@ -516,3 +516,27 @@ class TestNormalizeText:
         assert out[1]["n_cp_raw"] == 11 and out[1]["n_cp_norm"] == 9
         assert out[2]["norm"] == "ångstrom"
         assert out[3]["norm"] == "" and out[3]["n_cp_raw"] == 0
+
+
+def test_tfidf_keywords_ranking(ray_session):
+    """tf desc, then rarer-term (df asc), then lexicographic."""
+    import ray.data as rd
+
+    from hydra_ray.stages.text import tfidf_keywords
+
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "text": [
+                "zeta zeta common rare common",   # tf: zeta 2, common 2, rare 1
+                "common common common other",
+            ],
+        }
+    )
+    out = tfidf_keywords(rd.from_arrow(docs), k=2).to_pandas()
+    a = out[out.doc_id == "a"].sort_values("rank")
+    # zeta (tf 2, df 1) beats common (tf 2, df 2)
+    assert list(a.term) == ["zeta", "common"]
+    assert list(a["rank"]) == [1, 2]
+    b = out[out.doc_id == "b"].sort_values("rank")
+    assert list(b.term) == ["common", "other"]
