@@ -4028,3 +4028,75 @@ ORACLE_TRIANGLE_COUNT = """
 
 QUERIES["triangle_count"] = q_triangle_count
 ORACLES["triangle_count"] = ORACLE_TRIANGLE_COUNT
+
+
+def q_rollup_quantity(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) (stages/agg.py::
+    rollup_agg): the data is scanned once at the finest level (combiner
+    partials); coarser levels re-aggregate the finest RESULT. sum_qty is
+    exact (integral-valued doubles)."""
+    from hydra_ray.stages.agg import rollup_agg
+
+    return rollup_agg(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        ),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "count", "n_rows"), ("l_quantity", "sum", "sum_qty")],
+    )
+
+
+ORACLE_ROLLUP_QUANTITY = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES["rollup_quantity"] = q_rollup_quantity
+ORACLES["rollup_quantity"] = ORACLE_ROLLUP_QUANTITY
+
+
+def q_pivot_event_types(sf_dir: str):
+    """Pivot: per user bucket (user_id % 7), one count column per event
+    type + total — grouped_agg partials on (bucket, event_type), then a
+    driver-side widen of the tiny (7 × 5)-combo result."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+
+    def mk(t: pa.Table) -> pa.Table:
+        b = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 7
+        return pa.table({"bucket": pa.array(b), "event_type": t["event_type"]})
+
+    long = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]).map_batches(
+            mk, batch_format="pyarrow"
+        ),
+        ["bucket", "event_type"],
+        [("event_type", "count", "n")],
+    )
+    parts = [t for t in ds_to_tables(long) if t.num_rows]
+    tbl = pa.concat_tables(parts, promote_options="default").to_pandas()
+    wide = tbl.pivot_table(index="bucket", columns="event_type", values="n", fill_value=0, aggfunc="sum")
+    for et in ["click", "error", "purchase", "signup", "view"]:
+        if et not in wide.columns:
+            wide[et] = 0
+    wide = wide[["click", "error", "purchase", "signup", "view"]].astype("int64")
+    wide["total"] = wide.sum(axis=1)
+    return wide.reset_index()
+
+
+ORACLE_PIVOT_EVENT_TYPES = """
+    SELECT user_id % 7 AS bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) AS total
+    FROM events GROUP BY bucket
+"""
+
+QUERIES["pivot_event_types"] = q_pivot_event_types
+ORACLES["pivot_event_types"] = ORACLE_PIVOT_EVENT_TYPES

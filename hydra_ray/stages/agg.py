@@ -586,3 +586,53 @@ def table_profile(ds: "rd.Dataset", columns: list[str]) -> pa.Table:
             "max_val": pa.array(out["max_val"], type=pa.float64()),
         }
     )
+
+
+def rollup_agg(
+    ds: "rd.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> pa.Table:
+    """ROLLUP(keys): aggregates at every prefix level of ``keys`` —
+    (k1..kn), (k1..kn-1), …, () — with rolled-up key columns null, like
+    SQL GROUP BY ROLLUP.
+
+    Scale shape: the DATA is touched exactly once — the finest level
+    runs through `grouped_agg` (per-block combiner partials, one row
+    per key-combo per block over the wire); every coarser level is
+    re-aggregated from the previous level\'s RESULT (cardinality =
+    distinct key combos, not rows) with Arrow\'s C++ group_by on the
+    driver. Supported fns: sum/count/min/max (count partials re-merge
+    with sum).
+    """
+    import pyarrow.compute as pc
+
+    from hydra_ray.sources.store import ds_to_tables
+
+    parts = [t for t in ds_to_tables(grouped_agg(ds, keys, aggs)) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    finest = pa.concat_tables(parts, promote_options="default").combine_chunks()
+    rename = {f"{out}_{_MERGE_FN[fn]}": out for _, fn, out in aggs}
+    merge_spec = [(out, _MERGE_FN[fn]) for _, fn, out in aggs]
+
+    levels = [finest]
+    cur = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        sub_keys = keys[:depth]
+        if sub_keys:
+            g = cur.group_by(sub_keys).aggregate(merge_spec)
+            g = g.rename_columns([rename.get(c, c) for c in g.column_names])
+        else:
+            kernels = {"sum": pc.sum, "min": pc.min, "max": pc.max}
+            g = pa.table(
+                {out: pa.array([kernels[_MERGE_FN[fn]](cur[out]).as_py()])
+                 for _, fn, out in aggs}
+            )
+        for k in keys:
+            if k not in g.column_names:
+                g = g.append_column(k, pa.nulls(g.num_rows, finest[k].type))
+        g = g.select(finest.column_names)
+        levels.append(g)
+        cur = g
+    return pa.concat_tables(levels, promote_options="default")

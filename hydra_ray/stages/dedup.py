@@ -1173,8 +1173,9 @@ def char_dup_spans(
     base = np.uint64(1099511628211)
     powers = np.empty(L, dtype=np.uint64)
     powers[L - 1] = 1
-    for j in range(L - 2, -1, -1):
-        powers[j] = powers[j + 1] * base
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        for j in range(L - 2, -1, -1):
+            powers[j] = powers[j + 1] * base
 
     def emit(t: pa.Table) -> pa.Table:
         ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(

@@ -540,3 +540,28 @@ def test_tfidf_keywords_ranking(ray_session):
     assert list(a["rank"]) == [1, 2]
     b = out[out.doc_id == "b"].sort_values("rank")
     assert list(b.term) == ["common", "other"]
+
+
+def test_rollup_agg_levels(ray_session):
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import rollup_agg
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["1", "2", "1", "1"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = rollup_agg(
+        rd.from_arrow(t), ["a", "b"], [("v", "count", "n"), ("v", "sum", "s")]
+    ).to_pandas()
+    rows = {
+        (r.a, r.b): (r.n, r.s) for r in out.itertuples(index=False)
+    }
+    assert rows[("x", "1")] == (1, 1.0) and rows[("x", "2")] == (1, 2.0)
+    assert rows[("y", "1")] == (2, 7.0)
+    assert rows[("x", None)] == (2, 3.0) and rows[("y", None)] == (2, 7.0)
+    assert rows[(None, None)] == (4, 10.0)
+    assert len(rows) == 6
