@@ -4100,3 +4100,21 @@ ORACLE_PIVOT_EVENT_TYPES = """
 
 QUERIES["pivot_event_types"] = q_pivot_event_types
 ORACLES["pivot_event_types"] = ORACLE_PIVOT_EVENT_TYPES
+
+
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (stages/similarity.py::knn_pq): the
+    memory-bound ANN scale path — corpus compressed to m=8 uint8 codes
+    per vector (32× smaller broadcast than raw float vectors),
+    asymmetric-distance scan per query block, zero shuffles. Rows-only
+    check (k-means codebooks are not SQL-expressible); recall vs brute
+    force is pinned by tests/test_analysis/test_similarity.py."""
+    from hydra_ray.stages.similarity import knn_pq
+
+    return knn_pq(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        k=1,
+    )
+
+
+QUERIES["knn_pq"] = q_knn_pq

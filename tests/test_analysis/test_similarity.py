@@ -336,3 +336,36 @@ def test_gif_animation_compositing_and_sampling():
     assert s["frame_idx"].to_pylist() == [0, 2]
     assert s["n_frames"].to_pylist() == [4, 4]
     assert s["sum_luma"].to_pylist() == [0, 20 * 1000 * 4]
+
+
+def test_pq_recall_vs_bruteforce_sf0001(ray_session):
+    """knn_pq recall@1 >= 0.85 against exact brute force (PQ with m=8,
+    ks=16 on 64-dim; ADC is lossy by design — the knob trade is
+    documented) and the encode/scan plumbing is deterministic."""
+    import ray.data as rd
+
+    from hydra_ray.stages.similarity import knn_pq, nn_all
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    brute = (
+        nn_all(rd.read_parquet(path, columns=["vec_id", "embedding"]))
+        .to_pandas()
+        .set_index("vec_id")["nn_id"]
+        .sort_index()
+    )
+    pq = (
+        knn_pq(rd.read_parquet(path, columns=["vec_id", "embedding"]), k=1)
+        .to_pandas()
+        .set_index("vec_id")["nn_id"]
+        .sort_index()
+    )
+    recall = float((brute.loc[pq.index] == pq).mean())
+    assert recall >= 0.85, f"PQ recall {recall:.3f} < 0.85"
+
+    pq2 = (
+        knn_pq(rd.read_parquet(path, columns=["vec_id", "embedding"]), k=1)
+        .to_pandas()
+        .set_index("vec_id")["nn_id"]
+        .sort_index()
+    )
+    assert (pq == pq2).all()
