@@ -4118,3 +4118,80 @@ def q_knn_pq(sf_dir: str):
 
 
 QUERIES["knn_pq"] = q_knn_pq
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered semi-join (stages/joins.py::bloom_semi_join):
+    lineitem rows whose order is status 'F' — the key set's 1 MB bitmap
+    broadcasts once and definite-negative rows never enter the hash
+    shuffle; the exact semi_join on survivors removes false positives,
+    so the result equals the plain IN-subquery."""
+    from hydra_ray.stages.joins import bloom_semi_join
+
+    keys = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .map_batches(
+            lambda t: pa.table({"l_orderkey": t["o_orderkey"]}), batch_format="pyarrow"
+        )
+    )
+    left = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return bloom_semi_join(left, keys, "l_orderkey")
+
+
+ORACLE_BLOOM_SEMI_JOIN = """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+QUERIES["bloom_semi_join"] = q_bloom_semi_join
+ORACLES["bloom_semi_join"] = ORACLE_BLOOM_SEMI_JOIN
+
+
+def q_dataset_split(sf_dir: str):
+    """Seeded deterministic train/val/test split (90/5/5) by splitmix64
+    of the doc id — parallelism-invariant, reproducible, and bit-exact
+    in SQL (same mixer reproduced with HUGEINT limbs — the numeric
+    doc_id is the hash input). Returns per-split counts + token
+    totals."""
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.text import _tokens_arr
+    from hydra_ray.state.cuckoo import _mix64
+
+    def tag(t: pa.Table) -> pa.Table:
+        base = (
+            t["doc_id"].to_pandas().astype(np.int64).to_numpy().astype(np.uint64)
+        )
+        h = _mix64(base) % np.uint64(100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.cast(pc.list_value_length(_tokens_arr(pc.fill_null(text, ""))), pa.int64())
+        return pa.table({"split": pa.array(split, pa.string()), "n_tokens": n_tok})
+
+    return grouped_agg(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(tag, batch_format="pyarrow"),
+        ["split"],
+        [("n_tokens", "count", "n_docs"), ("n_tokens", "sum", "total_tokens")],
+    )
+
+
+ORACLE_DATASET_SPLIT = f"""
+    WITH sp_0 AS (SELECT CAST(doc_id AS UBIGINT) AS v, text FROM documents),
+    {_mix64_ctes_sql("sp", "v", "text")}
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(array_length(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))) AS BIGINT) AS total_tokens
+    FROM (SELECT CASE WHEN v % 100 < 90 THEN 'train'
+                      WHEN v % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split, text
+          FROM sp_5)
+    GROUP BY split
+"""
+
+QUERIES["dataset_split"] = q_dataset_split
+ORACLES["dataset_split"] = ORACLE_DATASET_SPLIT

