@@ -4195,3 +4195,57 @@ ORACLE_DATASET_SPLIT = f"""
 
 QUERIES["dataset_split"] = q_dataset_split
 ORACLES["dataset_split"] = ORACLE_DATASET_SPLIT
+
+
+def q_gopher_quality(sf_dir: str):
+    """Full Gopher/MassiveText document-quality rule set (stages/
+    text.py::gopher_quality_batch) with sandbox-calibrated thresholds
+    (min_words=10, min_stopwords=1 — synthetic docs are ~25 tokens; the
+    production defaults are the Rae et al. values). Shuffle-free, one
+    vectorized pass."""
+    from hydra_ray.stages.text import gopher_quality_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: gopher_quality_batch(t, min_words=10, min_stopwords=1),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_GOPHER_QUALITY = r"""
+    WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    toks AS (
+        SELECT doc_id, t, regexp_split_to_array(trim(t), '\s+') AS ts FROM base
+    ),
+    flat AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+    per AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE regexp_matches(w, '[a-zA-Z]')) AS n_alpha,
+               count(*) FILTER (WHERE w IN
+                   ('the','a','of','and','to','in','is','with')) AS n_stop
+        FROM flat GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id,
+               len(ts) AS n_words,
+               greatest(len(ts), 1) AS nw,
+               length(regexp_replace(t, '\s+', '', 'g')) AS tok_chars,
+               length(t) - length(replace(t, '#', '')) AS n_hash,
+               (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell
+        FROM toks
+    )
+    SELECT s.doc_id,
+           s.n_words,
+           round(s.tok_chars * 1.0 / s.nw, 6) AS mean_word_len,
+           round((s.n_hash + s.n_ell) * 1.0 / s.nw, 6) AS symbol_ratio,
+           round(COALESCE(p.n_alpha, 0) * 1.0 / s.nw, 6) AS frac_alpha,
+           COALESCE(p.n_stop, 0) AS n_stop,
+           (s.n_words >= 10 AND s.n_words <= 100000
+            AND round(s.tok_chars * 1.0 / s.nw, 6) BETWEEN 3.0 AND 10.0
+            AND round((s.n_hash + s.n_ell) * 1.0 / s.nw, 6) <= 0.1
+            AND round(COALESCE(p.n_alpha, 0) * 1.0 / s.nw, 6) >= 0.8
+            AND COALESCE(p.n_stop, 0) >= 1) AS keep
+    FROM stats s LEFT JOIN per p USING (doc_id)
+"""
+
+QUERIES["gopher_quality"] = q_gopher_quality
+ORACLES["gopher_quality"] = ORACLE_GOPHER_QUALITY

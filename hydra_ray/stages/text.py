@@ -795,3 +795,83 @@ def tfidf_keywords(docs: "rd.Dataset", k: int = 3) -> "rd.Dataset":
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return tf.map_batches(topk, batch_format="pyarrow")
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "with")
+
+
+def gopher_quality_batch(
+    batch: pa.Table,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> pa.Table:
+    """The full Gopher / MassiveText document-quality rule set (Rae et
+    al. 2021, §A1.1; the line-level bullet/ellipsis rules live with the
+    newline-structured rules in `c4_filter_batch`):
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_mean_word_len, max_mean_word_len]
+      3. symbol-to-word ratio ('#' + '...' occurrences / words) ≤ max
+      4. fraction of words with ≥1 alphabetic char ≥ min_alpha_frac
+      5. ≥ min_stopwords distinct-occurrence stopword hits
+
+    All columns are emitted (one per rule + keep) so downstream mixes
+    can re-threshold without a recompute. Fully vectorized: one token
+    split, flat per-token kernels folded back per doc with bincount;
+    ratios rounded to 6 dp to match the SQL oracle. mean word length
+    uses Σ token chars = utf8_length(text with all whitespace removed)
+    — identical formula in SQL, no per-token loop.
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    toks = _tokens_arr(text)
+    n_words = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = np.maximum(n_words, 1).astype(np.float64)
+
+    squeezed = pc.replace_substring_regex(text, pattern=r"\s+", replacement="")
+    tok_chars = pc.utf8_length(squeezed).to_numpy(zero_copy_only=False).astype(np.float64)
+    mean_word_len = np.round(tok_chars / nw, 6)
+
+    n_hash = pc.count_substring(text, pattern="#").to_numpy(zero_copy_only=False)
+    n_ell = pc.count_substring(text, pattern="...").to_numpy(zero_copy_only=False)
+    symbol_ratio = np.round((n_hash + n_ell) / nw, 6)
+
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n_docs = len(text)
+    alpha = pc.match_substring_regex(flat, pattern="[a-zA-Z]").to_numpy(zero_copy_only=False)
+    n_alpha = np.bincount(parent[alpha], minlength=n_docs).astype(np.float64)
+    frac_alpha = np.round(n_alpha / nw, 6)
+
+    stop = pc.is_in(flat, value_set=pa.array(GOPHER_STOPWORDS)).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parent[stop], minlength=n_docs).astype(np.int64)
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (frac_alpha >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return pa.table(
+        {
+            "doc_id": batch[doc_id_col],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mean_word_len),
+            "symbol_ratio": pa.array(symbol_ratio),
+            "frac_alpha": pa.array(frac_alpha),
+            "n_stop": pa.array(n_stop),
+            "keep": pa.array(keep),
+        }
+    )

@@ -565,3 +565,26 @@ def test_rollup_agg_levels(ray_session):
     assert rows[("x", None)] == (2, 3.0) and rows[("y", None)] == (2, 7.0)
     assert rows[(None, None)] == (4, 10.0)
     assert len(rows) == 6
+
+
+def test_gopher_quality_rules():
+    from hydra_ray.stages.text import gopher_quality_batch
+
+    t = pa.table(
+        {
+            "doc_id": ["ok", "short", "sym", "noalpha", "nostop"],
+            "text": [
+                "the quick brown fox jumps over a lazy dog with style and grace intact",
+                "the end.",
+                "the " + "# " * 30 + "of and to in is with pad pad pad",
+                "the 111 222 333 444 555 666 777 888 999 000 111 222",
+                "qqq www eee rrr ttt yyy uuu iii ooo ppp",
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_batch(t, min_words=10, min_stopwords=1).to_pylist()}
+    assert out["ok"]["keep"] is True
+    assert out["short"]["keep"] is False and out["short"]["n_words"] == 2
+    assert out["sym"]["keep"] is False and out["sym"]["symbol_ratio"] > 0.1
+    assert out["noalpha"]["keep"] is False and out["noalpha"]["frac_alpha"] < 0.8
+    assert out["nostop"]["keep"] is False and out["nostop"]["n_stop"] == 0
