@@ -4249,3 +4249,38 @@ ORACLE_GOPHER_QUALITY = r"""
 
 QUERIES["gopher_quality"] = q_gopher_quality
 ORACLES["gopher_quality"] = ORACLE_GOPHER_QUALITY
+
+
+def q_jaccard_set_join(sf_dir: str):
+    """All-pairs token-set similarity self-join at Jaccard ≥ 0.8
+    (stages/dedup.py::jaccard_set_join — PPJoin prefix filtering:
+    candidates bucketed only by each doc's rarest |s|−⌈t·s⌉+1 tokens
+    under the global (df, token) order; exact incidence-matmul verify
+    per bucket; pair dedup co-partition)."""
+    from hydra_ray.stages.dedup import jaccard_set_join
+
+    return jaccard_set_join(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
+
+
+ORACLE_JACCARD_SET_JOIN = r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS w
+        FROM documents
+    ),
+    toks_ne AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    sizes AS (SELECT doc_id, count(*) AS s FROM toks_ne GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM toks_ne a JOIN toks_ne b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da, db, round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+"""
+
+QUERIES["jaccard_set_join"] = q_jaccard_set_join
+ORACLES["jaccard_set_join"] = ORACLE_JACCARD_SET_JOIN

@@ -1255,3 +1255,109 @@ def char_dup_spans(
     return keyed_map_partitions(
         verified, [id_col], _char_span_merge_fn(L, id_col), num_parts=32
     )
+
+
+def jaccard_set_join(
+    ds: "rd.Dataset",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """All-pairs token-SET similarity self-join (Jaccard ≥ threshold)
+    with PPJoin prefix filtering (Xiao et al., WWW 2008).
+
+    Every document keeps only its PREFIX tokens — the |set|−⌈t·|set|⌉+1
+    rarest under a global (document-frequency, token) order — because
+    two sets with J ≥ t must share a prefix token. Candidate buckets
+    are keyed by prefix token (one shuffle; each doc travels with its
+    full distinct-token list, the cosine_near_dups trade); per bucket an
+    incidence-matrix matmul gives EXACT intersection counts, and a
+    second keyed pass dedups pairs discovered in several buckets. The
+    df table (vocab-sized) broadcasts once. Rare-token buckets are
+    small by construction — the global frequency order is what bounds
+    the worst bucket, the PPJoin skew story.
+    """
+    import ray
+
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.keyed import keyed_map_partitions
+    from hydra_ray.stages.text import _tokens_arr
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _tokens_arr(pc.fill_null(text, ""))
+        flat = pc.list_flatten(toks)
+        doc = t[id_col].combine_chunks().take(pc.list_parent_indices(toks))
+        pairs = pa.table({id_col: doc, "w": flat}).filter(pc.not_equal(flat, ""))
+        return pairs.group_by([id_col, "w"]).aggregate([]).select([id_col, "w"])
+
+    toks = ds.map_batches(distinct_tokens, batch_format="pyarrow").materialize()
+
+    df_parts = [t for t in ds_to_tables(grouped_agg(toks, ["w"], [("w", "count", "df")])) if t.num_rows]
+    vocab = pa.concat_tables(df_parts, promote_options="default").combine_chunks()
+    # global total order: (df asc, token asc) → dense rank
+    import pandas as pd
+
+    vp = vocab.to_pandas().sort_values(["df", "w"], kind="mergesort").reset_index(drop=True)
+    vp["rank"] = np.arange(len(vp), dtype=np.int64)
+    rank_ref = ray.put((vp["w"].to_numpy(), vp["rank"].to_numpy()))
+
+    def emit_prefix(t: pa.Table) -> "pd.DataFrame":
+        words, ranks = ray.get(rank_ref)
+        p = t.to_pandas()
+        r = pd.Series(ranks, index=words)
+        p["rank"] = r.loc[p["w"]].to_numpy()
+        p = p.sort_values([id_col, "rank"], kind="mergesort")
+        g = p.groupby(id_col, sort=False)
+        sizes = g["w"].transform("size").to_numpy()
+        pos = g.cumcount().to_numpy()
+        prefix_len = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        keep = pos < prefix_len
+        # carry the full token-rank list per doc alongside each prefix row
+        full = g["rank"].apply(lambda s: s.to_numpy())
+        out = p[keep].copy()
+        out["size"] = sizes[keep]
+        out["set_ranks"] = out[id_col].map(full)
+        return out[[id_col, "w", "size", "set_ranks"]]
+
+    prefixed = toks.map_batches(emit_prefix, batch_format="pyarrow")
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"da": pd.Series(dtype="object"), "db": pd.Series(dtype="object"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        rows = []
+        for _, grp in g.groupby("w", sort=False):
+            grp = grp.drop_duplicates(id_col)
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            sizes = grp["size"].to_numpy().astype(np.int64)
+            sets = grp["set_ranks"].to_numpy()
+            uni = np.unique(np.concatenate(sets))
+            inc = np.zeros((len(ids), len(uni)), dtype=np.int8)
+            for r, s in enumerate(sets):
+                inc[r, np.searchsorted(uni, s)] = 1
+            inter = inc @ inc.T
+            jac = inter / (sizes[:, None] + sizes[None, :] - inter)
+            ii, jj = np.nonzero(np.triu(jac >= threshold, k=1))
+            for a, b in zip(ii, jj):
+                da, db = ids[a], ids[b]
+                if db < da:
+                    da, db = db, da
+                rows.append((da, db, round(float(jac[a, b]), 6)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["da", "db", "jaccard"])
+
+    cands = keyed_map_partitions(prefixed, ["w"], per_bucket, num_parts=num_parts)
+
+    def dedup_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(["da", "db"])
+
+    return keyed_map_partitions(cands, ["da", "db"], dedup_pairs, num_parts=num_parts)

@@ -396,3 +396,39 @@ def test_char_dup_spans_both_paths_match_bruteforce(ray_session):
             for r in out.itertuples()
         )
         assert got == want, (fn.__name__, kw, got, want)
+
+
+def test_jaccard_set_join_exact_pairs(ray_session):
+    """PPJoin prefix filtering finds exactly the ≥t pairs (verified
+    against a brute-force python Jaccard on token sets)."""
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import jaccard_set_join
+
+    texts = {
+        "a": "alpha beta gamma delta epsilon zeta",
+        "b": "alpha beta gamma delta epsilon eta",     # J(a,b)=5/7
+        "c": "alpha beta gamma delta epsilon zeta",    # == a -> J=1
+        "d": "one two three four five six",
+        "e": "one two three four five six seven",      # J(d,e)=6/7
+    }
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    thr = 0.8
+    got = (
+        jaccard_set_join(rd.from_arrow(t).repartition(1), threshold=thr)
+        .to_pandas()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    expect = []
+    for x, y in itertools.combinations(sorted(texts), 2):
+        sa, sb = set(texts[x].split()), set(texts[y].split())
+        j = len(sa & sb) / len(sa | sb)
+        if j >= thr:
+            expect.append((x, y, round(j, 6)))
+    assert list(map(tuple, got.to_numpy())) == expect
+    assert ("a", "c", 1.0) in expect and ("d", "e", round(6 / 7, 6)) in expect
