@@ -4284,3 +4284,32 @@ ORACLE_JACCARD_SET_JOIN = r"""
 
 QUERIES["jaccard_set_join"] = q_jaccard_set_join
 ORACLES["jaccard_set_join"] = ORACLE_JACCARD_SET_JOIN
+
+
+def q_token_entropy(sf_dir: str):
+    """Unigram Shannon entropy per document (stages/text.py::
+    token_entropy_batch) — shuffle-free, one Arrow group_by per block."""
+    from hydra_ray.stages.text import token_entropy_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_entropy_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_TOKEN_ENTROPY = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id)
+    SELECT n.doc_id, n.n_tokens,
+           round(log2(greatest(n.n_tokens, 1))
+                 - sum(c * log2(c)) / greatest(n.n_tokens, 1), 6) AS entropy
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY n.doc_id, n.n_tokens
+"""
+
+QUERIES["token_entropy"] = q_token_entropy
+ORACLES["token_entropy"] = ORACLE_TOKEN_ENTROPY

@@ -875,3 +875,39 @@ def gopher_quality_batch(
             "keep": pa.array(keep),
         }
     )
+
+
+def token_entropy_batch(
+    batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document unigram Shannon entropy (bits/token) — the
+    compressibility quality signal (low entropy ⇒ repetitive/templated
+    text; complements the Gopher duplicate-n-gram filters).
+
+    H = log2(n) − (Σ tf·log2(tf)) / n over within-doc term counts —
+    the identity avoids per-term probabilities. One Arrow group_by per
+    block for the (doc, term) counts (docs are block-local), numpy for
+    the fold; rounded to 6 dp to match the SQL oracle.
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = _tokens_arr(pc.fill_null(text, ""))
+    n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    doc_idx = pc.list_parent_indices(toks)
+    pairs = pa.table({"_d": doc_idx, "_t": flat})
+    g = pairs.group_by(["_d", "_t"]).aggregate([("_t", "count")])
+    d = g["_d"].to_numpy(zero_copy_only=False)
+    tf = g["_t_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+    acc = np.zeros(len(batch), dtype=np.float64)
+    np.add.at(acc, d, tf * np.log2(tf))
+    n = np.maximum(n_tokens, 1).astype(np.float64)
+    entropy = np.round(np.log2(n) - acc / n, 6)
+    return pa.table(
+        {
+            "doc_id": batch[doc_id_col],
+            "n_tokens": pa.array(n_tokens),
+            "entropy": pa.array(entropy),
+        }
+    )

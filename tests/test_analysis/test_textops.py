@@ -588,3 +588,24 @@ def test_gopher_quality_rules():
     assert out["sym"]["keep"] is False and out["sym"]["symbol_ratio"] > 0.1
     assert out["noalpha"]["keep"] is False and out["noalpha"]["frac_alpha"] < 0.8
     assert out["nostop"]["keep"] is False and out["nostop"]["n_stop"] == 0
+
+
+def test_token_entropy_values():
+    import math
+
+    from hydra_ray.stages.text import token_entropy_batch
+
+    t = pa.table(
+        {
+            "doc_id": ["uniform", "repeat", "empty"],
+            "text": ["a b c d", "x x x x", ""],
+        }
+    )
+    out = {r["doc_id"]: r for r in token_entropy_batch(t).to_pylist()}
+    assert out["uniform"]["entropy"] == 2.0  # 4 distinct of 4 -> log2(4)
+    assert out["repeat"]["entropy"] == 0.0
+    assert out["empty"]["n_tokens"] == 1 and out["empty"]["entropy"] == 0.0
+    # mixed: 2/4 'a', 1/4 'b', 1/4 'c'
+    t2 = pa.table({"doc_id": ["m"], "text": ["a a b c"]})
+    (row,) = token_entropy_batch(t2).to_pylist()
+    assert row["entropy"] == round(-(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25)), 6)
