@@ -4313,3 +4313,104 @@ ORACLE_TOKEN_ENTROPY = r"""
 
 QUERIES["token_entropy"] = q_token_entropy
 ORACLES["token_entropy"] = ORACLE_TOKEN_ENTROPY
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Corpus collocations: top-40 adjacent-token bigrams by PMI
+    (pointwise mutual information) among bigrams occurring ≥ 5 times.
+    PMI = log2(c_xy · N_uni² / (N_bi · c_x · c_y)) — all counts from two
+    grouped_agg partial passes (unigrams + adjacent bigrams); the
+    driver ranks the post-aggregation result (vocab²-bounded, tiny).
+    Deterministic order: pmi DESC (rounded 6 dp), then bigram ASC."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+    from hydra_ray.stages.text import _tokens_arr
+
+    def unigrams(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _tokens_arr(pc.fill_null(text, ""))
+        flat = pc.list_flatten(toks)
+        return pa.table({"w": flat}).filter(pc.not_equal(flat, ""))
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _tokens_arr(pc.fill_null(text, ""))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        keep = np.ones(len(flat), dtype=bool)
+        ends = starts + lens - 1
+        keep[ends[lens > 0]] = False  # last token of each doc opens no bigram
+        left = flat[:-1][keep[:-1]] if len(flat) else flat
+        right = flat[1:][keep[:-1]] if len(flat) else flat
+        ok = (left != "") & (right != "")
+        return pa.table(
+            {
+                "x": pa.array(left[ok], pa.string()),
+                "y": pa.array(right[ok], pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["text"]).materialize()
+    uni_ds = grouped_agg(
+        docs.map_batches(unigrams, batch_format="pyarrow"), ["w"], [("w", "count", "c")]
+    )
+    bi_ds = grouped_agg(
+        docs.map_batches(bigrams, batch_format="pyarrow"), ["x", "y"], [("x", "count", "c_xy")]
+    )
+    uni = pa.concat_tables([t for t in ds_to_tables(uni_ds) if t.num_rows]).to_pandas()
+    bi = pa.concat_tables([t for t in ds_to_tables(bi_ds) if t.num_rows]).to_pandas()
+    n_uni = int(uni["c"].sum())
+    n_bi = int(bi["c_xy"].sum())
+    cx = uni.set_index("w")["c"]
+    bi = bi[bi["c_xy"] >= 5].copy()
+    bi["pmi"] = np.round(
+        np.log2(
+            bi["c_xy"].to_numpy().astype(np.float64)
+            * float(n_uni) * float(n_uni)
+            / (
+                float(n_bi)
+                * cx.loc[bi["x"]].to_numpy().astype(np.float64)
+                * cx.loc[bi["y"]].to_numpy().astype(np.float64)
+            )
+        ),
+        6,
+    )
+    bi = bi.sort_values(["pmi", "x", "y"], ascending=[False, True, True], kind="mergesort").head(40)
+    return pa.Table.from_pandas(
+        bi[["x", "y", "c_xy", "pmi"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+ORACLE_PMI_BIGRAMS = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS ts
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(ts) AS w FROM toks) WHERE w <> '' GROUP BY w
+    ),
+    bi AS (
+        SELECT x, y, count(*) AS c_xy FROM (
+            SELECT ts[i] AS x, ts[i + 1] AS y
+            FROM (SELECT ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                  FROM toks))
+        WHERE x <> '' AND y <> '' GROUP BY x, y
+    ),
+    tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni, (SELECT sum(c_xy) FROM bi) AS n_bi)
+    SELECT x, y, c_xy,
+           round(log2(c_xy * n_uni * n_uni * 1.0 / (n_bi * ux.c * uy.c)), 6) AS pmi
+    FROM bi, tot
+    JOIN uni ux ON ux.w = x
+    JOIN uni uy ON uy.w = y
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, x, y LIMIT 40
+"""
+
+QUERIES["pmi_bigrams"] = q_pmi_bigrams
+ORACLES["pmi_bigrams"] = ORACLE_PMI_BIGRAMS
