@@ -3763,7 +3763,7 @@ ORACLE_C4_FILTER = """
     ),
     judged AS (
         SELECT doc_id, i, ln,
-               (right(rtrim(ln, ' ' || chr(9) || chr(13)), 1)
+               (right(rtrim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), 1)
                     IN ('.', '!', '?', '"'))
                AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
                AND NOT contains(lower(ln), 'javascript') AS kept,
@@ -4368,7 +4368,9 @@ def q_pmi_bigrams(sf_dir: str):
     n_bi = int(bi["c_xy"].sum())
     cx = uni.set_index("w")["c"]
     bi = bi[bi["c_xy"] >= 5].copy()
-    bi["pmi"] = np.round(
+    from hydra_ray.stages.text import round6
+
+    bi["pmi"] = round6(
         np.log2(
             bi["c_xy"].to_numpy().astype(np.float64)
             * float(n_uni) * float(n_uni)
@@ -4377,8 +4379,7 @@ def q_pmi_bigrams(sf_dir: str):
                 * cx.loc[bi["x"]].to_numpy().astype(np.float64)
                 * cx.loc[bi["y"]].to_numpy().astype(np.float64)
             )
-        ),
-        6,
+        )
     )
     bi = bi.sort_values(["pmi", "x", "y"], ascending=[False, True, True], kind="mergesort").head(40)
     return pa.Table.from_pandas(

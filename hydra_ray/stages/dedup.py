@@ -1271,60 +1271,86 @@ def jaccard_set_join(
     rarest under a global (document-frequency, token) order — because
     two sets with J ≥ t must share a prefix token. Candidate buckets
     are keyed by prefix token (one shuffle; each doc travels with its
-    full distinct-token list, the cosine_near_dups trade); per bucket an
-    incidence-matrix matmul gives EXACT intersection counts, and a
-    second keyed pass dedups pairs discovered in several buckets. The
-    df table (vocab-sized) broadcasts once. Rare-token buckets are
+    full distinct-token rank list, the cosine_near_dups trade); per
+    bucket an incidence-matrix matmul gives EXACT intersection counts,
+    and a second keyed pass dedups pairs discovered in several buckets.
+    The df table (vocab-sized) broadcasts once. Rare-token buckets are
     small by construction — the global frequency order is what bounds
     the worst bucket, the PPJoin skew story.
+
+    Per-doc state (set size, prefix, rank list) is computed INSIDE the
+    UDF call that reads the doc row — input-row atomicity, not block
+    layout, guarantees completeness, so dynamic block splitting cannot
+    truncate a doc's token set.
     """
     import ray
 
     from hydra_ray.sources.store import ds_to_tables
     from hydra_ray.stages.agg import grouped_agg
     from hydra_ray.stages.keyed import keyed_map_partitions
-    from hydra_ray.stages.text import _tokens_arr
+    from hydra_ray.stages.text import _round6, _tokens_arr
 
-    def distinct_tokens(t: pa.Table) -> pa.Table:
+    def doc_token_lists(t: pa.Table) -> tuple[pa.Array, list[np.ndarray]]:
         text = t[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         toks = _tokens_arr(pc.fill_null(text, ""))
-        flat = pc.list_flatten(toks)
-        doc = t[id_col].combine_chunks().take(pc.list_parent_indices(toks))
-        pairs = pa.table({id_col: doc, "w": flat}).filter(pc.not_equal(flat, ""))
-        return pairs.group_by([id_col, "w"]).aggregate([]).select([id_col, "w"])
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sets = [
+            np.unique(flat[a : a + n][flat[a : a + n] != ""])
+            for a, n in zip(starts, lens)
+        ]
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return ids, sets
 
-    toks = ds.map_batches(distinct_tokens, batch_format="pyarrow").materialize()
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        ids, sets = doc_token_lists(t)
+        counts = np.array([len(x) for x in sets], dtype=np.int64)
+        doc = ids.take(pa.array(np.repeat(np.arange(len(sets)), counts)))
+        w = np.concatenate(sets) if sets else np.array([], dtype=object)
+        return pa.table({id_col: doc, "w": pa.array(w, type=pa.string())})
+
+    ds = ds.materialize()
+    toks = ds.map_batches(distinct_tokens, batch_format="pyarrow")
 
     df_parts = [t for t in ds_to_tables(grouped_agg(toks, ["w"], [("w", "count", "df")])) if t.num_rows]
     vocab = pa.concat_tables(df_parts, promote_options="default").combine_chunks()
     # global total order: (df asc, token asc) → dense rank
-    import pandas as pd
-
     vp = vocab.to_pandas().sort_values(["df", "w"], kind="mergesort").reset_index(drop=True)
-    vp["rank"] = np.arange(len(vp), dtype=np.int64)
-    rank_ref = ray.put((vp["w"].to_numpy(), vp["rank"].to_numpy()))
+    rank_map = pd.Series(np.arange(len(vp), dtype=np.int64), index=vp["w"])
+    rank_ref = ray.put(rank_map)
 
     def emit_prefix(t: pa.Table) -> "pd.DataFrame":
-        words, ranks = ray.get(rank_ref)
-        p = t.to_pandas()
-        r = pd.Series(ranks, index=words)
-        p["rank"] = r.loc[p["w"]].to_numpy()
-        p = p.sort_values([id_col, "rank"], kind="mergesort")
-        g = p.groupby(id_col, sort=False)
-        sizes = g["w"].transform("size").to_numpy()
-        pos = g.cumcount().to_numpy()
-        prefix_len = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
-        keep = pos < prefix_len
-        # carry the full token-rank list per doc alongside each prefix row
-        full = g["rank"].apply(lambda s: s.to_numpy())
-        out = p[keep].copy()
-        out["size"] = sizes[keep]
-        out["set_ranks"] = out[id_col].map(full)
-        return out[[id_col, "w", "size", "set_ranks"]]
+        ranks = ray.get(rank_ref)
+        ids, sets = doc_token_lists(t)
+        ids_py = ids.to_pylist()
+        out_id, out_w, out_size, out_ranks = [], [], [], []
+        for i, words in enumerate(sets):
+            if len(words) == 0:
+                continue
+            r = np.sort(ranks.loc[words].to_numpy())
+            size = len(r)
+            prefix_len = size - int(np.ceil(threshold * size)) + 1
+            # prefix = the prefix_len globally-rarest tokens
+            for rank in r[:prefix_len]:
+                out_id.append(ids_py[i])
+                out_w.append(rank)
+                out_size.append(size)
+                out_ranks.append(r)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="object"),
+                "w": pd.Series(out_w, dtype="int64"),
+                "size": pd.Series(out_size, dtype="int64"),
+                "set_ranks": pd.Series(out_ranks, dtype="object"),
+            }
+        )
 
-    prefixed = toks.map_batches(emit_prefix, batch_format="pyarrow")
+    prefixed = ds.map_batches(emit_prefix, batch_format="pyarrow")
 
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -1340,7 +1366,9 @@ def jaccard_set_join(
             sizes = grp["size"].to_numpy().astype(np.int64)
             sets = grp["set_ranks"].to_numpy()
             uni = np.unique(np.concatenate(sets))
-            inc = np.zeros((len(ids), len(uni)), dtype=np.int8)
+            # int64: numpy matmul accumulates in the operand dtype, and
+            # int8 wraps once two docs share >127 tokens
+            inc = np.zeros((len(ids), len(uni)), dtype=np.int64)
             for r, s in enumerate(sets):
                 inc[r, np.searchsorted(uni, s)] = 1
             inter = inc @ inc.T
@@ -1350,7 +1378,7 @@ def jaccard_set_join(
                 da, db = ids[a], ids[b]
                 if db < da:
                     da, db = db, da
-                rows.append((da, db, round(float(jac[a, b]), 6)))
+                rows.append((da, db, _round6(float(jac[a, b]))))
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["da", "db", "jaccard"])

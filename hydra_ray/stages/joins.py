@@ -302,6 +302,18 @@ def hash_join(
     return keyed_map_partitions(u, [key], join_part, num_parts=num_parts)
 
 
+def _bloom_key_series(col: pa.ChunkedArray | pa.Array) -> "pd.Series":
+    """Normalize a key column before hashing: pd.util.hash_pandas_object
+    is dtype-WIDTH-sensitive (int32 -1 hashes differently from int64
+    -1), so an int32 keys table against an int64 left column would set
+    different bits and silently drop true matches. All integer widths
+    are widened to int64; other dtypes pass through."""
+    ser = col.to_pandas()
+    if pd.api.types.is_integer_dtype(ser.dtype) and not pd.api.types.is_extension_array_dtype(ser.dtype):
+        ser = ser.astype("int64")
+    return ser
+
+
 def build_bloom(
     keys: "rd.Dataset", key: str, nbits: int = 1 << 23, n_hashes: int = 5
 ) -> tuple[np.ndarray, int]:
@@ -327,7 +339,7 @@ def build_bloom(
         )
 
     def partial(t: pa.Table) -> pa.Table:
-        pos = positions(t[key].to_pandas())
+        pos = positions(_bloom_key_series(t[key]))
         bm = np.zeros(nbits // 8, dtype=np.uint8)
         np.bitwise_or.at(bm, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
         return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
@@ -366,7 +378,7 @@ def bloom_semi_join(
     def prefilter(t: pa.Table) -> pa.Table:
         bm = ray.get(bits_ref)
         base = pd.util.hash_pandas_object(
-            t[key].to_pandas(), index=False
+            _bloom_key_series(t[key]), index=False
         ).to_numpy().astype(np.uint64)
         h1 = _mix64(base)
         h2 = _mix64(base ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)

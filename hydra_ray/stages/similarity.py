@@ -487,7 +487,10 @@ def pq_train(mat: np.ndarray, m: int = 8, ks: int = 16, iters: int = 10, seed: i
     driver-side SAMPLE — same contract as `kmeans_centroids`."""
     mat = _normalize(mat.astype(np.float64))
     n, d = mat.shape
+    if n == 0:
+        raise ValueError("pq_train: empty training sample")
     assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ks = min(ks, n)  # fancy indexing would silently shorten the pick
     dsub = d // m
     books = np.empty((m, ks, dsub), dtype=np.float64)
     for j in range(m):
@@ -558,6 +561,7 @@ def knn_pq(
     """
     from hydra_ray.sources.store import ds_to_tables
 
+    ds = ds.materialize()  # sample, encode, refine and scan all read it
     sample = ds.limit(sample_rows).to_pandas()
     books = pq_train(np.stack(sample[emb_col].to_numpy()), m=m, ks=ks)
     books_ref = ray.put(books)
@@ -575,7 +579,7 @@ def knn_pq(
     # fp32 refine store for the exact shortlist re-rank, aligned to
     # corpus_ids order (block order of the code pass is not guaranteed
     # to match a second pass, so align by id)
-    raw_tables = [t for t in ds_to_tables(ds.materialize()) if t.num_rows]
+    raw_tables = [t for t in ds_to_tables(ds) if t.num_rows]
     raw_all = pa.concat_tables(raw_tables).combine_chunks()
     raw_ids = raw_all[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     raw_mat = _normalize(_matrix_of(raw_all, emb_col)).astype(np.float32)

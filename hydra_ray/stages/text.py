@@ -26,6 +26,19 @@ STOPWORDS: dict[str, set[str]] = {
 }
 
 
+def round6(x: np.ndarray) -> np.ndarray:
+    """Round to 6 dp half-AWAY-from-zero — DuckDB round() semantics.
+    np.round is half-to-even, which disagrees on exactly-representable
+    6-dp halves (e.g. 105/128 = 0.8203125 → DuckDB 0.820313, np.round
+    0.820312) and would flake the correctness gate on dyadic ratios."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _round6(x: float) -> float:
+    return float(round6(np.float64(x)))
+
+
 def _tokens_arr(text: pa.Array) -> pa.Array:
     """list<string> of whitespace-split tokens (trimmed first)."""
     return pc.split_pattern_regex(pc.utf8_trim_whitespace(text), pattern=r"\s+")
@@ -77,7 +90,7 @@ def quality_batch(batch: pa.Table, doc_id_col: str = "doc_id", text_col: str = "
     n_chars = stats["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
     n_tokens = stats["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
     n_digits = stats["n_digits"].to_numpy(zero_copy_only=False).astype(np.float64)
-    digit_ratio = np.round(n_digits / np.maximum(n_chars, 1.0), 6)
+    digit_ratio = round6(n_digits / np.maximum(n_chars, 1.0))
     keep = (n_tokens >= 5) & (n_tokens <= 10000) & (digit_ratio < 0.3)
     return pa.table(
         {
@@ -321,7 +334,11 @@ def normalize_text_batch(
         vals = lowered.to_numpy(zero_copy_only=False).copy()
         raw = text.to_numpy(zero_copy_only=False)
         for i in np.nonzero(~ascii_mask)[0]:
-            vals[i] = unicodedata.normalize("NFC", raw[i]).lower()
+            # per-char lower: str.lower applies the Unicode Final_Sigma
+            # context rule ('ΑΣ' → 'ας'), but DuckDB/utf8proc tolower is
+            # context-free ('ασ') — char-wise lowering matches it
+            norm = unicodedata.normalize("NFC", raw[i])
+            vals[i] = "".join(c.lower() for c in norm)
         lowered = pa.array(vals, type=pa.string())
     return pa.table(
         {
@@ -359,6 +376,9 @@ def c4_filter_batch(
     one split + flat per-line Arrow kernels + bincount fold back to
     docs + pc.binary_join for the cleaned text. Shuffle-free.
 
+    Line rstrip contract: space/tab/CR/FF/VT only (the charset the SQL
+    oracle's rtrim uses — NOT all of Unicode whitespace).
+
     Word-count contract matches the DuckDB oracle:
     len(regexp_split(trim(line), '\\s+')) — a whitespace-only line
     counts 1 empty token (it can never pass the punctuation rule, so
@@ -375,7 +395,9 @@ def c4_filter_batch(
     parent = pc.list_parent_indices(lines_list).to_numpy(zero_copy_only=False)
 
     low = pc.utf8_lower(flat)
-    stripped = pc.utf8_rtrim_whitespace(flat)
+    # explicit charset (space/tab/CR/FF/VT) — utf8_rtrim_whitespace would
+    # also strip NBSP/U+2028 etc., diverging from the SQL oracle's rtrim
+    stripped = pc.utf8_rtrim(flat, characters=" \t\r\f\x0b")
     ends_ok = pc.ends_with(stripped, pattern=C4_TERMINAL[0])
     for p in C4_TERMINAL[1:]:
         ends_ok = pc.or_(ends_ok, pc.ends_with(stripped, pattern=p))
@@ -735,15 +757,16 @@ def tfidf_keywords(docs: "rd.Dataset", k: int = 3) -> "rd.Dataset":
     monotone-decreasing in df, so the ranking is identical without any
     floating point.
 
-    Shape: one explode pass computes per-(doc, term) tf with Arrow
-    group_by INSIDE each block (a doc is one input row, so its terms
-    never span blocks — tf is exact with no shuffle); df is a
-    grouped_agg over the tf rows (one row per (term, block) moves);
-    the vocabulary-sized df table broadcasts once via ray.put and the
-    top-k is a vectorized per-block sort + groupby-head (again no
-    shuffle, docs are block-local). At 100 TB the only growing state is
-    the vocab broadcast — swap for a keyed-shuffle join on term
-    (stages/keyed.py) when the vocabulary outgrows worker heaps.
+    Shape: pass 1 explodes per-(doc, term) tf with Arrow group_by
+    INSIDE each UDF call (a doc is one input row, so its term rows are
+    complete within the call — exact with no shuffle) feeding a
+    grouped_agg for global df; pass 2 maps over the DOCS again,
+    recomputing each doc's tf in-call and ranking against the broadcast
+    vocabulary — per-doc completeness is guaranteed by input-row
+    atomicity, never by block layout, so dynamic block splitting cannot
+    cut a doc in half. Zero row shuffles. At 100 TB the only growing
+    state is the vocab broadcast — swap for a keyed-shuffle join on
+    term (stages/keyed.py) when the vocabulary outgrows worker heaps.
     """
     import ray
     import ray.data as rd  # noqa: F401
@@ -770,20 +793,29 @@ def tfidf_keywords(docs: "rd.Dataset", k: int = 3) -> "rd.Dataset":
             }
         )
 
-    tf = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    docs = docs.materialize()
     df_tables = [
-        t for t in ds_to_tables(grouped_agg(tf, ["term"], [("term", "count", "df")])) if t.num_rows
+        t
+        for t in ds_to_tables(
+            grouped_agg(
+                docs.map_batches(tf_batch, batch_format="pyarrow"),
+                ["term"],
+                [("term", "count", "df")],
+            )
+        )
+        if t.num_rows
     ]
     df_table = pa.concat_tables(df_tables, promote_options="default").combine_chunks()
     df_ref = ray.put(df_table)
 
-    def topk(t: pa.Table, *, df_ref=df_ref, k=k) -> "pd.DataFrame":
+    def topk(t: pa.Table, *, df_ref=df_ref, k=k) -> pa.Table:
         import pandas as pd  # noqa: F401
 
+        tf = tf_batch(t)
         vocab = ray.get(df_ref)
-        idx = pc.index_in(t["term"].combine_chunks(), value_set=vocab["term"].combine_chunks())
+        idx = pc.index_in(tf["term"].combine_chunks(), value_set=vocab["term"].combine_chunks())
         dfv = vocab["df"].combine_chunks().take(idx)
-        p = t.to_pandas()
+        p = tf.to_pandas()
         p["df"] = dfv.to_numpy(zero_copy_only=False)
         p = p.sort_values(
             ["doc_id", "tf", "df", "term"],
@@ -794,7 +826,7 @@ def tfidf_keywords(docs: "rd.Dataset", k: int = 3) -> "rd.Dataset":
         out = p[p["rank"] <= k].reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return tf.map_batches(topk, batch_format="pyarrow")
+    return docs.map_batches(topk, batch_format="pyarrow")
 
 
 GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "with")
@@ -839,18 +871,18 @@ def gopher_quality_batch(
 
     squeezed = pc.replace_substring_regex(text, pattern=r"\s+", replacement="")
     tok_chars = pc.utf8_length(squeezed).to_numpy(zero_copy_only=False).astype(np.float64)
-    mean_word_len = np.round(tok_chars / nw, 6)
+    mean_word_len = round6(tok_chars / nw)
 
     n_hash = pc.count_substring(text, pattern="#").to_numpy(zero_copy_only=False)
     n_ell = pc.count_substring(text, pattern="...").to_numpy(zero_copy_only=False)
-    symbol_ratio = np.round((n_hash + n_ell) / nw, 6)
+    symbol_ratio = round6((n_hash + n_ell) / nw)
 
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     n_docs = len(text)
     alpha = pc.match_substring_regex(flat, pattern="[a-zA-Z]").to_numpy(zero_copy_only=False)
     n_alpha = np.bincount(parent[alpha], minlength=n_docs).astype(np.float64)
-    frac_alpha = np.round(n_alpha / nw, 6)
+    frac_alpha = round6(n_alpha / nw)
 
     stop = pc.is_in(flat, value_set=pa.array(GOPHER_STOPWORDS)).to_numpy(zero_copy_only=False)
     n_stop = np.bincount(parent[stop], minlength=n_docs).astype(np.int64)
@@ -903,7 +935,7 @@ def token_entropy_batch(
     acc = np.zeros(len(batch), dtype=np.float64)
     np.add.at(acc, d, tf * np.log2(tf))
     n = np.maximum(n_tokens, 1).astype(np.float64)
-    entropy = np.round(np.log2(n) - acc / n, 6)
+    entropy = round6(np.log2(n) - acc / n)
     return pa.table(
         {
             "doc_id": batch[doc_id_col],
