@@ -4415,3 +4415,163 @@ ORACLE_PMI_BIGRAMS = r"""
 
 QUERIES["pmi_bigrams"] = q_pmi_bigrams
 ORACLES["pmi_bigrams"] = ORACLE_PMI_BIGRAMS
+
+
+def q_event_funnel(sf_dir: str):
+    """Funnel analysis over the events stream: per user, did a signup →
+    click → purchase sequence occur IN ORDER (strictly increasing
+    timestamps, event_id tiebreak)? Output: one row per funnel depth
+    with the user count that reached it. Per-user step times are
+    min-aggregates — grouped_agg partials, no row shuffle; the funnel
+    fold runs on the (users × steps)-sized result."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+
+    steps = ["signup", "click", "purchase"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        keep = pc.is_in(et, value_set=pa.array(steps))
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sortable key: microseconds * 1000 + event_id tiebreak
+        k = ts_us * 1000 + eid % 1000
+        return pa.table(
+            {"user_id": t["user_id"], "event_type": et, "k": pa.array(k)}
+        ).filter(keep)
+
+    mins = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["user_id", "event_type"],
+        [("k", "min", "first_k")],
+    )
+    tbl = pa.concat_tables([t for t in ds_to_tables(mins) if t.num_rows]).to_pandas()
+    wide = tbl.pivot_table(index="user_id", columns="event_type", values="first_k", aggfunc="min")
+    for c in steps:
+        if c not in wide.columns:
+            wide[c] = np.nan
+    reached1 = wide["signup"].notna()
+    reached2 = reached1 & wide["click"].notna() & (wide["click"] > wide["signup"])
+    reached3 = reached2 & wide["purchase"].notna() & (wide["purchase"] > wide["click"])
+    return pa.table(
+        {
+            "step": pa.array(steps, pa.string()),
+            "depth": pa.array([1, 2, 3], pa.int64()),
+            "n_users": pa.array(
+                [int(reached1.sum()), int(reached2.sum()), int(reached3.sum())], pa.int64()
+            ),
+        }
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+    WITH firsts AS (
+        SELECT user_id, event_type,
+               min(CAST(epoch_us(ts) AS BIGINT) * 1000 + event_id % 1000) AS k
+        FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+        GROUP BY user_id, event_type
+    ),
+    wide AS (
+        SELECT user_id,
+               min(k) FILTER (WHERE event_type = 'signup') AS s,
+               min(k) FILTER (WHERE event_type = 'click') AS c,
+               min(k) FILTER (WHERE event_type = 'purchase') AS p
+        FROM firsts GROUP BY user_id
+    )
+    SELECT * FROM (
+        SELECT 'signup' AS step, 1 AS depth,
+               count(*) FILTER (WHERE s IS NOT NULL) AS n_users FROM wide
+        UNION ALL
+        SELECT 'click', 2,
+               count(*) FILTER (WHERE s IS NOT NULL AND c IS NOT NULL AND c > s) FROM wide
+        UNION ALL
+        SELECT 'purchase', 3,
+               count(*) FILTER (WHERE s IS NOT NULL AND c IS NOT NULL AND c > s
+                                  AND p IS NOT NULL AND p > c) FROM wide)
+"""
+
+QUERIES["event_funnel"] = q_event_funnel
+ORACLES["event_funnel"] = ORACLE_EVENT_FUNNEL
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users grouped by first-activity week
+    (integer epoch-week — no calendar ambiguity), counted as active per
+    week offset. Two grouped_agg passes (first week per user; distinct
+    user-week activity); the cohort × offset fold runs on the tiny
+    post-aggregation result."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+
+    def weeks(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        wk = us // (86_400_000_000 * 7)
+        return pa.table({"user_id": t["user_id"], "week": pa.array(wk.astype(np.int64))})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+        weeks, batch_format="pyarrow"
+    ).materialize()
+    first = grouped_agg(ev, ["user_id"], [("week", "min", "cohort")])
+    active = grouped_agg(ev, ["user_id", "week"], [("week", "count", "_n")])
+
+    f = pa.concat_tables([t for t in ds_to_tables(first) if t.num_rows]).to_pandas()
+    a = pa.concat_tables([t for t in ds_to_tables(active) if t.num_rows]).to_pandas()
+    m = a.merge(f, on="user_id")
+    m["offset"] = (m["week"] - m["cohort"]).astype("int64")
+    out = (
+        m.groupby(["cohort", "offset"], sort=True)["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ORACLE_RETENTION_COHORTS = """
+    WITH wk AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // (86400000000 * 7) AS week
+        FROM events
+    ),
+    first AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id)
+    SELECT cohort, week - cohort AS "offset", count(DISTINCT user_id) AS n_users
+    FROM wk JOIN first USING (user_id)
+    GROUP BY cohort, week - cohort
+"""
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+ORACLES["retention_cohorts"] = ORACLE_RETENTION_COHORTS
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram of l_extendedprice (bin width 5000) —
+    integer-exact bin assignment, combiner partials, one tiny merge."""
+    from hydra_ray.stages.agg import grouped_agg
+
+    def bins(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        b = np.floor(x / 5000.0).astype(np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    return grouped_agg(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]).map_batches(
+            bins, batch_format="pyarrow"
+        ),
+        ["bin"],
+        [("bin", "count", "n")],
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin, count(*) AS n
+    FROM lineitem GROUP BY 1
+"""
+
+QUERIES["price_histogram"] = q_price_histogram
+ORACLES["price_histogram"] = ORACLE_PRICE_HISTOGRAM
