@@ -50,6 +50,9 @@ QUERY_NAMES = [
     "media_features",
     "image_dups",
     "pack_sequences",
+    "pagerank",
+    "jaccard_set_join",
+    "gopher_quality",
 ]
 
 
