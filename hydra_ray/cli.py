@@ -1,0 +1,307 @@
+"""Command-line surface mirroring the reference's typer CLI
+(reference: udata_hydra/cli/{analysis,catalog,crawl,db,purge}.py) over
+the Ray Data engine — a user of `udata-hydra <cmd>` runs the same verbs
+here. stdlib argparse only; every command prints one JSON document.
+
+Determinism note: the reference's `csv-sample` uses ORDER BY RANDOM();
+this engine's contract replaces all random ordering with seeded
+splitmix64 ranks (SURVEY §7.6), so samples are reproducible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ray_init() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def _engine(workdir: str, **kw):
+    from hydra_ray.pipelines.crawl import CrawlEngine
+
+    return CrawlEngine(workdir, actor_pools=False, **kw)
+
+
+def cmd_load_catalog(args) -> dict:
+    """reference: cli/catalog.py load_catalog (CSV seed → catalog)."""
+    _ray_init()
+    from hydra_ray.sources.catalog import load_catalog_from_csv
+
+    eng = _engine(args.workdir)
+    n = load_catalog_from_csv(eng, args.csv)
+    eng.shutdown()
+    return {"loaded": n, "workdir": args.workdir}
+
+
+def cmd_crawl(args) -> dict:
+    """reference: cli/crawl.py crawl (run N crawl iterations)."""
+    _ray_init()
+    eng = _engine(args.workdir, batch_size=args.batch_size)
+    stats = eng.run(args.iterations)
+    eng.shutdown()
+    return {"iterations": stats}
+
+
+def cmd_check_resource(args) -> dict:
+    """reference: cli/crawl.py check_resource (one-shot synchronous check)."""
+    _ray_init()
+    eng = _engine(args.workdir)
+    out = eng.check_resource_now(args.resource_id)
+    eng.shutdown()
+    return out
+
+
+def cmd_crawl_url(args) -> dict:
+    """reference: cli/crawl.py crawl_url + catalog.py insert_url_into_catalog:
+    insert the URL as a priority resource, then check it immediately."""
+    import hashlib
+
+    _ray_init()
+    eng = _engine(args.workdir)
+    rid = args.resource_id or hashlib.md5(args.url.encode()).hexdigest()
+    fmt = args.url.rsplit(".", 1)[-1].lower() if "." in args.url.rsplit("/", 1)[-1] else ""
+    eng.insert_priority_resource(
+        {
+            "resource_id": rid,
+            "dataset_id": args.dataset_id,
+            "url": args.url,
+            "format": fmt,
+        }
+    )
+    out = eng.check_resource_now(rid)
+    eng.shutdown()
+    return out
+
+
+def cmd_analyse_csv(args) -> dict:
+    """reference: cli/analysis.py analyse_csv_cli (inspection + profile)."""
+    from hydra_ray.stages.inspection import inspect_csv_bytes
+
+    with open(args.file, "rb") as f:
+        data = f.read()
+    return inspect_csv_bytes(data, output_profile=args.profile)
+
+
+def cmd_analyse_parquet(args) -> dict:
+    """reference: cli/analysis.py analyse_parquet_cli (metadata only)."""
+    from hydra_ray.stages.inspection import inspect_parquet
+
+    return inspect_parquet(args.file)
+
+
+def cmd_analyse_geojson(args) -> dict:
+    """reference: cli/analysis.py analyse_geojson_cli: feature count,
+    geometry types and bbox of a GeoJSON FeatureCollection."""
+    with open(args.file, encoding="utf-8") as f:
+        doc = json.load(f)
+    feats = doc.get("features", [])
+    kinds: dict[str, int] = {}
+    xs: list[float] = []
+    ys: list[float] = []
+
+    def walk(coords):
+        if not coords:
+            return
+        if isinstance(coords[0], (int, float)):
+            xs.append(float(coords[0]))
+            ys.append(float(coords[1]))
+        else:
+            for c in coords:
+                walk(c)
+
+    for ft in feats:
+        geom = ft.get("geometry") or {}
+        kinds[geom.get("type", "null")] = kinds.get(geom.get("type", "null"), 0) + 1
+        walk(geom.get("coordinates", []))
+    bbox = [min(xs), min(ys), max(xs), max(ys)] if xs else None
+    return {"n_features": len(feats), "geometry_types": kinds, "bbox": bbox}
+
+
+def cmd_convert_csv_to_geojson(args) -> dict:
+    """reference: cli/analysis.py convert_csv_to_geojson_cli."""
+    _ray_init()
+    import ray.data as rd
+
+    from hydra_ray.stages.geo import detect_geo_columns, features_batch, write_feature_collections
+    from hydra_ray.stages.inspection import inspect_csv_bytes
+
+    import gzip
+
+    from hydra_ray.stages.inspection import csv_text_to_table, detect_encoding
+
+    with open(args.file, "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    text = data.decode(detect_encoding(data))
+    report = inspect_csv_bytes(data)
+    geo = detect_geo_columns(report["columns"])
+    if geo is None:
+        return {"error": "no geographic columns detected"}
+    tbl = csv_text_to_table(text, report)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda t: features_batch(t, geo), batch_format="pyarrow"
+    )
+    files = write_feature_collections(ds, args.out)
+    return {"files": files, "geo": geo}
+
+
+def cmd_convert_geojson_to_pmtiles(args) -> dict:
+    """reference: cli/analysis.py convert_geojson_to_pmtiles_cli."""
+    _ray_init()
+    from hydra_ray.stages.geo import to_pmtiles
+
+    out = to_pmtiles(args.file, args.out, zoom=args.zoom)
+    return {"pmtiles": out}
+
+
+def _latest_checks(eng) -> pa.Table:
+    return eng.checks.read_arrow()
+
+
+def cmd_csv_sample(args) -> dict:
+    """reference: cli/db.py csv_sample — latest checks whose content-type
+    is csv-ish, 2xx/3xx, size-capped; seeded-rank sample (the engine's
+    deterministic replacement for ORDER BY RANDOM())."""
+    _ray_init()
+    from hydra_ray.state.cuckoo import _mix64
+
+    eng = _engine(args.workdir)
+    checks = _latest_checks(eng).to_pandas()
+    eng.shutdown()
+    if checks.empty:
+        return {"sample": []}
+    ok = (
+        checks["mime_type"].fillna("").str.contains("csv")
+        & (checks["status"] >= 200)
+        & (checks["status"] < 400)
+        & (checks["filesize"].fillna(0) <= args.max_size_bytes)
+    )
+    sub = checks[ok]
+    if sub.empty:
+        return {"sample": []}
+    # seeded stable rank over the url keys (splitmix64 of the md5 head)
+    import hashlib
+
+    key = np.array(
+        [
+            int(_mix64(np.frombuffer(hashlib.md5(u.encode()).digest()[:8], dtype=np.uint64))[0])
+            for u in sub["url"]
+        ],
+        dtype=np.uint64,
+    )
+    order = np.argsort(key, kind="stable")[: args.size]
+    rows = sub.iloc[order][["resource_id", "url", "mime_type", "filesize"]]
+    return {"sample": rows.to_dict(orient="records")}
+
+
+def cmd_probe_cors(args) -> dict:
+    """reference: cli/crawl.py probe_cors_cli — one CORS preflight."""
+    _ray_init()
+    eng = _engine(args.workdir)
+    url = args.url
+    if args.resource_id and not url:
+        from hydra_ray.pipelines.api import EngineApi
+
+        res = EngineApi(eng).get_resource(args.resource_id)
+        url = res.get("url")
+    from hydra_ray.stages.fetcher import make_transport
+
+    transport = make_transport(eng.transport)
+    cors = transport.cors(url) or {}
+    eng.shutdown()
+    allow = {k.lower(): v for k, v in cors.items()}.get("access-control-allow-origin")
+    return {"url": url, "cors_headers": cors, "allows_any": allow == "*"}
+
+
+def cmd_find_check(args) -> dict:
+    """reference: cli/db.py find_check — checks rows for a URL / resource."""
+    _ray_init()
+    from hydra_ray.pipelines.api import EngineApi
+
+    eng = _engine(args.workdir)
+    api = EngineApi(eng)
+    rows = api.get_all_checks(url=args.url, resource_id=args.resource_id)
+    eng.shutdown()
+    return {"checks": rows}
+
+
+def cmd_purge(args) -> dict:
+    """reference: cli/purge.py purge_checks/purge_csv_tables — here the
+    versioned-store GC (old table versions + orphaned txn dirs + state)."""
+    _ray_init()
+    eng = _engine(args.workdir)
+    out = eng.gc(keep_versions=args.keep_versions)
+    eng.shutdown()
+    return out
+
+
+def cmd_status(args) -> dict:
+    """reference: routes worker/crawler status."""
+    _ray_init()
+    from hydra_ray.pipelines.api import EngineApi
+
+    eng = _engine(args.workdir)
+    api = EngineApi(eng)
+    out = {"crawler": api.get_crawler_status(), "worker": api.get_worker_status()}
+    eng.shutdown()
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hydra-ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, *specs):
+        sp = sub.add_parser(name)
+        for flags, kw in specs:
+            sp.add_argument(*flags, **kw)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    wd = (["--workdir"], {"required": True})
+    add("load-catalog", cmd_load_catalog, wd, (["--csv"], {"required": True}))
+    add("crawl", cmd_crawl, wd, (["--iterations"], {"type": int, "default": 1}),
+        (["--batch-size"], {"type": int, "default": None}))
+    add("check-resource", cmd_check_resource, wd, (["--resource-id"], {"required": True}))
+    add("crawl-url", cmd_crawl_url, wd, (["--url"], {"required": True}),
+        (["--resource-id"], {"default": None}), (["--dataset-id"], {"default": "cli"}))
+    add("analyse-csv", cmd_analyse_csv, (["--file"], {"required": True}),
+        (["--profile"], {"action": "store_true"}))
+    add("analyse-parquet", cmd_analyse_parquet, (["--file"], {"required": True}))
+    add("analyse-geojson", cmd_analyse_geojson, (["--file"], {"required": True}))
+    add("convert-csv-to-geojson", cmd_convert_csv_to_geojson,
+        (["--file"], {"required": True}), (["--out"], {"required": True}))
+    add("convert-geojson-to-pmtiles", cmd_convert_geojson_to_pmtiles,
+        (["--file"], {"required": True}), (["--out"], {"required": True}),
+        (["--zoom"], {"type": int, "default": 6}))
+    add("csv-sample", cmd_csv_sample, wd, (["--size"], {"type": int, "default": 1000}),
+        (["--max-size-bytes"], {"type": int, "default": 100 * 1024 * 1024}))
+    add("probe-cors", cmd_probe_cors, wd, (["--url"], {"default": None}),
+        (["--resource-id"], {"default": None}))
+    add("find-check", cmd_find_check, wd, (["--url"], {"default": None}),
+        (["--resource-id"], {"default": None}))
+    add("purge", cmd_purge, wd, (["--keep-versions"], {"type": int, "default": 2}))
+    add("status", cmd_status, wd)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    out = args.fn(args)
+    json.dump(out, sys.stdout, default=str)
+    sys.stdout.write("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

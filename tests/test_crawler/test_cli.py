@@ -1,0 +1,77 @@
+"""CLI surface (hydra_ray/cli.py) — reference udata_hydra/cli parity."""
+
+import json
+
+import pytest
+
+from hydra_ray.cli import main
+
+CSV = """dataset.id;id;url;type;format;title;dataset.archived;harvest.modified_at
+d1;r1;https://a.example/x.csv;main;csv;file x;False;2024-01-02T10:00:00
+d1;r2;https://a.example/y.csv;main;csv;file y;True;
+d2;r3;https://b.example/z.csv;main;csv;file z;False;
+"""
+
+
+def _run(capsys, *argv):
+    assert main(list(argv)) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    return json.loads(lines[-1])  # engine progress lines may precede
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_crawl_roundtrip(tmp_path, capsys):
+    cat = tmp_path / "catalog.csv"
+    cat.write_text(CSV)
+    wd = str(tmp_path / "wd")
+
+    out = _run(capsys, "load-catalog", "--workdir", wd, "--csv", str(cat))
+    assert out["loaded"] == 2
+
+    out = _run(capsys, "crawl", "--workdir", wd, "--iterations", "1")
+    assert out["iterations"][0]["selected"] == 2
+
+    out = _run(capsys, "find-check", "--workdir", wd, "--resource-id", "r1")
+    assert len(out["checks"]) == 1
+    assert out["checks"][0]["resource_id"] == "r1"
+
+    out = _run(capsys, "csv-sample", "--workdir", wd, "--size", "10")
+    urls = [r["url"] for r in out["sample"]]
+    assert urls and set(urls) <= {"https://a.example/x.csv", "https://b.example/z.csv"}
+    out2 = _run(capsys, "csv-sample", "--workdir", wd, "--size", "10")
+    assert out2["sample"] == out["sample"]  # seeded, reproducible
+
+    out = _run(capsys, "probe-cors", "--workdir", wd, "--url", "https://a.example/x.csv")
+    assert "allows_any" in out
+
+    out = _run(capsys, "status", "--workdir", wd)
+    assert out["crawler"] and out["worker"]
+
+    out = _run(capsys, "crawl-url", "--workdir", wd, "--url", "https://c.example/new.csv")
+    assert out.get("status") is not None
+
+    out = _run(capsys, "purge", "--workdir", wd)
+    assert isinstance(out, dict)
+
+
+def test_cli_analyse_csv(tmp_path, capsys):
+    f = tmp_path / "t.csv"
+    f.write_text("a,b\n1,x\n2,y\n")
+    out = _run(capsys, "analyse-csv", "--file", str(f), "--profile")
+    assert out["total_lines"] == 2
+    assert out["columns"]["a"]["python_type"] == "int"
+
+
+def test_cli_analyse_geojson(tmp_path, capsys):
+    f = tmp_path / "t.geojson"
+    f.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [2.0, 48.0]}, "properties": {}},
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [3.0, 49.0]}, "properties": {}},
+        ],
+    }))
+    out = _run(capsys, "analyse-geojson", "--file", str(f))
+    assert out["n_features"] == 2
+    assert out["geometry_types"] == {"Point": 2}
+    assert out["bbox"] == [2.0, 48.0, 3.0, 49.0]
