@@ -51,8 +51,12 @@ QUERY_NAMES = [
     "image_dups",
     "pack_sequences",
     "pagerank",
-    "jaccard_set_join",
+    "bloom_semi_join",
     "gopher_quality",
+    # NOT jaccard_set_join: on the synthetic corpus (31-word vocabulary,
+    # all docs near-identical) the >=0.8 similarity self-join has ~3M
+    # true output pairs from 5k docs — inherently quadratic output, not
+    # a representative headline workload. Correctness-gated at sf0.01.
 ]
 
 

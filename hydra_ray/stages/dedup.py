@@ -1288,7 +1288,7 @@ def jaccard_set_join(
     from hydra_ray.sources.store import ds_to_tables
     from hydra_ray.stages.agg import grouped_agg
     from hydra_ray.stages.keyed import keyed_map_partitions
-    from hydra_ray.stages.text import _round6, _tokens_arr
+    from hydra_ray.stages.text import _tokens_arr
 
     def doc_token_lists(t: pa.Table) -> tuple[pa.Array, list[np.ndarray]]:
         text = t[text_col]
@@ -1353,11 +1353,13 @@ def jaccard_set_join(
     prefixed = ds.map_batches(emit_prefix, batch_format="pyarrow")
 
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        from hydra_ray.stages.text import round6
+
         empty = pd.DataFrame(
             {"da": pd.Series(dtype="object"), "db": pd.Series(dtype="object"),
              "jaccard": pd.Series(dtype="float64")}
         )
-        rows = []
+        frames = []
         for _, grp in g.groupby("w", sort=False):
             grp = grp.drop_duplicates(id_col)
             if len(grp) < 2:
@@ -1374,14 +1376,20 @@ def jaccard_set_join(
             inter = inc @ inc.T
             jac = inter / (sizes[:, None] + sizes[None, :] - inter)
             ii, jj = np.nonzero(np.triu(jac >= threshold, k=1))
-            for a, b in zip(ii, jj):
-                da, db = ids[a], ids[b]
-                if db < da:
-                    da, db = db, da
-                rows.append((da, db, _round6(float(jac[a, b]))))
-        if not rows:
+            if not len(ii):
+                continue
+            da, db = ids[ii], ids[jj]
+            swap = db < da  # elementwise on object-dtype string arrays
+            lo = np.where(swap, db, da)
+            hi = np.where(swap, da, db)
+            frames.append(
+                pd.DataFrame(
+                    {"da": lo, "db": hi, "jaccard": round6(jac[ii, jj])}
+                )
+            )
+        if not frames:
             return empty
-        return pd.DataFrame(rows, columns=["da", "db", "jaccard"])
+        return pd.concat(frames, ignore_index=True)
 
     cands = keyed_map_partitions(prefixed, ["w"], per_bucket, num_parts=num_parts)
 
