@@ -1373,20 +1373,29 @@ def jaccard_set_join(
             inc = np.zeros((len(ids), len(uni)), dtype=np.int64)
             for r, s in enumerate(sets):
                 inc[r, np.searchsorted(uni, s)] = 1
-            inter = inc @ inc.T
-            jac = inter / (sizes[:, None] + sizes[None, :] - inter)
-            ii, jj = np.nonzero(np.triu(jac >= threshold, k=1))
-            if not len(ii):
-                continue
-            da, db = ids[ii], ids[jj]
-            swap = db < da  # elementwise on object-dtype string arrays
-            lo = np.where(swap, db, da)
-            hi = np.where(swap, da, db)
-            frames.append(
-                pd.DataFrame(
-                    {"da": lo, "db": hi, "jaccard": round6(jac[ii, jj])}
+            # tile the O(n²) pair matrix: a hot bucket (skewed vocab)
+            # of 50k docs would otherwise need a 20 GB float64 matrix
+            TILE = 1024
+            for t0 in range(0, len(ids), TILE):
+                sub = inc[t0 : t0 + TILE]
+                inter = sub @ inc.T
+                jac = inter / (
+                    sizes[t0 : t0 + TILE, None] + sizes[None, :] - inter
                 )
-            )
+                ii, jj = np.nonzero(jac >= threshold)
+                keep = ii + t0 < jj  # upper triangle across tiles
+                ii, jj = ii[keep], jj[keep]
+                if not len(ii):
+                    continue
+                da, db = ids[ii + t0], ids[jj]
+                swap = db < da  # elementwise on object-dtype string arrays
+                lo = np.where(swap, db, da)
+                hi = np.where(swap, da, db)
+                frames.append(
+                    pd.DataFrame(
+                        {"da": lo, "db": hi, "jaccard": round6(jac[ii, jj])}
+                    )
+                )
         if not frames:
             return empty
         return pd.concat(frames, ignore_index=True)
