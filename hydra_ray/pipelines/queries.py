@@ -4575,3 +4575,19 @@ ORACLE_PRICE_HISTOGRAM = """
 
 QUERIES["price_histogram"] = q_price_histogram
 ORACLES["price_histogram"] = ORACLE_PRICE_HISTOGRAM
+
+
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenizer train→apply round trip (stages/text.py::bpe_train +
+    bpe_encode): 12 merges learned from the corpus, then every document
+    encoded with the broadcast merge table (unique-word memoization per
+    block). Rows-only (iterative merges are not SQL-expressible);
+    train/apply parity is pinned by tests."""
+    from hydra_ray.stages.text import bpe_encode, bpe_train
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).materialize()
+    merges = bpe_train(docs, n_merges=12)
+    return bpe_encode(docs, merges)
+
+
+QUERIES["bpe_encode"] = q_bpe_encode

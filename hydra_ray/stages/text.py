@@ -623,6 +623,7 @@ def bpe_train(
     ds: "rd.Dataset",
     n_merges: int = 10,
     text_col: str = "text",
+    driver_vocab_rows: int = 200_000,
 ) -> "pa.Table":
     """Corpus-scale BPE tokenizer TRAINING (Sennrich et al. 2016): learn
     ``n_merges`` merge rules from the whitespace-word frequency table.
@@ -679,6 +680,49 @@ def bpe_train(
         )
 
     state = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    # the merge loop's state is the WORD table (vocabulary-sized, not
+    # the corpus). Below the threshold, a Dataset round trip per merge
+    # is pure fixed cost — pull the table once and loop on the driver
+    # with identical arithmetic; above it, stay distributed.
+    if state.count() <= driver_vocab_rows:
+        from hydra_ray.sources.store import ds_to_tables
+
+        tbl = pa.concat_tables([t for t in ds_to_tables(state) if t.num_rows])
+        counts = tbl["count"].to_pylist()
+        syms_list = tbl["syms"].to_pylist()
+        merges_local: list[tuple[int, str, str, int]] = []
+        for rank in range(n_merges):
+            agg: dict[tuple[str, str], int] = {}
+            for syms, c in zip(syms_list, counts):
+                for a, b in zip(syms, syms[1:]):
+                    agg[(a, b)] = agg.get((a, b), 0) + int(c)
+            if not agg:
+                break
+            # highest count, then lexicographically smallest pair
+            (left, right), n = min(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges_local.append((rank, left, right, n))
+            joined = left + right
+            nxt = []
+            for syms in syms_list:
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(joined)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nxt.append(res)
+            syms_list = nxt
+        return pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges_local], type=pa.int64()),
+                "left": pa.array([m[1] for m in merges_local], type=pa.string()),
+                "right": pa.array([m[2] for m in merges_local], type=pa.string()),
+                "pair_count": pa.array([m[3] for m in merges_local], type=pa.int64()),
+            }
+        )
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -943,3 +987,72 @@ def token_entropy_batch(
             "entropy": pa.array(entropy),
         }
     )
+
+
+def bpe_apply_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merge rules (in rank order) to one word — the
+    Sennrich inference rule: chars + '</w>', repeatedly merge the
+    highest-ranked adjacent pair present."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best : best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def bpe_encode(
+    docs: "rd.Dataset",
+    merges: "pa.Table",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Distributed BPE tokenizer APPLICATION: encode every document with
+    the merge table learned by ``bpe_train``.
+
+    The merge list (vocabulary-sized) broadcasts once via the object
+    store; each block encodes its UNIQUE words only (corpus token
+    counts are far larger than vocabularies — the memoization is the
+    whole trick) and folds per-word piece counts back per doc with a
+    bincount. Emits (doc_id, n_words, n_pieces) — the compression-ratio
+    signal used when sizing context windows.
+    """
+    import ray
+
+    merge_pairs = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    merges_ref = ray.put(merge_pairs)
+
+    def encode(t: pa.Table) -> pa.Table:
+        rules = ray.get(merges_ref)
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _tokens_arr(pc.fill_null(text, ""))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(words.astype(object), return_inverse=True)
+        pieces_per_uniq = np.array(
+            [0 if w == "" else len(bpe_apply_word(w, rules)) for w in uniq],
+            dtype=np.int64,
+        )
+        per_tok = pieces_per_uniq[inv]
+        n_docs = len(t)
+        n_pieces = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_pieces, parent, per_tok)
+        n_words = np.bincount(parent[per_tok > 0], minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "n_words": pa.array(n_words),
+                "n_pieces": pa.array(n_pieces),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")

@@ -609,3 +609,56 @@ def test_token_entropy_values():
     t2 = pa.table({"doc_id": ["m"], "text": ["a a b c"]})
     (row,) = token_entropy_batch(t2).to_pylist()
     assert row["entropy"] == round(-(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25)), 6)
+
+
+class TestBpeEncode:
+    def test_apply_word_matches_reference(self):
+        from hydra_ray.stages.text import bpe_apply_word
+
+        merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+        assert bpe_apply_word("low", merges) == ["low</w>"]
+        assert bpe_apply_word("lower", merges) == ["low", "e", "r", "</w>"]
+        assert bpe_apply_word("xyz", merges) == ["x", "y", "z", "</w>"]
+
+    def test_encode_over_trained_merges(self, ray_session):
+        import ray.data as rd
+
+        from hydra_ray.stages.text import bpe_apply_word, bpe_encode, bpe_train
+
+        docs = pa.table(
+            {
+                "doc_id": ["1", "2", "3"],
+                "text": [
+                    "low lower lowest low low",
+                    "newer newest new",
+                    "low new",
+                ],
+            }
+        )
+        ds = rd.from_arrow(docs)
+        merges = bpe_train(ds, n_merges=8)
+        out = {
+            r["doc_id"]: r
+            for r in bpe_encode(rd.from_arrow(docs), merges).to_pandas().to_dict("records")
+        }
+        rules = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            expect = sum(len(bpe_apply_word(w, rules)) for w in text.split())
+            assert out[doc_id]["n_pieces"] == expect
+            assert out[doc_id]["n_words"] == len(text.split())
+
+
+def test_bpe_train_driver_and_distributed_paths_identical(ray_session):
+    import ray.data as rd
+
+    from hydra_ray.stages.text import bpe_train
+
+    docs = pa.table(
+        {
+            "doc_id": ["1", "2"],
+            "text": ["low lower lowest low low newer", "newer newest new low"],
+        }
+    )
+    fast = bpe_train(rd.from_arrow(docs), n_merges=6)
+    dist = bpe_train(rd.from_arrow(docs), n_merges=6, driver_vocab_rows=0)
+    assert fast.equals(dist)
