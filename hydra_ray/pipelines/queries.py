@@ -1730,7 +1730,9 @@ def _mulwrap2_sql(x: str, y: str) -> str:
     )
 
 
-def _minhash_oracle_sql(threshold: float = 0.5, src: str = "documents") -> str:
+def _minhash_oracle_sql(
+    threshold: float = 0.5, src: str = "documents", pair_cond: str = ""
+) -> str:
     """The ENTIRE MinHash-LSH near-dup pipeline in SQL: md5 token
     hashes (little-endian), splitmix64 3-shingles, 64 permutations with
     exact uint64 wraparound ((h*a + b) mod 2^64 mod 2^61-1 — numpy
@@ -1795,6 +1797,7 @@ pairs AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands x JOIN bands y
       ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+      {pair_cond}
 ),
 verify AS (
     SELECT p.doc_a, p.doc_b,
@@ -4591,3 +4594,27 @@ def q_bpe_encode(sf_dir: str):
 
 
 QUERIES["bpe_encode"] = q_bpe_encode
+
+
+def q_minhash_incremental(sf_dir: str):
+    """Incremental (streaming) MinHash dedup: documents with numeric
+    doc_id % 5 == 0 play the NEW crawl batch, the rest the existing
+    corpus — only cross-side near-dup pairs are emitted and verified
+    (stages/dedup.py dedup_minhash(cross_of=...)); same-side pairs
+    never materialize, so corpus×corpus work is skipped. The full LSH
+    pipeline including the side filter is reproduced in SQL."""
+    from hydra_ray.stages.dedup import dedup_minhash
+
+    def is_new(ids: np.ndarray) -> np.ndarray:
+        return np.asarray([int(x) % 5 == 0 for x in ids], dtype=bool)
+
+    return dedup_minhash(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5, cross_of=is_new
+    )
+
+
+QUERIES["minhash_incremental"] = q_minhash_incremental
+ORACLES["minhash_incremental"] = _minhash_oracle_sql(
+    threshold=0.5,
+    pair_cond="AND (CAST(x.doc_id AS BIGINT) % 5 = 0) <> (CAST(y.doc_id AS BIGINT) % 5 = 0)",
+)

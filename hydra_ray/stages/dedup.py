@@ -183,7 +183,10 @@ BROADCAST_DOCS_MAX = 20_000  # below this, texts broadcast for verify
 
 
 def lsh_candidate_pairs(
-    bands: "rd.Dataset", num_parts: int = 32, unique: bool = True
+    bands: "rd.Dataset",
+    num_parts: int = 32,
+    unique: bool = True,
+    cross_of=None,
 ) -> "rd.Dataset":
     """Band rows → candidate pairs, fully distributed.
 
@@ -204,6 +207,11 @@ def lsh_candidate_pairs(
             )
         m = dup.merge(dup, on=["band_id", "band_hash"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if cross_of is not None:
+            # incremental-dedup mode: only pairs spanning the two sides
+            # (new batch vs existing corpus) — same-side pairs never
+            # materialize, so corpus×corpus work is skipped entirely
+            m = m[cross_of(m["doc_id_x"].to_numpy()) != cross_of(m["doc_id_y"].to_numpy())]
         out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
         return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
@@ -320,11 +328,17 @@ def dedup_minhash(
     shingle_k: int = 3,
     concurrency: tuple = (1, 2),
     distributed: bool | None = None,
+    cross_of=None,
 ) -> "rd.Dataset":
     """MinHash-LSH near-duplicate pairs, verified by true Jaccard.
 
     shingle→minhash per batch (actor pool) → band rows → distributed
     bucket-collision pair emission (lsh_candidate_pairs) → verify.
+
+    ``cross_of`` (ids → bool array) switches to INCREMENTAL mode: only
+    pairs spanning the two sides are emitted/verified — the streaming
+    crawl shape where each iteration's new documents are deduped
+    against the append-only corpus whose band table is built once.
 
     Verify routing: above BROADCAST_DOCS_MAX docs (or distributed=True)
     texts are attached by co-partitioned joins — no driver
@@ -346,9 +360,9 @@ def dedup_minhash(
 
     if distributed:
         # unique=False: the verify co-partition dedups pairs for free
-        pairs = lsh_candidate_pairs(bands, unique=False)
+        pairs = lsh_candidate_pairs(bands, unique=False, cross_of=cross_of)
         return _verify_distributed(mat, pairs, threshold, shingle_k)
-    pairs = lsh_candidate_pairs(bands)
+    pairs = lsh_candidate_pairs(bands, cross_of=cross_of)
 
     texts_tbl = mat.select_columns(["doc_id", "text"]).to_pandas()
     text_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
