@@ -4618,3 +4618,101 @@ ORACLES["minhash_incremental"] = _minhash_oracle_sql(
     threshold=0.5,
     pair_cond="AND (CAST(x.doc_id AS BIGINT) % 5 = 0) <> (CAST(y.doc_id AS BIGINT) % 5 = 0)",
 )
+
+
+def q_grouped_mode(sf_dir: str):
+    """Most-frequent event_type per user bucket (mode with count-desc /
+    value-asc tiebreak) — grouped_agg partials on (bucket, event_type),
+    then a vectorized rank on the combo-sized result."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+
+    def mk(t: pa.Table) -> pa.Table:
+        b = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 50
+        return pa.table({"bucket": pa.array(b), "event_type": t["event_type"]})
+
+    long = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]).map_batches(
+            mk, batch_format="pyarrow"
+        ),
+        ["bucket", "event_type"],
+        [("event_type", "count", "n")],
+    )
+    t = pa.concat_tables([x for x in ds_to_tables(long) if x.num_rows]).to_pandas()
+    t = t.sort_values(["bucket", "n", "event_type"], ascending=[True, False, True], kind="mergesort")
+    out = t.drop_duplicates("bucket").rename(columns={"event_type": "mode_event"})
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+ORACLE_GROUPED_MODE = """
+    SELECT bucket, mode_event, n FROM (
+        SELECT user_id % 50 AS bucket, event_type AS mode_event,
+               count(*) AS n,
+               row_number() OVER (PARTITION BY user_id % 50
+                                  ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY 1, 2)
+    WHERE rn = 1
+"""
+
+QUERIES["grouped_mode"] = q_grouped_mode
+ORACLES["grouped_mode"] = ORACLE_GROUPED_MODE
+
+
+def q_price_outliers(sf_dir: str):
+    """IQR outlier flags: lineitems whose extendedprice falls outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] of their l_returnflag group. Quantiles
+    come from grouped_stats (pandas linear interpolation == DuckDB
+    quantile_cont — proven parity); the per-group bounds broadcast and
+    the flag pass is shuffle-free. Returns per-group outlier counts."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg, grouped_stats
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).materialize()
+    stats = pa.concat_tables(
+        [t for t in ds_to_tables(grouped_stats(li, "l_returnflag", "l_extendedprice", quantiles=(0.25, 0.75))) if t.num_rows]
+    ).to_pandas()
+    bounds = {}
+    for r in stats.itertuples(index=False):
+        q1, q3 = r.q25, r.q75
+        iqr = q3 - q1
+        bounds[r.l_returnflag] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    import ray
+
+    b_ref = ray.put(bounds)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bd = ray.get(b_ref)
+        flags = np.zeros(len(t), dtype=bool)
+        keys = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        for k, (lo, hi) in bd.items():
+            m = keys == k
+            flags[m] = (x[m] < lo) | (x[m] > hi)
+        return pa.table({"l_returnflag": t["l_returnflag"], "is_outlier": pa.array(flags)})
+
+    return grouped_agg(
+        li.map_batches(flag, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("is_outlier", "count", "n_rows"), ("is_outlier", "sum", "n_outliers")],
+    )
+
+
+ORACLE_PRICE_OUTLIERS = """
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, count(*) AS n_rows,
+           CAST(sum(CASE WHEN l.l_extendedprice < q1 - 1.5 * (q3 - q1)
+                           OR l.l_extendedprice > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+"""
+
+QUERIES["price_outliers"] = q_price_outliers
+ORACLES["price_outliers"] = ORACLE_PRICE_OUTLIERS
