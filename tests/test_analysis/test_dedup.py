@@ -432,3 +432,36 @@ def test_jaccard_set_join_exact_pairs(ray_session):
             expect.append((x, y, round(j, 6)))
     assert list(map(tuple, got.to_numpy())) == expect
     assert ("a", "c", 1.0) in expect and ("d", "e", round(6 / 7, 6)) in expect
+
+
+def test_minhash_cross_of_incremental_mode(ray_session):
+    """cross_of keeps exactly the cross-side subset of the self-join
+    pairs, identically in the broadcast and distributed verify paths."""
+    import numpy as np
+
+    def is_new(ids):
+        return np.asarray([int(x) % 2 == 1 for x in ids], dtype=bool)
+
+    full = (
+        dedup_minhash(rd.from_arrow(corpus()), threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    expect = full[
+        is_new(full["doc_a"].to_numpy()) != is_new(full["doc_b"].to_numpy())
+    ].reset_index(drop=True)
+    for distributed in (False, True):
+        got = (
+            dedup_minhash(
+                rd.from_arrow(corpus()), threshold=0.5,
+                cross_of=is_new, distributed=distributed,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert got[["doc_a", "doc_b"]].astype(str).equals(
+            expect[["doc_a", "doc_b"]].astype(str)
+        ), distributed
+    assert len(expect) >= 1  # the 0-1 near-dup pair spans the sides
