@@ -72,6 +72,38 @@ class VersionedTable:
         ]
         return max(versions, default=0)
 
+    def lineage(self) -> "pa.Table":
+        """The table's version lineage as rows (version, parent,
+        n_files, meta JSON) — the north rule's per-partition lineage
+        surface: every committed version records its parent and carried
+        metadata (frontier cursor, iteration), so a resume point's full
+        ancestry is queryable without reading any data files."""
+        import json as _json
+
+        rows = []
+        for f in sorted(os.listdir(self.versions_dir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(self.versions_dir, f)) as fh:
+                m = _json.load(fh)
+            rows.append(
+                (
+                    int(m["version"]),
+                    -1 if m.get("parent") is None else int(m["parent"]),
+                    len(m.get("files", [])),
+                    _json.dumps(m.get("meta", {}), sort_keys=True),
+                )
+            )
+        rows.sort()
+        return pa.table(
+            {
+                "version": pa.array([r[0] for r in rows], pa.int64()),
+                "parent": pa.array([r[1] for r in rows], pa.int64()),
+                "n_files": pa.array([r[2] for r in rows], pa.int64()),
+                "meta": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.versions_dir, f"v{version:05d}.json")
 

@@ -57,3 +57,21 @@ class TestVersionedTable:
         vt.append(t(["a", "b"], [1, 2]))
         ds = vt.read()
         assert ds.count() == 2
+
+
+def test_lineage_chain(tmp_path, ray_session):
+    import json
+
+    import pyarrow as pa
+
+    from hydra_ray.sources.store import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.overwrite(pa.table({"x": [1]}), meta={"iteration": 0})
+    t.append(pa.table({"x": [2]}), meta={"iteration": 1})
+    t.append(pa.table({"x": [3]}), meta={"iteration": 2})
+    lin = t.lineage().to_pylist()
+    assert [r["version"] for r in lin] == [1, 2, 3]
+    assert [r["parent"] for r in lin] == [0, 1, 2]
+    assert [json.loads(r["meta"])["iteration"] for r in lin] == [0, 1, 2]
+    assert lin[-1]["n_files"] >= lin[0]["n_files"]
