@@ -358,6 +358,7 @@ def bloom_semi_join(
     nbits: int = 1 << 23,
     n_hashes: int = 5,
     num_parts: int = DEFAULT_PARTS,
+    exact_broadcast_max: int = 2_000_000,
 ) -> "rd.Dataset":
     """semi_join with a Bloom pre-filter: the key set's bitmap (nbits/8
     bytes, vs the keys themselves) broadcasts once; every left block
@@ -370,6 +371,30 @@ def bloom_semi_join(
     import ray
 
     from hydra_ray.state.cuckoo import _mix64
+
+    # auto-route (the nn_all pattern): below exact_broadcast_max keys
+    # the EXACT key set broadcasts and the join is one shuffle-free
+    # filter; the Bloom+shuffle path is for corpus-sized key sets where
+    # the exact set can't ship
+    keys = keys.materialize()
+    if keys.count() <= exact_broadcast_max:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from hydra_ray.sources.store import ds_to_tables
+
+        kt = pa.concat_tables([t for t in ds_to_tables(keys) if t.num_rows])
+        key_set = _pc.unique(kt[key].combine_chunks())
+        set_ref = ray.put(key_set)
+
+        def exact_filter(t: pa.Table) -> pa.Table:
+            vals = ray.get(set_ref)
+            col = t[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return t.filter(_pc.is_in(col, value_set=vals.cast(col.type)))
+
+        return left.map_batches(exact_filter, batch_format="pyarrow")
 
     bits, nh = build_bloom(keys, key, nbits=nbits, n_hashes=n_hashes)
     bits_ref = ray.put(bits)

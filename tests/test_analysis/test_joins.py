@@ -359,3 +359,34 @@ def test_bloom_semi_join_equals_exact(ray_session):
     # the bitmap itself: members always hit, most non-members miss
     bits, nh = build_bloom(rd.from_arrow(keys), "k", nbits=1 << 16)
     assert bits.any()
+
+
+def test_bloom_semi_join_paths_identical(ray_session):
+    """broadcast-exact route == bloom+shuffle route == plain semi_join."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from hydra_ray.stages.joins import bloom_semi_join
+
+    left = pa.table(
+        {
+            "k": pa.array(np.arange(500, dtype=np.int64)),
+            "v": pa.array(np.arange(500, dtype=np.int64) * 3),
+        }
+    )
+    keys = pa.table({"k": pa.array(np.arange(0, 500, 11, dtype=np.int64))})
+    fast = (
+        bloom_semi_join(rd.from_arrow(left).repartition(4), rd.from_arrow(keys), "k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    slow = (
+        bloom_semi_join(
+            rd.from_arrow(left).repartition(4), rd.from_arrow(keys), "k",
+            nbits=1 << 14, exact_broadcast_max=0,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+    assert set(fast["k"]) == set(range(0, 500, 11))
