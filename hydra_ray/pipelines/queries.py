@@ -4716,3 +4716,84 @@ ORACLE_PRICE_OUTLIERS = """
 
 QUERIES["price_outliers"] = q_price_outliers
 ORACLES["price_outliers"] = ORACLE_PRICE_OUTLIERS
+
+
+def q_daily_active_users(sf_dir: str):
+    """DAU: distinct users per epoch-day. Two grouped_agg passes — the
+    first dedups (day, user) pairs (one row per pair per block over the
+    wire), the second counts pairs per day. No row-level shuffle."""
+    from hydra_ray.stages.agg import grouped_agg
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array((us // 86_400_000_000).astype(np.int64)),
+                "user_id": t["user_id"],
+            }
+        )
+
+    pairs = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+            days, batch_format="pyarrow"
+        ),
+        ["day", "user_id"],
+        [("user_id", "count", "_n")],
+    )
+    return grouped_agg(pairs, ["day"], [("user_id", "count", "dau")])
+
+
+ORACLE_DAILY_ACTIVE_USERS = """
+    SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+"""
+
+QUERIES["daily_active_users"] = q_daily_active_users
+ORACLES["daily_active_users"] = ORACLE_DAILY_ACTIVE_USERS
+
+
+def q_monthly_order_growth(sf_dir: str):
+    """Orders per epoch-month (30-day buckets) with month-over-month
+    delta — grouped_agg partials plus a months-sized driver fold."""
+    from hydra_ray.sources.store import ds_to_tables
+    from hydra_ray.stages.agg import grouped_agg
+
+    def months(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"month": pa.array((us // (86_400_000_000 * 30)).astype(np.int64))})
+
+    counts = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"]).map_batches(
+            months, batch_format="pyarrow"
+        ),
+        ["month"],
+        [("month", "count", "n_orders")],
+    )
+    t = pa.concat_tables([x for x in ds_to_tables(counts) if x.num_rows]).to_pandas()
+    t = t.sort_values("month").reset_index(drop=True)
+    prev = t["n_orders"].shift(1)
+    t["delta"] = (t["n_orders"] - prev).fillna(0).astype("int64")
+    # growth vs previous month; NaN (first month) → emit as float64 NaN
+    t["growth"] = np.where(
+        prev.notna() & (prev > 0),
+        np.floor(np.abs(t["n_orders"] / prev) * 1e6 + 0.5) / 1e6,
+        np.nan,
+    )
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+ORACLE_MONTHLY_ORDER_GROWTH = """
+    WITH m AS (
+        SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // (86400000000 * 30) AS month,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(COALESCE(n_orders - lag(n_orders) OVER (ORDER BY month), 0) AS BIGINT) AS delta,
+           round(n_orders * 1.0 / lag(n_orders) OVER (ORDER BY month), 6) AS growth
+    FROM m
+"""
+
+QUERIES["monthly_order_growth"] = q_monthly_order_growth
+ORACLES["monthly_order_growth"] = ORACLE_MONTHLY_ORDER_GROWTH
