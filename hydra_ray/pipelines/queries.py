@@ -4797,3 +4797,53 @@ ORACLE_MONTHLY_ORDER_GROWTH = """
 
 QUERIES["monthly_order_growth"] = q_monthly_order_growth
 ORACLES["monthly_order_growth"] = ORACLE_MONTHLY_ORDER_GROWTH
+
+
+def q_brand_nation_volume(sf_dir: str):
+    """Three-way star join: lineitem volume by part brand × supplier
+    nation. Both dimension sides (part keys→brand, supplier→nation
+    name) broadcast once via ray.put and attach with vectorized
+    pc.index_in inside one lineitem pass; the aggregate is grouped_agg
+    partials. Sum of l_quantity is integral-valued — exact at any
+    order."""
+    from hydra_ray.stages.agg import grouped_agg
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]).to_pandas()
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    pk = pa.array(part["p_partkey"].to_numpy())
+    pb = pa.array(part["p_brand"].to_numpy(), pa.string())
+    sk = pa.array(supp["s_suppkey"].to_numpy())
+    sn = pa.array(supp["n_name"].to_numpy(), pa.string())
+    dims_ref = ray.put((pk, pb, sk, sn))
+
+    def attach(t: pa.Table) -> pa.Table:
+        pkk, pbb, skk, snn = ray.get(dims_ref)
+        brand = pbb.take(pc.index_in(t["l_partkey"].combine_chunks(), value_set=pkk))
+        nat = snn.take(pc.index_in(t["l_suppkey"].combine_chunks(), value_set=skk))
+        return pa.table(
+            {"p_brand": brand, "n_name": nat, "l_quantity": t["l_quantity"]}
+        )
+
+    return grouped_agg(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+        ).map_batches(attach, batch_format="pyarrow"),
+        ["p_brand", "n_name"],
+        [("l_quantity", "count", "n_items"), ("l_quantity", "sum", "sum_qty")],
+    )
+
+
+ORACLE_BRAND_NATION_VOLUME = """
+    SELECT p.p_brand, n.n_name,
+           count(*) AS n_items, sum(l.l_quantity) AS sum_qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY p.p_brand, n.n_name
+"""
+
+QUERIES["brand_nation_volume"] = q_brand_nation_volume
+ORACLES["brand_nation_volume"] = ORACLE_BRAND_NATION_VOLUME
