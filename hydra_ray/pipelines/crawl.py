@@ -360,7 +360,8 @@ class CrawlEngine:
             updates.append(_frontier_update_fetched(result, now))
 
             # 5. politeness bookkeeping: per-domain completed counts + the
-            # latest check's status/ratelimit headers (in crawl order)
+            # latest check's status/ratelimit headers (by max check_id —
+            # deterministic under any block ordering)
             self.politeness.record_agg(_politeness_records(result), now_epoch)
             mark("record")
 
@@ -940,14 +941,23 @@ def _set_column(tbl: pa.Table, name: str, arr) -> pa.Table:
 
 def _politeness_records(result: pa.Table) -> list[tuple]:
     """(domain, n_completed, last_status, rl_remaining, rl_limit) per domain,
-    'last' = the last row in crawl order for that domain.
+    'last' = the row with the maximum ``check_id`` for that domain.
 
-    Vectorized: counts via value_counts, the per-domain LAST row index
-    via a grouped max — only ~n_domains header JSONs are parsed, not one
-    per check row (this runs serially on the driver every iteration)."""
+    check_id = mix64(url_key, iteration) is a pure function of (url,
+    iteration), so "latest" is identical under any block ordering /
+    parallelism — the crawl determinism contract (crawl.py:10-17)
+    requires this.  Row POSITION must never be used here: block order
+    out of Ray's streaming executor is nondeterministic, and a
+    position-based pick makes the 429-cool-off a race (VERDICT r2 #1).
+
+    Vectorized: counts via a grouped size, the per-domain winning row
+    via a grouped idxmax over check_id — only ~n_domains header JSONs
+    are parsed, not one per check row (this runs serially on the
+    driver every iteration)."""
     doms = pd.Series(result["domain"].to_pylist())
     counts = doms.groupby(doms, sort=False).size()
-    last_idx = pd.Series(np.arange(len(doms))).groupby(doms.values, sort=False).max()
+    cids = pd.Series(result["check_id"].to_numpy(zero_copy_only=False))
+    last_idx = cids.groupby(doms.values, sort=False).idxmax()
     statuses = result["check_status"]
     headers = result["check_headers"]
     out = []

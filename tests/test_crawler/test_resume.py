@@ -140,6 +140,70 @@ def test_results_identical_with_domain_partitioning(tmp_path, make_crawl_engine)
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_429_domain_across_blocks_deterministic(tmp_path, make_crawl_engine):
+    """A domain with mixed 200/429 responses spanning many blocks: the
+    politeness 429 cool-off must key off the MAX-check_id row (a pure
+    function of url+iteration), never row position in the
+    nondeterministically-ordered result table (VERDICT r2 #1).
+
+    Two fresh runs and two parallelism levels must produce identical
+    per-iteration stats (incl. backoff counts) and byte-identical
+    checks."""
+    from hydra_ray.functions.urls import url_md5
+
+    hot = [f"https://hot-mixed.example/f{i:03d}.csv" for i in range(60)]
+    responses = {}
+    for i, u in enumerate(hot):
+        if i % 2 == 0:
+            responses[("head", u)] = {
+                "kind": "error", "status": 429, "headers": {}, "error": "Too Many Requests",
+            }
+        else:
+            responses[("head", u)] = {
+                "kind": "ok",
+                "status": 200,
+                "headers": {
+                    "content-type": "text/csv",
+                    "content-length": "1234",
+                    "last-modified": "Mon, 01 Jan 2024 00:00:00 GMT",
+                },
+            }
+    seed = pa.table(
+        {
+            "dataset_id": [f"ds-{i}" for i in range(len(hot))],
+            "resource_id": [url_md5(u) for u in hot],
+            "url": hot,
+            "format": ["csv"] * len(hot),
+        }
+    )
+
+    def run(sub, conc, pools):
+        e = make_crawl_engine(
+            str(tmp_path / sub),
+            transport={"kind": "mock", "responses": responses},
+            batch_size=30,
+            fetch_concurrency=conc,
+            actor_pools=pools,
+        )
+        e.load_catalog(seed)
+        stats = [e.run_iteration() for _ in range(2)]
+        fp = checks_fingerprint(e)
+        e.shutdown()
+        return stats, fp
+
+    s1, f1 = run("c1", 1, False)
+    s1b, f1b = run("c1b", 1, False)  # fresh rerun, same parallelism
+    s4, f4 = run("c4", 4, True)  # 4-way actor pool → different block order
+    assert s1 == s1b == s4
+    assert f1 == f1b == f4
+    # the cool-off actually engaged: iteration 1 must defer the whole
+    # domain iff iteration 0's max-check_id row was a 429 — either way
+    # the count is pinned identical above; assert the scenario is live
+    # (some backoff happened somewhere, so the race path was exercised)
+    assert any(s["backoff"] > 0 for s in s1) or s1[1]["selected"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_docs_span_invariant_across_runs(tmp_path, make_crawl_engine):
     from hydra_ray.stages.spans import span_sequences_equal
 
