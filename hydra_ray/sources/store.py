@@ -395,6 +395,16 @@ class VersionedTable:
         return self._commit(sorted(new_files), meta, self.latest_version())
 
 
+def ds_to_table_refs(ds: "rd.Dataset") -> list:
+    """Execute a Dataset exactly once and return block REFS (no driver
+    pull). Same single-execution rationale as ds_to_tables; use for
+    block-parallel follow-up work (e.g. iterative graph shards) where
+    the blocks must stay in the object store. Arrow-producing pipelines
+    only — the pandas-empty-block normalization of ds_to_tables is not
+    applied here."""
+    return ds.materialize().to_arrow_refs()
+
+
 def ds_to_tables(ds: "rd.Dataset") -> list[pa.Table]:
     """Execute a Dataset exactly once and return its blocks.
 
