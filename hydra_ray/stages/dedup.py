@@ -1271,12 +1271,93 @@ def char_dup_spans(
     )
 
 
+def _jaccard_pairs(idsA, sizesA, setsA, idsB, sizesB, setsB, threshold):
+    """Exact Jaccard pairs between two doc groups via a SPARSE sorted
+    token join: emission work ∝ Σ_token cntA·cntB (the actual shared
+    occurrences, tiled), accumulated into an |A|×|B| int32 counts
+    matrix — never an O(docs × union-vocab) incidence matrix. B=None →
+    self-join on A (upper triangle). Returns a (da, db, jaccard)
+    DataFrame or None."""
+    from hydra_ray.stages.text import round6
+
+    self_join = idsB is None
+    if self_join:
+        idsB, sizesB, setsB = idsA, sizesA, setsA
+    nA, nB = len(idsA), len(idsB)
+
+    def flat_sorted(sets):
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        flat = np.concatenate(list(sets)) if len(sets) else np.array([], np.int64)
+        rows = np.repeat(np.arange(len(sets)), lens)
+        o = np.argsort(flat, kind="stable")
+        return flat[o], rows[o]
+
+    fa, ra = flat_sorted(setsA)
+    if self_join:
+        fb, rb = fa, ra
+    else:
+        fb, rb = flat_sorted(setsB)
+    if len(fa) == 0 or len(fb) == 0:
+        return None
+    uA, sA, cA = np.unique(fa, return_index=True, return_counts=True)
+    if self_join:
+        uB, sB, cB = uA, sA, cA
+    else:
+        uB, sB, cB = np.unique(fb, return_index=True, return_counts=True)
+    _, iA, iB = np.intersect1d(uA, uB, assume_unique=True, return_indices=True)
+    if len(iA) == 0:
+        return None
+    ca, cb, sa, sb = cA[iA], cB[iB], sA[iA], sB[iB]
+    totals = ca * cb
+    cum = np.cumsum(totals)
+    mat = np.zeros((nA, nB), dtype=np.int32)
+    TILE_E = 1 << 24  # ≤16M pair-emissions resident at once
+    t0 = 0
+    base = 0
+    while t0 < len(totals):
+        t1 = int(np.searchsorted(cum, base + TILE_E)) + 1
+        t1 = min(max(t1, t0 + 1), len(totals))
+        cas, cbs, sas, sbs = ca[t0:t1], cb[t0:t1], sa[t0:t1], sb[t0:t1]
+        tot = cas * cbs
+        E = int(tot.sum())
+        if E:
+            # A side: each a-occurrence repeated cb(token) times
+            ta = int(cas.sum())
+            cums_a = np.concatenate([[0], np.cumsum(cas)[:-1]])
+            pos_a = np.arange(ta) - np.repeat(cums_a, cas) + np.repeat(sas, cas)
+            a_rows = np.repeat(ra[pos_a], np.repeat(cbs, cas))
+            # B side: each token's b-occurrence run tiled ca times
+            cums_t = np.concatenate([[0], np.cumsum(tot)[:-1]])
+            p = np.arange(E) - np.repeat(cums_t, tot)
+            b_rows = rb[np.repeat(sbs, tot) + p % np.repeat(cbs, tot)]
+            np.add.at(mat, (a_rows, b_rows), 1)
+        base = float(cum[t1 - 1])
+        t0 = t1
+    jac = mat / (sizesA[:, None] + sizesB[None, :] - mat)
+    ii, jj = np.nonzero(jac >= threshold)
+    if self_join:
+        keep = ii < jj
+        ii, jj = ii[keep], jj[keep]
+    if len(ii) == 0:
+        return None
+    da, db = idsA[ii], idsB[jj]
+    swap = db < da  # elementwise on object-dtype string arrays
+    return pd.DataFrame(
+        {
+            "da": np.where(swap, db, da),
+            "db": np.where(swap, da, db),
+            "jaccard": round6(jac[ii, jj]),
+        }
+    )
+
+
 def jaccard_set_join(
     ds: "rd.Dataset",
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int = 32,
+    hot_bucket_max: int = 1024,
 ) -> "rd.Dataset":
     """All-pairs token-SET similarity self-join (Jaccard ≥ threshold)
     with PPJoin prefix filtering (Xiao et al., WWW 2008).
@@ -1285,12 +1366,23 @@ def jaccard_set_join(
     rarest under a global (document-frequency, token) order — because
     two sets with J ≥ t must share a prefix token. Candidate buckets
     are keyed by prefix token (one shuffle; each doc travels with its
-    full distinct-token rank list, the cosine_near_dups trade); per
-    bucket an incidence-matrix matmul gives EXACT intersection counts,
-    and a second keyed pass dedups pairs discovered in several buckets.
-    The df table (vocab-sized) broadcasts once. Rare-token buckets are
-    small by construction — the global frequency order is what bounds
-    the worst bucket, the PPJoin skew story.
+    full distinct-token rank list, the cosine_near_dups trade), and a
+    second keyed pass dedups pairs discovered in several buckets. The
+    df table (vocab-sized) broadcasts once.
+
+    Skew story (two structural guards, not just tiling):
+
+    - **hot-bucket chunk-pair splitting**: a prefix token whose df
+      exceeds ``hot_bucket_max`` has its bucket hash-split into
+      K = ⌈df/H⌉ chunks at emission time (df is a driver-resident upper
+      bound on the bucket, so no extra pass), and each doc row
+      replicates into the K chunk-pair groups it belongs to — the
+      bucket's O(n²) verify spreads over K(K+1)/2 INDEPENDENT tasks of
+      ≤O(H²) work each instead of one task owning it all.
+    - **sparse intersection counts**: per group, intersections come
+      from a sorted token join (emission work ∝ actual shared-token
+      pairs, tiled at ~16M emissions) into an |A|×|B| int32 counts
+      matrix — never an O(docs × union-vocab) incidence matrix.
 
     Per-doc state (set size, prefix, rank list) is computed INSIDE the
     UDF call that reads the doc row — input-row atomicity, not block
@@ -1337,12 +1429,22 @@ def jaccard_set_join(
     vp = vocab.to_pandas().sort_values(["df", "w"], kind="mergesort").reset_index(drop=True)
     rank_map = pd.Series(np.arange(len(vp), dtype=np.int64), index=vp["w"])
     rank_ref = ray.put(rank_map)
+    # chunks per prefix-token bucket: df is an upper bound on bucket
+    # size (prefix ⊆ token set), already on the driver — K=1 for all
+    # but genuinely hot tokens
+    kvec_ref = ray.put(
+        np.maximum(1, -(-vp["df"].to_numpy().astype(np.int64) // hot_bucket_max))
+    )
 
     def emit_prefix(t: pa.Table) -> "pd.DataFrame":
+        from zlib import crc32
+
         ranks = ray.get(rank_ref)
+        kvec = ray.get(kvec_ref)
         ids, sets = doc_token_lists(t)
         ids_py = ids.to_pylist()
         out_id, out_w, out_size, out_ranks = [], [], [], []
+        out_c1, out_c2, out_side = [], [], []
         for i, words in enumerate(sets):
             if len(words) == 0:
                 continue
@@ -1351,70 +1453,78 @@ def jaccard_set_join(
             prefix_len = size - int(np.ceil(threshold * size)) + 1
             # prefix = the prefix_len globally-rarest tokens
             for rank in r[:prefix_len]:
-                out_id.append(ids_py[i])
-                out_w.append(rank)
-                out_size.append(size)
-                out_ranks.append(r)
+                k = int(kvec[rank])
+                if k == 1:
+                    chunks = [(-1, -1, 0)]
+                else:
+                    # deterministic hash chunk of this doc in bucket w;
+                    # replicate into every chunk-pair group it joins
+                    c = crc32(str(ids_py[i]).encode()) % k
+                    chunks = [
+                        (min(c, c2), max(c, c2), 0 if c == min(c, c2) else 1)
+                        for c2 in range(k)
+                    ]
+                for c1, c2, side in chunks:
+                    out_id.append(ids_py[i])
+                    out_w.append(rank)
+                    out_size.append(size)
+                    out_ranks.append(r)
+                    out_c1.append(c1)
+                    out_c2.append(c2)
+                    out_side.append(side)
         return pd.DataFrame(
             {
                 id_col: pd.Series(out_id, dtype="object"),
                 "w": pd.Series(out_w, dtype="int64"),
                 "size": pd.Series(out_size, dtype="int64"),
                 "set_ranks": pd.Series(out_ranks, dtype="object"),
+                "c1": pd.Series(out_c1, dtype="int64"),
+                "c2": pd.Series(out_c2, dtype="int64"),
+                "side": pd.Series(out_side, dtype="int64"),
             }
         )
 
     prefixed = ds.map_batches(emit_prefix, batch_format="pyarrow")
 
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
-        from hydra_ray.stages.text import round6
-
         empty = pd.DataFrame(
             {"da": pd.Series(dtype="object"), "db": pd.Series(dtype="object"),
              "jaccard": pd.Series(dtype="float64")}
         )
         frames = []
-        for _, grp in g.groupby("w", sort=False):
-            grp = grp.drop_duplicates(id_col)
-            if len(grp) < 2:
-                continue
-            ids = grp[id_col].to_numpy()
-            sizes = grp["size"].to_numpy().astype(np.int64)
-            sets = grp["set_ranks"].to_numpy()
-            uni = np.unique(np.concatenate(sets))
-            # int64: numpy matmul accumulates in the operand dtype, and
-            # int8 wraps once two docs share >127 tokens
-            inc = np.zeros((len(ids), len(uni)), dtype=np.int64)
-            for r, s in enumerate(sets):
-                inc[r, np.searchsorted(uni, s)] = 1
-            # tile the O(n²) pair matrix: a hot bucket (skewed vocab)
-            # of 50k docs would otherwise need a 20 GB float64 matrix
-            TILE = 1024
-            for t0 in range(0, len(ids), TILE):
-                sub = inc[t0 : t0 + TILE]
-                inter = sub @ inc.T
-                jac = inter / (
-                    sizes[t0 : t0 + TILE, None] + sizes[None, :] - inter
-                )
-                ii, jj = np.nonzero(jac >= threshold)
-                keep = ii + t0 < jj  # upper triangle across tiles
-                ii, jj = ii[keep], jj[keep]
-                if not len(ii):
+        for (_, c1, c2), grp in g.groupby(["w", "c1", "c2"], sort=False):
+            if c1 == c2:  # whole bucket (c=-1) or within-chunk: self-join
+                grp = grp.drop_duplicates(id_col)
+                if len(grp) < 2:
                     continue
-                da, db = ids[ii + t0], ids[jj]
-                swap = db < da  # elementwise on object-dtype string arrays
-                lo = np.where(swap, db, da)
-                hi = np.where(swap, da, db)
-                frames.append(
-                    pd.DataFrame(
-                        {"da": lo, "db": hi, "jaccard": round6(jac[ii, jj])}
-                    )
+                f = _jaccard_pairs(
+                    grp[id_col].to_numpy(),
+                    grp["size"].to_numpy().astype(np.int64),
+                    grp["set_ranks"].to_numpy(),
+                    None, None, None,
+                    threshold,
                 )
+            else:  # cross chunk-pair
+                a = grp[grp["side"] == 0].drop_duplicates(id_col)
+                b = grp[grp["side"] == 1].drop_duplicates(id_col)
+                if len(a) == 0 or len(b) == 0:
+                    continue
+                f = _jaccard_pairs(
+                    a[id_col].to_numpy(),
+                    a["size"].to_numpy().astype(np.int64),
+                    a["set_ranks"].to_numpy(),
+                    b[id_col].to_numpy(),
+                    b["size"].to_numpy().astype(np.int64),
+                    b["set_ranks"].to_numpy(),
+                    threshold,
+                )
+            if f is not None:
+                frames.append(f)
         if not frames:
             return empty
         return pd.concat(frames, ignore_index=True)
 
-    cands = keyed_map_partitions(prefixed, ["w"], per_bucket, num_parts=num_parts)
+    cands = keyed_map_partitions(prefixed, ["w", "c1", "c2"], per_bucket, num_parts=num_parts)
 
     def dedup_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
         return g.drop_duplicates(["da", "db"])

@@ -434,6 +434,69 @@ def test_jaccard_set_join_exact_pairs(ray_session):
     assert ("a", "c", 1.0) in expect and ("d", "e", round(6 / 7, 6)) in expect
 
 
+def test_jaccard_hot_bucket_chunk_split(ray_session):
+    """A degenerate hot prefix token (every doc shares the same tiny
+    vocabulary) is split into chunk-pair groups: the split path must
+    return exactly the same pairs as the single-bucket path, and the
+    count must match the closed form."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import jaccard_set_join
+
+    # 90 docs over a 4-token vocabulary: 3 groups of 30 identical sets
+    vocab = [["red", "green", "blue"], ["red", "green", "gold"], ["blue", "gold", "red"]]
+    ids = [f"d{i:03d}" for i in range(90)]
+    texts = [" ".join(vocab[i % 3]) for i in range(90)]
+    t = pa.table({"doc_id": ids, "text": texts})
+    kw = dict(threshold=0.9, num_parts=8)
+    split = (
+        jaccard_set_join(rd.from_arrow(t).repartition(4), hot_bucket_max=16, **kw)
+        .to_pandas().sort_values(["da", "db"]).reset_index(drop=True)
+    )
+    whole = (
+        jaccard_set_join(rd.from_arrow(t).repartition(4), hot_bucket_max=10**9, **kw)
+        .to_pandas().sort_values(["da", "db"]).reset_index(drop=True)
+    )
+    assert split.equals(whole)
+    # exactly the within-group identical pairs: 3 × C(30,2)
+    assert len(split) == 3 * (30 * 29 // 2)
+    assert (split["jaccard"] == 1.0).all()
+
+
+def test_jaccard_cross_chunk_pairs(ray_session):
+    """Near-dup pairs split across hash chunks (J just over threshold,
+    found only via cross-chunk groups) survive the split."""
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from hydra_ray.stages.dedup import jaccard_set_join
+
+    # 40 docs, each shares a hot core of 8 tokens plus one variant token
+    # from a pool of 4 → many cross-doc J = 8/10... build pairs with
+    # J = 9/11 >= 0.8 when variant matches (sets of 9+1 shared core)
+    core = " ".join(f"core{k}" for k in range(9))
+    ids, texts = [], []
+    for i in range(40):
+        ids.append(f"x{i:02d}")
+        texts.append(core + f" var{i % 4}")
+    t = pa.table({"doc_id": ids, "text": texts})
+    got = (
+        jaccard_set_join(rd.from_arrow(t).repartition(3), threshold=0.95, hot_bucket_max=8)
+        .to_pandas().sort_values(["da", "db"]).reset_index(drop=True)
+    )
+    expect = sorted(
+        (a, b)
+        for (i, a), (j, b) in itertools.combinations(enumerate(ids), 2)
+        if i % 4 == j % 4  # identical sets → J=1; others J=9/11 < 0.95
+    )
+    assert [tuple(r[:2]) for r in got.to_numpy()] == expect
+
+
 def test_minhash_cross_of_incremental_mode(ray_session):
     """cross_of keeps exactly the cross-side subset of the self-join
     pairs, identically in the broadcast and distributed verify paths."""
