@@ -111,9 +111,10 @@ def read_ods_rows(data: bytes) -> list[list[str]]:
         while cells and cells[-1] == "":
             cells.pop()
         row_repeat = int(row_el.get(_ROWS_REPEATED, "1"))
-        if not cells:
-            row_repeat = min(row_repeat, 1)  # trailing empty-row filler
-        elif row_repeat > _MAX_REPEAT:
+        # interior blank runs must expand (they shift subsequent rows);
+        # only the size is clamped, like the column case — a trailing
+        # 2^20-row LibreOffice filler run gets popped below either way
+        if row_repeat > _MAX_REPEAT:
             row_repeat = _MAX_REPEAT
         max_cols = max(max_cols, len(cells))
         rows.extend([list(cells) for _ in range(row_repeat)])

@@ -516,9 +516,15 @@ def table_profile(ds: "rd.Dataset", columns: list[str]) -> pa.Table:
     table scale: one output row per column with row/null counts, EXACT
     distinct count and min/max (as float64).
 
+    NUMERIC columns only (int/uint/float/bool) — non-numeric input
+    raises. Integer columns stay int64 end-to-end for the distinct and
+    min/max computations (values ≥2^53 never collapse); only the
+    EMITTED min_val/max_val are cast to float64 (the output schema's
+    documented loss).
+
     Shape: one combiner map_batches emits a single partial row per
     (column, block) — counts, min/max, and the block's UNIQUE values as
-    a list<double> — so the data that leaves the workers is bounded by
+    typed lists — so the data that leaves the workers is bounded by
     (true distinct cardinality) × blocks, never the row count. Partials
     merge on the driver (#cols × #blocks rows). At 100 TB with
     high-cardinality columns, swap the exact-uniques list for the
@@ -528,12 +534,21 @@ def table_profile(ds: "rd.Dataset", columns: list[str]) -> pa.Table:
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        names, n_rows, n_null, mins, maxs, uoff, uvals = [], [], [], [], [], [0], []
+        names, n_rows, n_null, mins, maxs = [], [], [], [], []
+        uoff_i, uvals_i, uoff_f, uvals_f = [0], [], [0], []
         for c in columns:
             arr = t[c]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            arr = pc.cast(arr, pa.float64())
+            ty = arr.type
+            if pa.types.is_integer(ty) or pa.types.is_boolean(ty):
+                arr = pc.cast(arr, pa.int64())
+                is_int = True
+            elif pa.types.is_floating(ty) or pa.types.is_decimal(ty):
+                arr = pc.cast(arr, pa.float64())
+                is_int = False
+            else:
+                raise TypeError(f"table_profile: column {c!r} is non-numeric ({ty})")
             names.append(c)
             n_rows.append(len(arr))
             n_null.append(arr.null_count)
@@ -541,20 +556,29 @@ def table_profile(ds: "rd.Dataset", columns: list[str]) -> pa.Table:
             mins.append(mm["min"].as_py())
             maxs.append(mm["max"].as_py())
             u = pc.unique(arr.drop_null())
-            uvals.append(u)
-            uoff.append(uoff[-1] + len(u))
-        uniq = pa.ListArray.from_arrays(
-            pa.array(uoff, type=pa.int32()),
-            pa.concat_arrays(uvals) if uvals else pa.array([], type=pa.float64()),
+            if is_int:
+                uvals_i.append(u)
+            else:
+                uvals_f.append(u)
+            uoff_i.append(uoff_i[-1] + (len(u) if is_int else 0))
+            uoff_f.append(uoff_f[-1] + (0 if is_int else len(u)))
+        uniq_i = pa.ListArray.from_arrays(
+            pa.array(uoff_i, type=pa.int32()),
+            pa.concat_arrays(uvals_i) if uvals_i else pa.array([], type=pa.int64()),
+        )
+        uniq_f = pa.ListArray.from_arrays(
+            pa.array(uoff_f, type=pa.int32()),
+            pa.concat_arrays(uvals_f) if uvals_f else pa.array([], type=pa.float64()),
         )
         return pa.table(
             {
                 "col_name": pa.array(names, type=pa.string()),
                 "n_rows": pa.array(n_rows, type=pa.int64()),
                 "n_null": pa.array(n_null, type=pa.int64()),
-                "min_val": pa.array(mins, type=pa.float64()),
-                "max_val": pa.array(maxs, type=pa.float64()),
-                "uniq": uniq,
+                "min_val": pa.array([float(v) if v is not None else None for v in mins], type=pa.float64()),
+                "max_val": pa.array([float(v) if v is not None else None for v in maxs], type=pa.float64()),
+                "uniq_i": uniq_i,
+                "uniq_f": uniq_f,
             }
         )
 
@@ -572,8 +596,10 @@ def table_profile(ds: "rd.Dataset", columns: list[str]) -> pa.Table:
         out["col_name"].append(c)
         out["n_rows"].append(pc.sum(sel["n_rows"]).as_py() or 0)
         out["n_null"].append(pc.sum(sel["n_null"]).as_py() or 0)
-        flat = pc.list_flatten(sel["uniq"].combine_chunks())
-        out["n_distinct"].append(len(pc.unique(flat)))
+        flat_i = pc.list_flatten(sel["uniq_i"].combine_chunks())
+        flat_f = pc.list_flatten(sel["uniq_f"].combine_chunks())
+        # a column is all-int or all-float across blocks; one side is empty
+        out["n_distinct"].append(len(pc.unique(flat_i)) + len(pc.unique(flat_f)))
         out["min_val"].append(pc.min(sel["min_val"]).as_py())
         out["max_val"].append(pc.max(sel["max_val"]).as_py())
     return pa.table(

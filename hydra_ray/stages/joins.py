@@ -383,7 +383,11 @@ def bloom_semi_join(
 
         from hydra_ray.sources.store import ds_to_tables
 
-        kt = pa.concat_tables([t for t in ds_to_tables(keys) if t.num_rows])
+        non_empty = [t for t in ds_to_tables(keys) if t.num_rows]
+        if not non_empty:
+            # empty key set → empty result (same contract as semi_join)
+            return left.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        kt = pa.concat_tables(non_empty)
         key_set = _pc.unique(kt[key].combine_chunks())
         set_ref = ray.put(key_set)
 

@@ -546,6 +546,8 @@ def knn_pq(
     via the object store; each query block then builds per-query
     distance tables against the codebooks ((ks·m) float ops per query)
     and scans the code matrix with numpy gathers — no shuffle at all.
+    The scan is TILED along the corpus axis with a running top-R
+    shortlist per query, so peak scan memory is Q×tile, never Q×N.
     This is the classic memory-bound ANN scale path: at 10^9 vectors
     16-byte codes are ~16 GB (fits one node's object store) while raw
     float vectors would be 256 GB. The ADC scan keeps a
@@ -593,39 +595,59 @@ def knn_pq(
         mm, kks, dsub = bk.shape
         q = _normalize(_matrix_of(t, emb_col))
         qids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # per-query distance tables: (Q, m, ks)
-        dist = np.zeros((len(q), len(cids)), dtype=np.float64)
+        nq, nc = len(q), len(cids)
+        # per-query distance LUTs: (Q, m, ks) — built once per block
+        luts = np.empty((nq, mm, kks), dtype=np.float64)
         for j in range(mm):
             sub = q[:, j * dsub : (j + 1) * dsub]
-            tab = (bk[j] * bk[j]).sum(axis=1)[None, :] - 2.0 * (sub @ bk[j].T)
-            dist += tab[:, ccodes[:, j]]
-        dist[qids[:, None] == cids[None, :]] = np.inf  # mask self
-        # ADC shortlist -> exact re-rank (float32 refine store)
-        R = min(refine, dist.shape[1] - 1)
+            luts[:, j, :] = (bk[j] * bk[j]).sum(axis=1)[None, :] - 2.0 * (sub @ bk[j].T)
+        # tile the corpus-code axis with a running top-R shortlist per
+        # query — peak memory is Q×tile, never Q×N (a 4k-row block vs a
+        # 10^9 corpus would otherwise be a ~32 TB matrix)
+        R = min(refine, nc - 1)
+        tile = max(R + 1, min(nc, (1 << 24) // max(1, nq)))
+        run_d = np.full((nq, 0), np.inf)
+        run_i = np.zeros((nq, 0), dtype=np.int64)
+        for c0 in range(0, nc, tile):
+            c1 = min(c0 + tile, nc)
+            dist = np.zeros((nq, c1 - c0), dtype=np.float64)
+            for j in range(mm):
+                dist += luts[:, j, :][np.arange(nq)[:, None], ccodes[c0:c1, j][None, :]]
+            dist[qids[:, None] == cids[None, c0:c1]] = np.inf  # mask self
+            rt = min(R, c1 - c0)
+            sel = np.argpartition(dist, rt - 1, axis=1)[:, :rt]
+            cat_d = np.concatenate([run_d, np.take_along_axis(dist, sel, axis=1)], axis=1)
+            cat_i = np.concatenate([run_i, sel + c0], axis=1)
+            if cat_d.shape[1] > R:
+                keep = np.argpartition(cat_d, R - 1, axis=1)[:, :R]
+                run_d = np.take_along_axis(cat_d, keep, axis=1)
+                run_i = np.take_along_axis(cat_i, keep, axis=1)
+            else:
+                run_d, run_i = cat_d, cat_i
+        cand = run_i  # (Q, R) global corpus indices, ADC top-R
+        # exact re-rank of the shortlist (float32 refine store)
         ref = ray.get(refine_ref)
-        cand = np.argpartition(dist, R - 1, axis=1)[:, :R]
         cs = np.einsum("qd,qrd->qr", q.astype(np.float32), ref[cand])
-        cs = np.where(np.isinf(dist[np.arange(len(q))[:, None], cand]), -np.inf, cs)
-        dist = np.full_like(dist, np.inf)
-        np.put_along_axis(dist, cand, -cs.astype(np.float64), axis=1)
-        kk = min(k, dist.shape[1] - 1)
+        cs = np.where(np.isinf(run_d), -np.inf, cs).astype(np.float64)
+        kk = min(k, nc - 1)
+        cand_ids = cids[cand]
         if kk == 1:
             # vectorized top-1 with deterministic smallest-id tie-break
-            best = dist.min(axis=1, keepdims=True)
-            tied = np.where(dist == best, cids[None, :], np.iinfo(np.int64).max)
+            best = cs.max(axis=1, keepdims=True)
+            tied = np.where(cs == best, cand_ids, np.iinfo(np.int64).max)
             nn = tied.min(axis=1)
             return pa.table(
                 {
                     "vec_id": pa.array(qids),
                     "nn_id": pa.array(nn),
-                    "sim": pa.array(np.round(-best[:, 0], 6)),
+                    "sim": pa.array(np.round(best[:, 0], 6)),
                 }
             )
         rows = []
         for r in range(len(qids)):
-            order = np.lexsort((cids, dist[r]))[:kk]
+            order = np.lexsort((cand_ids[r], -cs[r]))[:kk]
             for j in order:
-                rows.append((int(qids[r]), int(cids[j]), round(-float(dist[r, j]), 6)))
+                rows.append((int(qids[r]), int(cand_ids[r, j]), round(float(cs[r, j]), 6)))
         return pa.table(
             {
                 "vec_id": pa.array([a for a, _, _ in rows], pa.int64()),

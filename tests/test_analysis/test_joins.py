@@ -322,6 +322,11 @@ def test_joins_tolerate_empty_sides():
     # empty right: inner empty, left keeps its rows
     assert hash_join(rd.from_arrow(t), empty, "k").count() == 0
     assert hash_join(rd.from_arrow(t), empty, "k", how="left").count() == 2
+    # empty key set through bloom's exact-broadcast route: empty result,
+    # no ArrowInvalid from pa.concat_tables([])
+    from hydra_ray.stages.joins import bloom_semi_join
+
+    assert bloom_semi_join(rd.from_arrow(t), empty.select_columns(["k"]), "k").count() == 0
 
 
 def test_bloom_semi_join_equals_exact(ray_session):

@@ -102,6 +102,23 @@ def test_trailing_filler_runs_trimmed():
     assert rows == [["a"]]
 
 
+def test_interior_blank_row_run_expands():
+    """An interior number-rows-repeated blank run must expand (it
+    shifts all subsequent rows in the source sheet); only trailing
+    filler is trimmed."""
+    xml = _doc(
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>top</text:p></table:table-cell>'
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="3"><table:table-cell/></table:table-row>'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>bottom</text:p></table:table-cell>'
+        "</table:table-row>"
+    )
+    rows = read_ods_rows(_pack(xml))
+    assert rows == [["top"], [""], [""], [""], ["bottom"]]
+
+
 def test_covered_cells_and_space_expansion():
     xml = _doc(
         "<table:table-row>"

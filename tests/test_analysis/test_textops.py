@@ -349,6 +349,31 @@ def test_tdigest_exact_weights_and_rank_error():
                     assert abs(rank - q) < 0.03, (parts, kk, q, rank)
 
 
+def test_table_profile_big_int64_exact_distinct(ray_session):
+    """int64 values ≥ 2^53 (adjacent, float64-indistinguishable) must
+    keep exact distinct counts — integers stay int64 through the
+    unique path; only emitted min/max are float64."""
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import table_profile
+
+    big = 2**60
+    vals = [big, big + 1, big + 2, big, big + 1, None]
+    t = pa.table({"x": pa.array(vals, type=pa.int64()), "y": pa.array([0.5] * 6)})
+    out = table_profile(rd.from_arrow(t).repartition(3), ["x", "y"]).to_pylist()
+    by = {r["col_name"]: r for r in out}
+    assert by["x"]["n_distinct"] == 3  # float64 would collapse to 1-2
+    assert by["x"]["n_null"] == 1
+    assert by["x"]["min_val"] == float(big)
+    assert by["y"]["n_distinct"] == 1
+    # non-numeric column: loud error, not a garbage cast
+    s = pa.table({"s": pa.array(["a", "b"])})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-numeric"):
+        table_profile(rd.from_arrow(s), ["s"])
+
+
 def test_temperature_mix_quotas_and_determinism():
     import math
 
