@@ -399,6 +399,62 @@ def write_pmtiles(
     return out_path
 
 
+def write_pmtiles_streaming(
+    tile_meta: list[tuple[int, int, int]],
+    blob_iter,
+    out_path: str,
+    bounds: tuple[float, float, float, float] = (-180.0, -85.0511, 180.0, 85.0511),
+    metadata: dict | None = None,
+) -> str:
+    """Streaming sibling of write_pmtiles: directories are built from
+    ``tile_meta`` = [(tile_id, byte_length, zoom)] (tiny — no blobs),
+    then tile DATA is appended from ``blob_iter`` — an iterator of
+    (tile_id, bytes) in ascending-tile-id (Hilbert) order — so driver
+    memory is one blob batch, never the whole tile set. Byte-identical
+    to write_pmtiles on the same tiles (round-trip pinned by test)."""
+    if not tile_meta:
+        raise ValueError("no tiles to write")
+    meta_sorted = sorted(tile_meta)
+    entries = []
+    off = 0
+    for tid, ln, _z in meta_sorted:
+        entries.append((tid, off, ln, 1))
+        off += ln
+    root = _serialize_directory(entries)
+    leaves = b""
+    if len(root) > MAX_ROOT_DIR_BYTES:
+        root, leaves = _split_to_leaves(entries)
+    meta = json.dumps(metadata or {"vector_layers": [{"id": "features"}]}, sort_keys=True).encode()
+    zs = [z for _, _, z in tile_meta]
+    meta_off = 127 + len(root)
+    leaf_off = meta_off + len(meta)
+    tile_off = leaf_off + len(leaves)
+    header = _pack_header(
+        len(root), meta_off, len(meta), tile_off, off, len(entries),
+        min(zs), max(zs), bounds,
+        leaf_off=leaf_off if leaves else 0, leaf_len=len(leaves),
+    )
+    import os
+
+    tmp = out_path + ".tmp"
+    expect = iter(meta_sorted)
+    written = 0
+    with open(tmp, "wb") as f:
+        f.write(header + root + meta + leaves)
+        for tid, blob in blob_iter:
+            want = next(expect, None)
+            if want is None or want[0] != tid or want[1] != len(blob):
+                raise ValueError(
+                    f"blob stream out of Hilbert order or length mismatch at tile {tid}"
+                )
+            f.write(blob)
+            written += len(blob)
+    if written != off:
+        raise ValueError(f"tile data truncated: wrote {written} of {off} bytes")
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def read_pmtiles(path: str) -> dict:
     """Archive → {'header': {...}, 'metadata': dict,
     'tiles': {(z,x,y): bytes}}. Root-only and leaf-directory archives

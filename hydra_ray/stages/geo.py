@@ -220,10 +220,34 @@ def features_to_pmtiles(ds, out_path: str, zoom: int = 6, layer: str = "features
         return pd.DataFrame(rows, columns=["tile_x", "tile_y", "mvt"])
 
     blobs = keyed_map_partitions(assigned, ["tile_x", "tile_y"], encode_tiles)
-    tiles: dict[tuple[int, int, int], bytes] = {}
-    for row in blobs.iter_rows():
-        tiles[(zoom, row["tile_x"], row["tile_y"])] = bytes(row["mvt"])
-    return write_pmtiles(tiles, out_path)
+
+    # streaming archive assembly: directories come from a blob-free
+    # (tile_id, length) pull; tile DATA streams to the writer in
+    # Hilbert order via a distributed sort — driver memory is one
+    # batch, never the whole tile set
+    from hydra_ray.sources.pmtiles import hilbert_tile_id, write_pmtiles_streaming
+
+    def add_tid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tid"] = [
+            hilbert_tile_id(zoom, int(x), int(y)) for x, y in zip(df["tile_x"], df["tile_y"])
+        ]
+        df["ln"] = [len(b) for b in df["mvt"]]
+        return df
+
+    tagged = blobs.map_batches(add_tid, batch_format="pandas").materialize()
+    tile_meta = [
+        (int(r["tid"]), int(r["ln"]), zoom)
+        for r in tagged.select_columns(["tid", "ln"]).iter_rows()
+    ]
+    ordered = tagged.sort("tid")
+
+    def blob_stream():
+        for b in ordered.iter_batches(batch_size=256, batch_format="pandas"):
+            for tid, mvt in zip(b["tid"], b["mvt"]):
+                yield int(tid), bytes(mvt)
+
+    return write_pmtiles_streaming(tile_meta, blob_stream(), out_path)
 
 
 def to_pmtiles(geojson_path: str, out_path: str, zoom: int = 6) -> str:
