@@ -4847,3 +4847,69 @@ ORACLE_BRAND_NATION_VOLUME = """
 
 QUERIES["brand_nation_volume"] = q_brand_nation_volume
 ORACLES["brand_nation_volume"] = ORACLE_BRAND_NATION_VOLUME
+
+
+def q_webp_roundtrip(sf_dir: str):
+    """WebP-lossless round-trip (sources/webp.py — real VP8L bitstream:
+    subtract-green transform, canonical prefix codes, 17/18 zero-run
+    code-length coding): per doc a deterministic 10×10 RGB frame —
+    pixel(r,c,k) = (doc_id*5 + r*17 + c*29 + k*71) % 256 — is
+    VP8L-encoded then decoded back through the decode_image router; the
+    compared stats (per-channel means + a position-weighted checksum)
+    are computed from the DECODED array, so any flipped bit or pixel
+    permutation anywhere in the codec fails the closed-form oracle."""
+    from hydra_ray.sources.webp import encode_webp_lossless
+    from hydra_ray.stages.multimodal import decode_image
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.arange(10).reshape(10, 1, 1)
+        c = np.arange(10).reshape(1, 10, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        wgt = (1 + r + 17 * c + 289 * k).astype(np.int64)
+        means = np.zeros((len(ids), 3), dtype=np.float64)
+        chk = np.zeros(len(ids), dtype=np.int64)
+        for j, d in enumerate(ids):
+            img = ((int(d) * 5 + r * 17 + c * 29 + k * 71) % 256).astype(np.uint8)
+            dec = decode_image(encode_webp_lossless(img))
+            assert dec.shape == (10, 10, 3)
+            means[j] = dec.reshape(-1, 3).mean(axis=0)
+            chk[j] = int((dec.astype(np.int64) * wgt).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "wb_mean_r": pa.array(np.round(means[:, 0], 6)),
+                "wb_mean_g": pa.array(np.round(means[:, 1], 6)),
+                "wb_mean_b": pa.array(np.round(means[:, 2], 6)),
+                "wb_chk": pa.array(chk),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_WEBP_ROUNDTRIP = """
+    WITH px AS (
+        SELECT doc_id, k,
+               avg(CAST((doc_id * 5 + r * 17 + c * 29 + k * 71) % 256 AS DOUBLE)) AS m,
+               sum(CAST((doc_id * 5 + r * 17 + c * 29 + k * 71) % 256 AS BIGINT)
+                   * (1 + r + 17 * c + 289 * k)) AS s
+        FROM (SELECT doc_id, unnest(generate_series(0, 9)) AS r FROM documents),
+             (SELECT unnest(generate_series(0, 9)) AS c),
+             (SELECT unnest(generate_series(0, 2)) AS k)
+        GROUP BY doc_id, k
+    )
+    SELECT p0.doc_id,
+           round(p0.m, 6) AS wb_mean_r, round(p1.m, 6) AS wb_mean_g,
+           round(p2.m, 6) AS wb_mean_b,
+           CAST(p0.s + p1.s + p2.s AS BIGINT) AS wb_chk
+    FROM px p0
+    JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.k = 1
+    JOIN px p2 ON p2.doc_id = p0.doc_id AND p2.k = 2
+    WHERE p0.k = 0
+"""
+
+QUERIES["webp_roundtrip"] = q_webp_roundtrip
+ORACLES["webp_roundtrip"] = ORACLE_WEBP_ROUNDTRIP

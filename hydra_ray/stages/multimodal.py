@@ -62,10 +62,11 @@ class MediaFetcher:
 def decode_image(payload: bytes, decoder=None):
     """Decode an image payload to an HxWxC uint8 array.
 
-    PNG, BMP, GIF and baseline JPEG decode natively (sources/codecs.py
-    — stdlib+numpy only: zlib scanline filters / BITMAPINFOHEADER rows
-    / LZW + color tables / SOF0 Huffman + IDCT). Other formats (WebP,
-    progressive JPEG, …) need an injected ``decoder`` (e.g.
+    PNG, BMP, GIF, baseline JPEG and lossless WebP (VP8L subset —
+    sources/webp.py) decode natively (stdlib+numpy only: zlib scanline
+    filters / BITMAPINFOHEADER rows / LZW + color tables / SOF0
+    Huffman + IDCT / canonical-prefix-code VP8L). Other formats (lossy
+    WebP, progressive JPEG, …) need an injected ``decoder`` (e.g.
     PIL.Image.open) — those libs are not in this container, so they
     stay honestly gated."""
     if decoder is not None:
@@ -87,8 +88,13 @@ def decode_image(payload: bytes, decoder=None):
         from hydra_ray.sources.codecs import decode_jpeg
 
         return decode_jpeg(payload)
+    if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        from hydra_ray.sources.webp import decode_webp_lossless
+
+        return decode_webp_lossless(payload)
     raise NotImplementedError(
-        "PNG/BMP/GIF/baseline-JPEG decode natively; inject a decoder for other image formats"
+        "PNG/BMP/GIF/baseline-JPEG/lossless-WebP decode natively; "
+        "inject a decoder for other image formats"
     )
 
 

@@ -468,3 +468,33 @@ def test_g711_wav_variants_agree_with_au():
         wv, rate = decode_audio(encode_wav_g711(s, 8000, alaw=alaw))
         au, _ = decode_audio(encode_au(s, 8000, encoding=au_enc))
         assert rate == 8000 and (wv == au).all()
+
+
+# --------------------------------------------------------------------------
+# WebP lossless (VP8L): random images through encode → decode must be
+# pixel-exact (exercises canonical prefix codes, 17/18 zero-run
+# code-length coding, simple codes, subtract-green inversion)
+# --------------------------------------------------------------------------
+
+@_FAST
+@given(st.data())
+def test_webp_lossless_roundtrip(data):
+    import numpy as np
+
+    from hydra_ray.sources.webp import decode_webp_lossless, encode_webp_lossless
+
+    h = data.draw(st.integers(min_value=1, max_value=12))
+    w = data.draw(st.integers(min_value=1, max_value=12))
+    nch = data.draw(st.sampled_from([2, 3, 4]))  # 2 → grayscale input
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    palette = data.draw(st.sampled_from([2, 5, 256]))  # simple + normal codes
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=palette).astype(np.uint8)
+    shape = (h, w) if nch == 2 else (h, w, nch)
+    img = vals[rng.integers(0, palette, size=shape)]
+    out = decode_webp_lossless(encode_webp_lossless(img))
+    exp = np.stack([img] * 3, axis=-1) if nch == 2 else img
+    if exp.shape[-1] == 4 and bool((exp[..., 3] == 255).all()):
+        exp = exp[..., :3]
+    assert out.shape == exp.shape
+    assert (out == exp).all()
