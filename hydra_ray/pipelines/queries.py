@@ -1421,54 +1421,89 @@ def q_csv_profile(sf_dir: str):
         out = []
         for grp, g in df.groupby("grp", sort=True):
             g = g.sort_values("event_id")
-            lines = ["event_id,value"] + [
-                f"{int(e)},{v!r}" for e, v in zip(g["event_id"], g["value"])
+            lines = ["event_id,value,mixed"] + [
+                f"{int(e)},{v!r},{_mixed_cell(int(e), float(v))}"
+                for e, v in zip(g["event_id"], g["value"])
             ]
             rep = inspect_csv_text("\n".join(lines), output_profile=True)
-            for col in ("event_id", "value"):
-                p = rep["profile"][col]
-                out.append(
-                    (
-                        int(grp),
-                        col,
-                        float(p["min"]),
-                        float(p["max"]),
-                        float(p["mean"]),
-                        float(p["std"]),
-                        int(p["nb_distinct"]),
-                        int(p["nb_missing_values"]),
-                    )
-                )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "grp",
-                "col_name",
-                "col_min",
-                "col_max",
-                "col_mean",
-                "col_std",
-                "nb_distinct",
-                "nb_missing",
-            ],
-        )
+            out.extend(_profile_rows(int(grp), rep))
+        return pd.DataFrame(out, columns=_PROFILE_COLS)
 
     return keyed_map_partitions(
         ds.map_batches(addgrp, batch_format="pyarrow"), ["grp"], profile_group, num_parts=8
     )
 
 
+def _mixed_cell(e: int, v: float) -> str:
+    """Deterministic mixed-type cell: int literal on every third
+    event_id, float repr otherwise — the csv-detective `score` (dominant
+    type fraction over the 100-row detection sample) becomes a
+    non-trivial, SQL-checkable value."""
+    return str(e % 50) if e % 3 == 0 else repr(v)
+
+
+_PROFILE_COLS = [
+    "grp", "col_name", "col_min", "col_max", "col_mean", "col_std",
+    "nb_distinct", "nb_missing", "score",
+]
+
+
+def _profile_rows(grp: int, rep: dict) -> list[tuple]:
+    """Shared CSV/workbook profile row extraction — stats from the
+    full-body profile, type `score` from the detection sample (both
+    routes go through the same inspection report shape)."""
+    rows = []
+    for col in ("event_id", "value", "mixed"):
+        p = rep["profile"][col]
+        rows.append(
+            (
+                grp,
+                col,
+                float(p["min"]),
+                float(p["max"]),
+                float(p["mean"]),
+                float(p["std"]),
+                int(p["nb_distinct"]),
+                int(p["nb_missing_values"]),
+                float(rep["columns"][col]["score"]),
+            )
+        )
+    return rows
+
+
 ORACLE_CSV_PROFILE = """
-    WITH g AS (SELECT user_id % 16 AS grp, event_id, value FROM events)
+    WITH g AS (SELECT user_id % 16 AS grp, event_id, value,
+                      CASE WHEN event_id % 3 = 0
+                           THEN CAST(event_id % 50 AS DOUBLE) ELSE value END AS mixed
+               FROM events),
+    sample AS (
+        SELECT grp, event_id,
+               row_number() OVER (PARTITION BY grp ORDER BY event_id) AS rn
+        FROM g
+    ),
+    sc AS (
+        SELECT grp,
+               round(CAST(greatest(
+                   sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END),
+                   sum(CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END)) AS DOUBLE)
+                   / count(*), 3) AS mixed_score
+        FROM sample WHERE rn <= 100 GROUP BY grp
+    )
     SELECT grp, 'event_id' AS col_name,
            CAST(min(event_id) AS DOUBLE) AS col_min, CAST(max(event_id) AS DOUBLE) AS col_max,
            round(avg(event_id), 6) AS col_mean, round(stddev_pop(event_id), 6) AS col_std,
-           count(DISTINCT event_id) AS nb_distinct, CAST(0 AS BIGINT) AS nb_missing
+           count(DISTINCT event_id) AS nb_distinct, CAST(0 AS BIGINT) AS nb_missing,
+           1.0 AS score
     FROM g GROUP BY grp
     UNION ALL
     SELECT grp, 'value', min(value), max(value), round(avg(value), 6),
-           round(stddev_pop(value), 6), count(DISTINCT value), 0
+           round(stddev_pop(value), 6), count(DISTINCT value), 0, 1.0
     FROM g GROUP BY grp
+    UNION ALL
+    SELECT g.grp, 'mixed', min(mixed), max(mixed), round(avg(mixed), 6),
+           round(stddev_pop(mixed), 6), count(DISTINCT mixed), 0,
+           any_value(s.mixed_score)
+    FROM g JOIN sc s ON s.grp = g.grp GROUP BY g.grp
 """
 
 QUERIES["csv_profile"] = q_csv_profile
@@ -2648,36 +2683,14 @@ def q_workbook_profile(sf_dir: str):
         out = []
         for grp, g in df.groupby("grp", sort=True):
             g = g.sort_values("event_id")
-            rows: list[list] = [["event_id", "value"]]
-            rows += [[int(e), float(v)] for e, v in zip(g["event_id"], g["value"])]
+            rows: list[list] = [["event_id", "value", "mixed"]]
+            rows += [
+                [int(e), float(v), (int(e) % 50 if int(e) % 3 == 0 else float(v))]
+                for e, v in zip(g["event_id"], g["value"])
+            ]
             rep = inspect_xlsx(write_xlsx(rows), output_profile=True)
-            for col in ("event_id", "value"):
-                p = rep["profile"][col]
-                out.append(
-                    (
-                        int(grp),
-                        col,
-                        float(p["min"]),
-                        float(p["max"]),
-                        float(p["mean"]),
-                        float(p["std"]),
-                        int(p["nb_distinct"]),
-                        int(p["nb_missing_values"]),
-                    )
-                )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "grp",
-                "col_name",
-                "col_min",
-                "col_max",
-                "col_mean",
-                "col_std",
-                "nb_distinct",
-                "nb_missing",
-            ],
-        )
+            out.extend(_profile_rows(int(grp), rep))
+        return pd.DataFrame(out, columns=_PROFILE_COLS)
 
     return keyed_map_partitions(
         ds.map_batches(addgrp, batch_format="pyarrow"), ["grp"], profile_group, num_parts=8

@@ -498,3 +498,25 @@ def test_webp_lossless_roundtrip(data):
         exp = exp[..., :3]
     assert out.shape == exp.shape
     assert (out == exp).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.lists(_CELL, min_size=1, max_size=5), min_size=2, max_size=6),
+)
+def test_xls_biff5_typed_table_equality(rows):
+    """Random sheets through the BIFF5 writer must produce the same
+    TYPED Arrow table (inspection + smart_cast) as the BIFF8 route —
+    not just the same strings (VERDICT r2 fuzz-breadth item)."""
+    from hydra_ray.sources.xls import write_xls, write_xls_biff5, xls_to_table
+
+    if not all(not isinstance(v, str) or _latin1able(v) for r in rows for v in r):
+        return  # BIFF5 has no unicode — writer is latin-1 only
+    width = max(len(r) for r in rows)
+    rows = [list(r) + [""] * (width - len(r)) for r in rows]
+    # header row must be strings for the typed-table path
+    header = [f"c{i}" for i in range(width)]
+    t8 = xls_to_table(write_xls([header] + rows))
+    t5 = xls_to_table(write_xls_biff5([header] + rows))
+    assert t8.schema == t5.schema
+    assert t8.equals(t5)

@@ -136,3 +136,89 @@ def test_biff5_book_stream():
     stream = bof_g + boundsheet + _rec(0x000A, b"") + bof_s + cells + _rec(0x000A, b"")
     blob = _write_cfb("Book", stream)
     assert read_xls_rows(blob) == [["abc", "2.5"], ["7", "true"]]
+
+
+def _wrap_biff8(cell_recs: bytes) -> bytes:
+    """Minimal BIFF8 workbook around hand-crafted worksheet records."""
+    import struct
+
+    from hydra_ray.sources.xls import _BOF, _BOUNDSHEET, _EOF, _rec, _write_cfb
+
+    bof_globals = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_sheet = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sheet = bof_sheet + cell_recs + _rec(_EOF, b"")
+    name = b"S"
+    globals_len = len(bof_globals) + 4 + (4 + 2 + 2 + len(name)) + 4
+    boundsheet = _rec(
+        _BOUNDSHEET, struct.pack("<IH", globals_len, 0) + bytes([len(name), 0]) + name
+    )
+    return _write_cfb("Workbook", bof_globals + boundsheet + _rec(_EOF, b"") + sheet)
+
+
+def test_formula_cached_results_all_kinds():
+    """FORMULA records with every cached-result kind: number, string
+    (value in the following STRING record), boolean, blank, error."""
+    import struct
+
+    from hydra_ray.sources.xls import _FORMULA, _STRING, _rec
+
+    recs = b""
+    # (0,0) number result 2.5 — plain double in the cached field
+    recs += _rec(_FORMULA, struct.pack("<HHHd", 0, 0, 0, 2.5) + b"\x00\x00\x00\x00\x00\x00")
+    # (0,1) string result, text follows in a STRING record
+    recs += _rec(_FORMULA, struct.pack("<HHH", 0, 1, 0) + bytes([0, 0, 0, 0, 0, 0, 255, 255]))
+    recs += _rec(_STRING, struct.pack("<HB", 5, 0) + b"hello")
+    # (0,2) boolean TRUE
+    recs += _rec(_FORMULA, struct.pack("<HHH", 0, 2, 0) + bytes([1, 0, 1, 0, 0, 0, 255, 255]))
+    # (0,3) blank
+    recs += _rec(_FORMULA, struct.pack("<HHH", 0, 3, 0) + bytes([3, 0, 0, 0, 0, 0, 255, 255]))
+    # (0,4) error (#DIV/0!) → blank cell
+    recs += _rec(_FORMULA, struct.pack("<HHH", 0, 4, 0) + bytes([2, 0, 7, 0, 0, 0, 255, 255]))
+    # (1,0) anchor cell so the error column stays in the dense grid
+    recs += _rec(_FORMULA, struct.pack("<HHHd", 1, 4, 0, 9.0) + b"\x00" * 6)
+    rows = read_xls_rows(_wrap_biff8(recs))
+    assert rows == [["2.5", "hello", "true", "", ""], ["", "", "", "", "9"]]
+
+
+def test_formula_string_result_biff5():
+    """BIFF5 STRING records use a 16-bit cch + latin-1 chars (no
+    unicode option byte) — the biff8=False branch."""
+    import struct
+
+    from hydra_ray.sources.xls import (
+        _BOF,
+        _BOUNDSHEET,
+        _EOF,
+        _FORMULA,
+        _STRING,
+        _rec,
+        _write_cfb,
+    )
+
+    recs = _rec(_FORMULA, struct.pack("<HHH", 0, 0, 0) + bytes([0, 0, 0, 0, 0, 0, 255, 255]))
+    recs += _rec(_STRING, struct.pack("<H", 4) + b"caf\xe9")
+    bof_globals = _rec(_BOF, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    bof_sheet = _rec(_BOF, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+    sheet = bof_sheet + recs + _rec(_EOF, b"")
+    name = b"S"
+    globals_len = len(bof_globals) + 4 + (4 + 2 + 1 + len(name)) + 4
+    boundsheet = _rec(
+        _BOUNDSHEET, struct.pack("<IH", globals_len, 0) + bytes([len(name)]) + name
+    )
+    blob = _write_cfb("Book", bof_globals + boundsheet + _rec(_EOF, b"") + sheet)
+    assert read_xls_rows(blob) == [["café"]]
+
+
+def test_date1904_record_tolerated():
+    """A workbook carrying the 1904-date-mode record still parses;
+    numbers pass through unconverted (this reader emits raw serials —
+    date interpretation is the typed-cast layer's job, documented)."""
+    import struct
+
+    from hydra_ray.sources.xls import _NUMBER, _rec
+
+    # DATE1904 (0x0022) belongs in globals, but the reader must simply
+    # skip it wherever it appears
+    recs = _rec(0x0022, struct.pack("<H", 1))
+    recs += _rec(_NUMBER, struct.pack("<HHHd", 0, 0, 0, 366.0))
+    assert read_xls_rows(_wrap_biff8(recs)) == [["366"]]
