@@ -2640,26 +2640,91 @@ ORACLES["sampled_quantiles"] = ORACLE_SAMPLED_QUANTILES
 
 
 def q_tdigest_quantiles(sf_dir: str):
-    """t-digest quantile estimates per event_type (stages/agg.py::
+    """t-digest quantile ACCURACY gate per event_type (stages/agg.py::
     tdigest_centroids δ=100 + tdigest_quantile): the classic mergeable
     quantile sketch — ≤δ centroids per (key, block) cross the shuffle.
-    Estimates depend on block boundaries (true of every parallel
-    t-digest), so there is no bit-exact SQL oracle; the invariants —
-    exact integer weight totals, ≤δ centroids per key, rank error
-    bounds at q01/q50/q90/q99 on skewed data — are pytest-asserted
-    (test_textops.py::test_tdigest_exact_weights_and_rank_error)."""
-    from hydra_ray.stages.agg import tdigest_centroids, tdigest_quantile
+    Raw estimates depend on block boundaries (true of every parallel
+    t-digest), so instead of pinning values the query measures each
+    estimate's TRUE rank with a second distributed pass over the data
+    (count of values ≤ estimate, the estimates broadcast) and emits
+    exact n, the bounded centroid count, and per-quantile
+    |rank − q| ≤ 0.03 booleans — which the SQL oracle pins to TRUE.
+    A sketch that drifts out of its error bound now FAILS the driver
+    gate, not just the pytest invariants."""
+    import ray as _ray
 
+    from hydra_ray.stages.agg import grouped_agg, tdigest_centroids, tdigest_quantile
+
+    qs = (0.01, 0.5, 0.9, 0.99)
     cents = tdigest_centroids(
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
         key="event_type",
         value_col="value",
         delta=100,
     )
-    return tdigest_quantile(cents, "event_type", (0.01, 0.5, 0.9, 0.99))
+    cents_df = cents.to_pandas()  # final sketch: ≤δ rows per key
+    ncent_map = cents_df.groupby("event_type").size().to_dict()
+    est = tdigest_quantile(cents_df, "event_type", qs)  # tiny: one row per key
+    est_map = {
+        r["event_type"]: [r[f"q{int(q * 100)}"] for q in qs] for _, r in est.iterrows()
+    }
+    est_ref = _ray.put(est_map)
 
+    def rank_partial(t: pa.Table) -> pa.Table:
+        em = _ray.get(est_ref)
+        ks = t["event_type"].to_pylist()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out_k, out_le = [], {i: [] for i in range(len(qs))}
+        import numpy as _np
+
+        karr = _np.asarray(ks, dtype=object)
+        for key, ests in em.items():
+            m = karr == key
+            if not m.any():
+                continue
+            out_k.append(key)
+            for i, e in enumerate(ests):
+                out_le[i].append(int((v[m] <= e).sum()))
+        cols = {"event_type": pa.array(out_k, pa.string())}
+        cols["n_part"] = pa.array(
+            [int((karr == key).sum()) for key in out_k], pa.int64()
+        )
+        for i in range(len(qs)):
+            cols[f"le{i}"] = pa.array(out_le[i], pa.int64())
+        return pa.table(cols)
+
+    ranks = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]).map_batches(
+            rank_partial, batch_format="pyarrow"
+        ),
+        ["event_type"],
+        [("n_part", "sum", "n")] + [(f"le{i}", "sum", f"le{i}") for i in range(len(qs))],
+    ).to_pandas()
+
+    rows = []
+    for _, r in ranks.sort_values("event_type").iterrows():
+        n = int(r["n"])
+        row = {
+            "event_type": r["event_type"],
+            "n": n,
+            "sketch_bounded": bool(ncent_map[r["event_type"]] <= 100),
+        }
+        for i, q in enumerate(qs):
+            row[f"within_q{int(q * 100)}"] = bool(abs(int(r[f"le{i}"]) / n - q) <= 0.03)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+ORACLE_TDIGEST_QUANTILES = """
+    SELECT event_type, count(*) AS n,
+           TRUE AS sketch_bounded,
+           TRUE AS within_q1, TRUE AS within_q50,
+           TRUE AS within_q90, TRUE AS within_q99
+    FROM events GROUP BY event_type
+"""
 
 QUERIES["tdigest_quantiles"] = q_tdigest_quantiles
+ORACLES["tdigest_quantiles"] = ORACLE_TDIGEST_QUANTILES
 
 
 def q_workbook_profile(sf_dir: str):
