@@ -392,18 +392,26 @@ class CrawlEngine:
         keep_versions: int = 2,
         keep_state: int = 3,
         stop_when_drained: bool = False,
+        compact_every: int = 0,
     ) -> list[dict]:
         """The streaming driver loop (``run(iterations=∞)``):
-        crawl → checkpoint → periodic GC, forever (or ``iterations``).
-        GC keeps disk and driver state bounded across unbounded soaks:
-        superseded catalog versions + orphaned txn dirs are reclaimed,
-        old manifests and per-iteration state pickles pruned."""
+        crawl → checkpoint → periodic compaction + GC, forever (or
+        ``iterations``). GC keeps disk and driver state bounded across
+        unbounded soaks: superseded catalog + documents versions and
+        orphaned txn dirs are reclaimed, old manifests and
+        per-iteration state pickles pruned. ``compact_every`` rewrites
+        the append-only documents table to one row per doc_id
+        (merge-on-read → merge-on-write), bounding read amplification
+        under re-parse churn; a crash mid-compaction is harmless —
+        uncommitted txn part files are invisible and gc()-able."""
         stats: list[dict] = []
         i = 0
         while iterations is None or i < iterations:
             s = self.run_iteration()
             stats.append(s)
             i += 1
+            if compact_every and i % compact_every == 0:
+                self.compact_documents()
             if gc_every and i % gc_every == 0:
                 self.gc(keep_versions=keep_versions, keep_state=keep_state)
             if stop_when_drained and s.get("selected", 0) == 0:
@@ -419,6 +427,9 @@ class CrawlEngine:
         import glob as _glob
 
         removed = {"catalog_files": self.catalog.gc(keep_versions=keep_versions)}
+        # documents is append-only (gc is a no-op) UNTIL a compaction
+        # supersedes the pre-compaction versions — reclaim those too
+        removed["documents_files"] = self.documents.gc(keep_versions=max(keep_versions, 2))
         pruned = 0
         for table in (
             self.catalog,

@@ -154,3 +154,81 @@ def test_compact_documents_merges_and_preserves_reads(tmp_path, make_crawl_engin
     stats2 = eng.compact_documents()
     assert stats2["rows_after"] == stats2["rows_before"] == distinct
     eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_500_iteration_soak_with_compaction(tmp_path, make_crawl_engine):
+    """500 virtual iterations of run_continuous with periodic document
+    compaction + GC, a kill+resume across a simulated mid-compaction
+    crash window, bounded file counts on every GC'd surface, flat
+    driver RSS, and byte-identical read_documents() around compaction
+    (the last streaming-durability seam)."""
+    import os
+    import resource
+
+    import pyarrow.parquet as pq
+
+    docs = pa.table({"doc_id": pa.array(np.arange(100), type=pa.int64())})
+    kw = dict(
+        batch_size=40,
+        actor_pools=False,
+        catalog_parts=8,
+        catalog_partition_min_rows=1,
+        politeness_kwargs={"backoff_nb_req": 30, "backoff_period": 240, "cool_off_period": 240},
+    )
+    wd = str(tmp_path / "wd")
+    eng = make_crawl_engine(wd, **kw)
+    eng.load_catalog(catalog_from_documents(docs))
+
+    stats = eng.run_continuous(iterations=200, gc_every=25, compact_every=50)
+    rss_warm = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    logical_mid = eng.read_documents().sort_by("doc_id")
+
+    # kill mid-compaction: part files written into a txn dir but never
+    # registered — invisible to reads, reclaimed by the next gc
+    junk_txn = eng.documents.new_txn_dir()
+    pq.write_table(pa.table({"doc_id": pa.array([999999])}), os.path.join(junk_txn, "part-crash.parquet"))
+    eng.shutdown()
+
+    eng2 = make_crawl_engine(wd, **kw)
+    assert eng2.iteration == 200
+    # the crash-window artifact changed nothing logically
+    assert eng2.read_documents().sort_by("doc_id").equals(logical_mid)
+
+    stats += eng2.run_continuous(iterations=300, gc_every=25, compact_every=50)
+    rss_end = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert len(stats) == 500 and eng2.iteration == 500
+    # the junk part file was garbage-collected
+    assert not os.path.exists(os.path.join(junk_txn, "part-crash.parquet"))
+
+    # explicit compaction at the end: byte-identical logical reads,
+    # physical rows shrink to one per doc
+    before = eng2.read_documents().sort_by("doc_id")
+    cstats = eng2.compact_documents()
+    eng2.gc()
+    after = eng2.read_documents().sort_by("doc_id")
+    assert after.equals(before)
+    distinct = len(set(before["doc_id"].to_pylist()))
+    assert cstats["rows_after"] == distinct <= cstats["rows_before"]
+    assert eng2.documents.count() == distinct
+
+    # bounded disk across the whole soak: compaction+gc hold the
+    # documents data dir to the post-compaction working set (last two
+    # versions + at most one inter-compaction window of appends)
+    doc_files = [
+        f for _r, _d, fs in os.walk(os.path.join(wd, "documents")) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(doc_files) <= 120, len(doc_files)
+    state_files = os.listdir(os.path.join(wd, "state"))
+    assert len(state_files) <= 8, state_files
+
+    # checks ids unique across all 500 iterations; frontier intact
+    checks_ids = eng2.checks.read_arrow(columns=["id"])["id"].to_pylist()
+    assert len(checks_ids) == len(set(checks_ids))
+    assert eng2.catalog.read_arrow().num_rows == 100
+
+    # flat driver RSS: high-water growth after the 200-iteration warmup
+    # stays under 256 MiB (ru_maxrss is KiB on linux)
+    assert rss_end - rss_warm < 256 * 1024, (rss_warm, rss_end)
+    eng2.shutdown()
