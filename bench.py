@@ -53,10 +53,13 @@ QUERY_NAMES = [
     "pagerank",
     "bloom_semi_join",
     "gopher_quality",
-    # NOT jaccard_set_join: on the synthetic corpus (31-word vocabulary,
-    # all docs near-identical) the >=0.8 similarity self-join has ~3M
-    # true output pairs from 5k docs — inherently quadratic output, not
-    # a representative headline workload. Correctness-gated at sf0.01.
+    "jaccard_join_salted",
+    # NOT raw jaccard_set_join: on the synthetic corpus (31-word
+    # vocabulary, all docs near-identical) the >=0.8 similarity
+    # self-join has inherently quadratic output — not a representative
+    # headline workload (correctness-gated at sf0.01). The salted
+    # variant is the similarity join on realistic near-dup structure
+    # (output-sized verify; PPJoin prefix filter fully engaged).
 ]
 
 

@@ -4336,8 +4336,8 @@ def q_jaccard_set_join(sf_dir: str):
     """All-pairs token-set similarity self-join at Jaccard ≥ 0.8
     (stages/dedup.py::jaccard_set_join — PPJoin prefix filtering:
     candidates bucketed only by each doc's rarest |s|−⌈t·s⌉+1 tokens
-    under the global (df, token) order; exact incidence-matmul verify
-    per bucket; pair dedup co-partition)."""
+    under the global (df, token) order; sparse token-join verify with
+    hot buckets split into chunk-pair tasks; pair dedup co-partition)."""
     from hydra_ray.stages.dedup import jaccard_set_join
 
     return jaccard_set_join(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
@@ -4991,3 +4991,61 @@ ORACLE_WEBP_ROUNDTRIP = """
 
 QUERIES["webp_roundtrip"] = q_webp_roundtrip
 ORACLES["webp_roundtrip"] = ORACLE_WEBP_ROUNDTRIP
+
+
+def q_jaccard_join_salted(sf_dir: str):
+    """PPJoin self-join on a NON-degenerate corpus: every doc gains two
+    pair-unique salt tokens (s<doc_id//2>x / s<doc_id//2>y), so at
+    threshold 0.95 only consecutive-pair docs with identical base token
+    sets match — J = (n+2)/(n+2) = 1 for them, and ≤ n/(n+4) ≤ 31/35
+    < 0.95 for every cross pair (the base vocabulary has 31 words).
+    At t=0.95 each doc's prefix is exactly its 2 globally-rarest
+    tokens — the salts — so candidate buckets have ≤2 docs and the
+    verify is output-sized: PPJoin's prefix filter doing its job. (The
+    raw-corpus `jaccard_set_join` at t=0.8 is the stress case for the
+    hot-bucket chunk-pair splitting; this query is the bench-headline
+    representative of the op on realistic near-dup structure.)"""
+    from hydra_ray.stages.dedup import jaccard_set_join
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"].to_pylist()
+        salted = [
+            f"{s or ''} s{d // 2}x s{d // 2}y" for s, d in zip(text, ids)
+        ]
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(salted, pa.string())})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        add_salt, batch_format="pyarrow"
+    )
+    return jaccard_set_join(ds, threshold=0.95)
+
+
+ORACLE_JACCARD_JOIN_SALTED = r"""
+    WITH salted AS (
+        SELECT doc_id,
+               trim(COALESCE(text, '')) || ' s' || CAST(doc_id // 2 AS VARCHAR) || 'x s'
+                   || CAST(doc_id // 2 AS VARCHAR) || 'y' AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM salted
+    ),
+    toks_ne AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    sizes AS (SELECT doc_id, count(*) AS s FROM toks_ne GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM toks_ne a JOIN toks_ne b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da, db, round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.95
+"""
+
+QUERIES["jaccard_join_salted"] = q_jaccard_join_salted
+ORACLES["jaccard_join_salted"] = ORACLE_JACCARD_JOIN_SALTED

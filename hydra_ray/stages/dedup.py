@@ -1443,12 +1443,20 @@ def jaccard_set_join(
         kvec = ray.get(kvec_ref)
         ids, sets = doc_token_lists(t)
         ids_py = ids.to_pylist()
+        # one vectorized rank lookup for the whole block (a per-doc
+        # .loc pays a pandas label-indexing round per document)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        flat = np.concatenate(list(sets)) if len(sets) and lens.sum() else np.array([], object)
+        flat_ranks = (
+            ranks.reindex(flat).to_numpy(dtype=np.int64) if len(flat) else np.array([], np.int64)
+        )
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         out_id, out_w, out_size, out_ranks = [], [], [], []
         out_c1, out_c2, out_side = [], [], []
         for i, words in enumerate(sets):
             if len(words) == 0:
                 continue
-            r = np.sort(ranks.loc[words].to_numpy())
+            r = np.sort(flat_ranks[starts[i] : starts[i] + lens[i]])
             size = len(r)
             prefix_len = size - int(np.ceil(threshold * size)) + 1
             # prefix = the prefix_len globally-rarest tokens
