@@ -190,10 +190,12 @@ def main() -> None:
 
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(_touch).materialize()
 
-    # best-of-2 crawl: steal only ever slows a run, so the faster of two
-    # fresh runs estimates the engine (matches the scaling harness)
+    # best-of-N crawl: steal only ever slows a run, so the fastest of N
+    # fresh runs estimates the engine (matches the scaling harness);
+    # the crawl is the headline number, so it gets one more sample than
+    # the queries
     crawl_samples = []
-    for i in range(2):
+    for i in range(int(os.environ.get("HYDRA_BENCH_CRAWL_REPEATS", "3"))):
         wd = f"{workdir}_{i}"
         shutil.rmtree(wd, ignore_errors=True)
         crawl_samples.append(run_crawl(wd))

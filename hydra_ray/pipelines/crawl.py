@@ -687,7 +687,11 @@ class CrawlEngine:
                     pc.invert(pc.is_in(cache["resource_id"], value_set=new_keys))
                 )
                 upd = upd.select(survivors.column_names).cast(survivors.schema)
-                merged = pa.concat_tables([survivors, upd])
+                # contiguous buffers: filter+concat leaves the cache
+                # more chunked every iteration, and both the partitioned
+                # write's take() and next iteration's filters pay
+                # per-chunk costs that compound (0.5s → 3s+ by iter 3)
+                merged = pa.concat_tables([survivors, upd]).combine_chunks()
                 touched_frac = 1.0
                 if (
                     not self.catalog.is_empty()
