@@ -5049,3 +5049,64 @@ ORACLE_JACCARD_JOIN_SALTED = r"""
 
 QUERIES["jaccard_join_salted"] = q_jaccard_join_salted
 ORACLES["jaccard_join_salted"] = ORACLE_JACCARD_JOIN_SALTED
+
+
+def q_flac_roundtrip(sf_dir: str):
+    """FLAC round-trip (sources/flac.py — real RFC 9639 bitstream:
+    FIXED predictors, Rice residuals, frame CRC-8/CRC-16, STREAMINFO
+    MD5): per doc a deterministic 600-sample stereo waveform —
+    left(i) = (doc_id*13 + i*41) % 4096 - 2048, right(i) = (doc_id*7 +
+    i*29) % 4096 - 2048 — is FLAC-encoded then decoded back through the
+    decode_audio router; the compared stats (per-channel mean, peak and
+    a position-weighted checksum) are computed from the DECODED
+    samples, so any flipped bit in the codec fails the closed-form
+    oracle."""
+    from hydra_ray.sources.flac import encode_flac
+    from hydra_ray.stages.multimodal import decode_audio
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(600, dtype=np.int64)
+        wgt = 1 + (i % 97)
+        mean_l = np.zeros(len(ids), dtype=np.float64)
+        peak_r = np.zeros(len(ids), dtype=np.int64)
+        chk = np.zeros(len(ids), dtype=np.int64)
+        for j, d in enumerate(ids):
+            left = ((int(d) * 13 + i * 41) % 4096 - 2048).astype(np.int16)
+            right = ((int(d) * 7 + i * 29) % 4096 - 2048).astype(np.int16)
+            blob = encode_flac(np.stack([left, right], axis=1), 16000, block_size=256)
+            arr, rate = decode_audio(blob)
+            assert rate == 16000 and arr.shape == (600, 2)
+            mean_l[j] = arr[:, 0].astype(np.float64).mean()
+            peak_r[j] = np.abs(arr[:, 1].astype(np.int64)).max()
+            chk[j] = int((arr[:, 0].astype(np.int64) * wgt).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "fl_mean_l": pa.array(np.round(mean_l, 6)),
+                "fl_peak_r": pa.array(peak_r),
+                "fl_chk": pa.array(chk),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_FLAC_ROUNDTRIP = """
+    WITH s AS (
+        SELECT doc_id, i,
+               (doc_id * 13 + i * 41) % 4096 - 2048 AS l,
+               (doc_id * 7 + i * 29) % 4096 - 2048 AS r
+        FROM (SELECT doc_id, unnest(generate_series(0, 599)) AS i FROM documents)
+    )
+    SELECT doc_id,
+           round(avg(CAST(l AS DOUBLE)), 6) AS fl_mean_l,
+           max(abs(r)) AS fl_peak_r,
+           CAST(sum(l * (1 + i % 97)) AS BIGINT) AS fl_chk
+    FROM s GROUP BY doc_id
+"""
+
+QUERIES["flac_roundtrip"] = q_flac_roundtrip
+ORACLES["flac_roundtrip"] = ORACLE_FLAC_ROUNDTRIP

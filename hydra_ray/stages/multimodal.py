@@ -100,10 +100,10 @@ def decode_image(payload: bytes, decoder=None):
 
 def decode_audio(payload: bytes, decoder=None):
     """Decode an audio payload to (int16 samples (n, channels), rate).
-    WAV (stdlib wave), AIFF (big-endian PCM + 80-bit-extended rate) and
-    Sun AU (encoding 3) decode natively; compressed codecs (MP3, AAC…)
-    need an injected decoder (ffmpeg et al. absent from this
-    container)."""
+    WAV (stdlib wave), AIFF (big-endian PCM + 80-bit-extended rate),
+    Sun AU (encoding 3) and FLAC (sources/flac.py — Rice/LPC lossless
+    layer) decode natively; lossy codecs (MP3, AAC…) need an injected
+    decoder (ffmpeg et al. absent from this container)."""
     if decoder is not None:
         return decoder(payload)
     head = bytes(payload[:4])
@@ -130,8 +130,12 @@ def decode_audio(payload: bytes, decoder=None):
         from hydra_ray.sources.codecs import decode_au
 
         return decode_au(payload)
+    if head == b"fLaC":
+        from hydra_ray.sources.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "WAV/AIFF/AU decode natively; inject a decoder for compressed audio formats"
+        "WAV/AIFF/AU/FLAC decode natively; inject a decoder for lossy audio formats"
     )
 
 

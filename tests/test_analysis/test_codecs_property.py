@@ -520,3 +520,38 @@ def test_xls_biff5_typed_table_equality(rows):
     t5 = xls_to_table(write_xls_biff5([header] + rows))
     assert t8.schema == t5.schema
     assert t8.equals(t5)
+
+
+# --------------------------------------------------------------------------
+# FLAC: random waveforms through encode → decode must be sample-exact
+# (exercises FIXED predictors 0-2, Rice coding, escapes, CRC-8/16,
+# UTF-8 coded frame numbers, multi-frame streams, STREAMINFO MD5)
+# --------------------------------------------------------------------------
+
+@_FAST
+@given(st.data())
+def test_flac_roundtrip(data):
+    import numpy as np
+
+    from hydra_ray.sources.flac import decode_flac, encode_flac
+
+    n = data.draw(st.integers(min_value=1, max_value=3000))
+    nch = data.draw(st.sampled_from([1, 2]))
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    kind = data.draw(st.sampled_from(["rand", "smooth", "const", "extreme"]))
+    bsz = data.draw(st.sampled_from([192, 256, 1024]))
+    rng = np.random.default_rng(seed)
+    shape = (n,) if nch == 1 else (n, nch)
+    if kind == "rand":
+        s = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+    elif kind == "smooth":
+        s = np.cumsum(rng.integers(-50, 51, size=shape), axis=0).astype(np.int16)
+    elif kind == "const":
+        s = np.full(shape, int(rng.integers(-32768, 32768)), np.int16)
+    else:
+        s = rng.choice(np.array([-32768, 32767, 0], np.int16), size=shape)
+    out, rate = decode_flac(encode_flac(s, 16000, block_size=bsz))
+    exp = s[:, None] if s.ndim == 1 else s
+    assert rate == 16000
+    assert out.shape == exp.shape
+    assert (out == exp).all()
