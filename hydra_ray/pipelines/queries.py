@@ -729,20 +729,45 @@ def q_knn_lsh(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF (k-means inverted-file) approximate all-pairs NN — the
-    auto-routed scale path for nn_all above BRUTE_FORCE_MAX_ROWS.
-    nprobe=7/8 here because the synthetic embeddings are uniform
-    (IVF's worst case: recall ≈ nprobe/n_centroids); clustered real
-    embeddings reach the same recall with nprobe ≪ n_centroids.
-    Recall vs brute force is asserted ≥0.95 in tests."""
+    """IVF (k-means inverted-file) approximate all-pairs NN ACCURACY
+    gate — the auto-routed scale path for nn_all above
+    BRUTE_FORCE_MAX_ROWS. nprobe=7/8 here because the synthetic
+    embeddings are uniform (IVF's worst case: recall ≈
+    nprobe/n_centroids); clustered real embeddings reach the same
+    recall with nprobe ≪ n_centroids. k-means codebooks are not
+    SQL-expressible, so instead of pinning neighbor ids the query
+    measures recall against the exact brute-force answer on the same
+    data and emits {n, recall_ok: recall ≥ 0.95}, which the oracle
+    pins — an index whose recall drifts now FAILS the driver gate."""
     from hydra_ray.stages.similarity import knn_ivf
 
-    return knn_ivf(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
-        k=1,
-        n_centroids=8,
-        nprobe=7,
-    ).drop_columns(["sim"])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = knn_ivf(ds, k=1, n_centroids=8, nprobe=7)
+    return _ann_recall_gate(ds, approx, threshold=0.95)
+
+
+def _ann_recall_gate(ds, approx, threshold: float) -> pd.DataFrame:
+    """{n, recall_ok} for an ANN result vs the exact brute-force top-1
+    on the same vectors. 'Found an equally-good neighbor' counts
+    (approx sim within 1e-6 of the true best), so cosine ties never
+    flake the gate."""
+    from hydra_ray.stages.similarity import nn_all
+
+    truth = nn_all(ds, brute_force_max=1 << 62)
+    tdf = truth.to_pandas() if not isinstance(truth, pd.DataFrame) else truth
+    adf = approx.to_pandas() if not isinstance(approx, pd.DataFrame) else approx
+    m = tdf[["vec_id", "sim"]].merge(
+        adf[["vec_id", "sim"]], on="vec_id", suffixes=("_true", "_approx")
+    )
+    recall = float((m["sim_approx"] >= m["sim_true"] - 1e-6).mean())
+    return pd.DataFrame(
+        {"n": [len(tdf)], "recall_ok": [bool(recall >= threshold)]}
+    )
+
+
+ORACLE_ANN_RECALL = """
+    SELECT count(*) AS n, TRUE AS recall_ok FROM embeddings
+"""
 
 
 def q_media_features(sf_dir: str):
@@ -4184,21 +4209,24 @@ ORACLES["pivot_event_types"] = ORACLE_PIVOT_EVENT_TYPES
 
 
 def q_knn_pq(sf_dir: str):
-    """Product-quantization ANN (stages/similarity.py::knn_pq): the
-    memory-bound ANN scale path — corpus compressed to m=8 uint8 codes
-    per vector (32× smaller broadcast than raw float vectors),
-    asymmetric-distance scan per query block, zero shuffles. Rows-only
-    check (k-means codebooks are not SQL-expressible); recall vs brute
-    force is pinned by tests/test_analysis/test_similarity.py."""
+    """Product-quantization ANN ACCURACY gate (stages/similarity.py::
+    knn_pq): the memory-bound ANN scale path — corpus compressed to
+    m=16 uint8 codes per vector, corpus-tiled asymmetric-distance scan
+    per query block with a running top-R shortlist, exact fp32
+    shortlist re-rank, zero shuffles. k-means codebooks are not
+    SQL-expressible, so the query measures recall against the exact
+    brute-force answer and emits {n, recall_ok: recall ≥ 0.85}
+    (measured ≈0.98 on uniform vectors), which the oracle pins."""
     from hydra_ray.stages.similarity import knn_pq
 
-    return knn_pq(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
-        k=1,
-    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = knn_pq(ds, k=1)
+    return _ann_recall_gate(ds, approx, threshold=0.85)
 
 
 QUERIES["knn_pq"] = q_knn_pq
+ORACLES["knn_pq"] = ORACLE_ANN_RECALL
+ORACLES["knn_ivf"] = ORACLE_ANN_RECALL
 
 
 def q_bloom_semi_join(sf_dir: str):
