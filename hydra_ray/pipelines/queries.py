@@ -791,9 +791,17 @@ def q_media_features(sf_dir: str):
 
 
 def q_crawl_checks(sf_dir: str):
-    """Three crawl iterations over the synthesized catalog: the checks
-    log (deterministic under the ordering contract; politeness,
-    URL-seen, change detection and span docs all exercised)."""
+    """Three crawl iterations over the synthesized catalog, projected to
+    the SQL-derivable check columns (id, url, domain, status, timeout).
+
+    This pins the WHOLE crawl loop against a closed-form oracle: the
+    seeded tiered selection order, the per-domain politeness window
+    quotas (BACKOFF_NB_REQ per BACKOFF_PERIOD), the 429 cool-off and
+    x-ratelimit rules over each domain's max-check_id latest check, the
+    HEAD→GET retry statuses, and the mix64 check-id derivation — all
+    reproduced in ORACLE_CRAWL_CHECKS from documents.doc_id alone. The
+    full checks table (headers, checksums, payloads, span docs) stays
+    covered by the e2e/soak/parity pytest suites."""
     import tempfile
 
     from hydra_ray.pipelines.crawl import CrawlEngine
@@ -806,9 +814,19 @@ def q_crawl_checks(sf_dir: str):
     )
     eng.load_catalog(seed)
     eng.run(3)
-    out = eng.checks.read_arrow()
+    out = eng.checks.read_arrow(columns=["id", "url", "domain", "status", "timeout"])
     eng.shutdown()
-    return out.sort_by([("id", "ascending")])
+    out = out.sort_by([("id", "ascending")])
+    return pa.table(
+        {
+            "id": out["id"],
+            "url": out["url"],
+            "domain": out["domain"],
+            # float64+NaN: nullable-int renders diverge from DuckDB's
+            "status": pc.cast(out["status"], pa.float64()),
+            "timeout": pc.fill_null(out["timeout"], False),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5138,3 +5156,147 @@ ORACLE_FLAC_ROUNDTRIP = """
 
 QUERIES["flac_roundtrip"] = q_flac_roundtrip
 ORACLES["flac_roundtrip"] = ORACLE_FLAC_ROUNDTRIP
+
+
+def _crawl_checks_oracle() -> str:
+    """Closed-form SQL for the 3-iteration crawl checks log.
+
+    Reproduces, from documents.doc_id alone: URL/domain synthesis, the
+    60→64-bit url_key, the per-iteration seeded rank (frontier.py
+    seeded_rank — signed-int64 ordering), tiered top-200 selection,
+    per-domain quota application in crawl order (reserve():
+    BACKOFF_NB_REQ=180 per 360 s window, 429 cool-off and the
+    x-ratelimit remain/limit ≤ 0.1 rule evaluated on each domain's
+    max-check_id latest check — NULLs preserved, which is why the
+    latest row comes from row_number, not max_by), the synthetic
+    response classes (md5-byte buckets incl. the HEAD→GET retry), and
+    check_id = mix64(url_key ^ mix64(iteration ^ ID_SALT)) >> 1."""
+    from hydra_ray.state.cuckoo import _mix64 as _m
+
+    def m64(x: int) -> int:
+        return int(_m(np.array([np.uint64(x)], dtype=np.uint64))[0])
+
+    from hydra_ray.config import config as _cfg
+
+    seed, id_salt_const = _cfg.ORDERING_SEED, 0xC0FFEE5EED
+    rank_salt = [m64(seed ^ (i << 17)) for i in range(3)]
+    id_salt = [m64(i ^ id_salt_const) for i in range(3)]
+
+    chains = []
+    for i in range(3):
+        chains.append(
+            f"r{i}_0 AS (SELECT url, xor(uk, CAST({rank_salt[i]} AS UBIGINT)) AS v FROM ckcat)"
+        )
+        chains.append(_mix64_ctes_sql(f"r{i}", "v", "url"))
+        chains.append(
+            f"rank{i} AS (SELECT url, CAST(v AS HUGEINT) - CASE WHEN v >= 9223372036854775808 "
+            f"THEN 18446744073709551616 ELSE 0 END AS rk FROM r{i}_5)"
+        )
+        chains.append(
+            f"i{i}_0 AS (SELECT url, xor(uk, CAST({id_salt[i]} AS UBIGINT)) AS v FROM ckcat)"
+        )
+        chains.append(_mix64_ctes_sql(f"i{i}", "v", "url"))
+        chains.append(f"cid{i} AS (SELECT url, CAST(v >> 1 AS BIGINT) AS cid FROM i{i}_5)")
+
+    return f"""
+WITH base AS ({CATALOG_SQL}),
+ckcat AS (
+    SELECT url, domain, priority,
+           CAST(('0x' || substr(md5(url), 1, 16)) AS UBIGINT) AS uk,
+           CAST(('0x' || substr(md5(url), 1, 4)) AS INT) % 100 AS cls,
+           CAST(('0x' || substr(md5(url), 9, 2)) AS INT) AS b4,
+           CAST(('0x' || substr(md5(url), 11, 2)) AS INT) AS b5
+    FROM base
+),
+{",".join(chains)},
+props AS (
+    SELECT c.url, c.domain, c.priority, c.cls,
+           CASE WHEN c.cls < 84 THEN 200 WHEN c.cls < 89 THEN 404
+                WHEN c.cls < 92 THEN 500 WHEN c.cls < 94 THEN NULL
+                WHEN c.cls < 96 THEN 429 WHEN c.cls < 98 THEN NULL
+                ELSE 200 END AS status,
+           c.cls IN (92, 93) AS timeout,
+           CASE WHEN c.cls < 84 AND c.b4 % 20 = 0
+                THEN greatest(0, 100 - c.b5 % 110) END AS rl_remain,
+           r0.rk AS rk0, r1.rk AS rk1, r2.rk AS rk2,
+           d0.cid AS cid0, d1.cid AS cid1, d2.cid AS cid2
+    FROM ckcat c
+    JOIN rank0 r0 USING (url) JOIN rank1 r1 USING (url) JOIN rank2 r2 USING (url)
+    JOIN cid0 d0 USING (url) JOIN cid1 d1 USING (url) JOIN cid2 d2 USING (url)
+),
+s0 AS (SELECT *, CASE WHEN priority THEN 1 ELSE 2 END AS tier FROM props),
+sel0 AS (
+    SELECT *, row_number() OVER (ORDER BY tier, rk0) AS rn FROM s0 QUALIFY rn <= 200
+),
+chk0 AS (
+    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY tier, rk0) AS dr FROM sel0
+    QUALIFY dr <= 180
+),
+st0 AS (
+    SELECT domain, n0, status AS last_status0, rl_remain AS rl0 FROM (
+        SELECT domain, status, rl_remain,
+               count(*) OVER (PARTITION BY domain) AS n0,
+               row_number() OVER (PARTITION BY domain ORDER BY cid0 DESC) AS rr
+        FROM chk0) WHERE rr = 1
+),
+e1 AS (SELECT p.* FROM props p LEFT JOIN chk0 c USING (url) WHERE c.url IS NULL),
+sel1 AS (
+    SELECT *, CASE WHEN priority THEN 1 ELSE 2 END AS tier,
+           row_number() OVER (ORDER BY CASE WHEN priority THEN 1 ELSE 2 END, rk1) AS rn
+    FROM e1 QUALIFY rn <= 200
+),
+q1 AS (
+    SELECT domain,
+           CASE WHEN last_status0 = 429 THEN 0
+                WHEN rl0 IS NOT NULL AND rl0 <= 10 THEN 0
+                ELSE greatest(0, 180 - n0) END AS quota
+    FROM st0
+),
+chk1 AS (
+    SELECT s.*, row_number() OVER (PARTITION BY s.domain ORDER BY s.tier, s.rk1) AS dr,
+           COALESCE(q.quota, 180) AS quota
+    FROM sel1 s LEFT JOIN q1 q USING (domain)
+    QUALIFY dr <= quota
+),
+st1 AS (
+    SELECT domain, n1, status AS last_status1, rl_remain AS rl1 FROM (
+        SELECT domain, status, rl_remain,
+               count(*) OVER (PARTITION BY domain) AS n1,
+               row_number() OVER (PARTITION BY domain ORDER BY cid1 DESC) AS rr
+        FROM chk1) WHERE rr = 1
+),
+e2 AS (
+    SELECT p.* FROM props p
+    LEFT JOIN chk0 a USING (url) LEFT JOIN chk1 b USING (url)
+    WHERE a.url IS NULL AND b.url IS NULL
+),
+sel2 AS (
+    SELECT *, CASE WHEN priority THEN 1 ELSE 2 END AS tier,
+           row_number() OVER (ORDER BY CASE WHEN priority THEN 1 ELSE 2 END, rk2) AS rn
+    FROM e2 QUALIFY rn <= 200
+),
+q2 AS (
+    SELECT COALESCE(a.domain, b.domain) AS domain,
+           CASE WHEN (CASE WHEN b.domain IS NOT NULL THEN b.last_status1
+                           ELSE a.last_status0 END) = 429 THEN 0
+                WHEN (CASE WHEN b.domain IS NOT NULL THEN b.rl1 ELSE a.rl0 END) IS NOT NULL
+                     AND (CASE WHEN b.domain IS NOT NULL THEN b.rl1 ELSE a.rl0 END) <= 10 THEN 0
+                ELSE greatest(0, 180 - COALESCE(a.n0, 0) - COALESCE(b.n1, 0)) END AS quota
+    FROM st0 a FULL JOIN st1 b USING (domain)
+),
+chk2 AS (
+    SELECT s.*, row_number() OVER (PARTITION BY s.domain ORDER BY s.tier, s.rk2) AS dr,
+           COALESCE(q.quota, 180) AS quota
+    FROM sel2 s LEFT JOIN q2 q USING (domain)
+    QUALIFY dr <= quota
+)
+SELECT cid0 AS id, url, domain, CAST(status AS DOUBLE) AS status, timeout FROM chk0
+UNION ALL
+SELECT cid1, url, domain, CAST(status AS DOUBLE), timeout FROM chk1
+UNION ALL
+SELECT cid2, url, domain, CAST(status AS DOUBLE), timeout FROM chk2
+ORDER BY id
+"""
+
+
+ORACLES["crawl_checks"] = _crawl_checks_oracle()
