@@ -756,10 +756,13 @@ def _ann_recall_gate(ds, approx, threshold: float) -> pd.DataFrame:
     truth = nn_all(ds, brute_force_max=1 << 62)
     tdf = truth.to_pandas() if not isinstance(truth, pd.DataFrame) else truth
     adf = approx.to_pandas() if not isinstance(approx, pd.DataFrame) else approx
+    # LEFT merge from truth: a query the index silently dropped counts
+    # as a recall MISS (NaN sim_approx → False), not as absent from the
+    # denominator — an index bug that returns no neighbor lowers recall.
     m = tdf[["vec_id", "sim"]].merge(
-        adf[["vec_id", "sim"]], on="vec_id", suffixes=("_true", "_approx")
+        adf[["vec_id", "sim"]], on="vec_id", how="left", suffixes=("_true", "_approx")
     )
-    recall = float((m["sim_approx"] >= m["sim_true"] - 1e-6).mean())
+    recall = float((m["sim_approx"] >= m["sim_true"] - 1e-6).fillna(False).mean())
     return pd.DataFrame(
         {"n": [len(tdf)], "recall_ok": [bool(recall >= threshold)]}
     )

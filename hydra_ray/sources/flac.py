@@ -223,9 +223,8 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray) -> None:
         res = x.copy()
         for _ in range(order):
             res = np.diff(res)
-        res = res[max(0, 0):]
         warm = x[:order]
-        u = _zigzag(res[0:] if order == 0 else res)
+        u = _zigzag(res)
         # rice parameter search
         mean = max(1.0, float(u.mean()) if len(u) else 1.0)
         p0 = max(0, int(np.log2(mean)))

@@ -399,10 +399,25 @@ def ds_to_table_refs(ds: "rd.Dataset") -> list:
     """Execute a Dataset exactly once and return block REFS (no driver
     pull). Same single-execution rationale as ds_to_tables; use for
     block-parallel follow-up work (e.g. iterative graph shards) where
-    the blocks must stay in the object store. Arrow-producing pipelines
-    only — the pandas-empty-block normalization of ds_to_tables is not
-    applied here."""
+    the blocks must stay in the object store. to_arrow_refs can still
+    pass through column-less pandas blocks unconverted (ray 2.49) —
+    consumers of these refs must run each block through
+    ``block_to_table`` before touching Table attributes."""
     return ds.materialize().to_arrow_refs()
+
+
+def block_to_table(t) -> pa.Table:
+    """Normalize a block ref payload to an Arrow table. Ray 2.49's
+    to_arrow_refs passes empty column-less pandas blocks (out of pandas
+    groupby().map_groups) through UNCONVERTED; any remote consumer that
+    does ``t.num_rows`` on a raw block must call this first."""
+    if isinstance(t, pa.Table):
+        return t
+    import pandas as pd
+
+    if isinstance(t, pd.DataFrame):
+        return pa.Table.from_pandas(t, preserve_index=False)
+    return pa.table(dict(t))
 
 
 def ds_to_tables(ds: "rd.Dataset") -> list[pa.Table]:
@@ -415,20 +430,7 @@ def ds_to_tables(ds: "rd.Dataset") -> list[pa.Table]:
     materialized dataset are then free.
     """
     mat = ds.materialize()
-    out = []
-    for ref in mat.to_arrow_refs():
-        t = ray.get(ref)
-        if not isinstance(t, pa.Table):
-            # pandas map_groups emits empty column-less pandas blocks
-            # that to_arrow_refs passes through unconverted (ray 2.49)
-            import pandas as pd
-
-            if isinstance(t, pd.DataFrame):
-                t = pa.Table.from_pandas(t, preserve_index=False)
-            else:
-                t = pa.table(dict(t))
-        out.append(t)
-    return out
+    return [block_to_table(ray.get(ref)) for ref in mat.to_arrow_refs()]
 
 
 def _ds_to_arrow(ds: "rd.Dataset") -> pa.Table:

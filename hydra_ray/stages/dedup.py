@@ -1331,7 +1331,9 @@ def _jaccard_pairs(idsA, sizesA, setsA, idsB, sizesB, setsB, threshold):
             p = np.arange(E) - np.repeat(cums_t, tot)
             b_rows = rb[np.repeat(sbs, tot) + p % np.repeat(cbs, tot)]
             np.add.at(mat, (a_rows, b_rows), 1)
-        base = float(cum[t1 - 1])
+        # exact int cursor — float64 loses integer precision past 2^53
+        # total pair-emissions, degrading tile boundaries
+        base = int(cum[t1 - 1])
         t0 = t1
     jac = mat / (sizesA[:, None] + sizesB[None, :] - mat)
     ii, jj = np.nonzero(jac >= threshold)

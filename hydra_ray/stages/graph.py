@@ -169,7 +169,10 @@ def _parts_from_blocks(ds: "rd.Dataset", num_parts: int) -> dict[int, list]:
     from hydra_ray.sources.store import ds_to_table_refs
 
     @ray.remote
-    def probe(t: pa.Table) -> list[int]:
+    def probe(t) -> list[int]:
+        from hydra_ray.sources.store import block_to_table
+
+        t = block_to_table(t)
         if t.num_rows == 0:
             return []
         return pc.unique(t["_part"]).to_pylist()
@@ -188,8 +191,13 @@ def _pr_shard_edges(p: int, src_col: str, dst_col: str, *blocks) -> tuple:
     """Concat this src-shard's edge rows → (src, dst, outdeg-per-edge)
     numpy arrays. outdeg is shard-locally complete because ALL edges of
     a src live in its shard."""
+    from hydra_ray.sources.store import block_to_table
+
     srcs, dsts = [], []
     for t in blocks:
+        t = block_to_table(t)
+        if t.num_rows == 0:
+            continue
         t = t.filter(pc.equal(t["_part"], p))
         srcs.append(t[src_col].to_numpy(zero_copy_only=False).astype(np.int64))
         dsts.append(t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -202,8 +210,13 @@ def _pr_shard_edges(p: int, src_col: str, dst_col: str, *blocks) -> tuple:
 
 @ray.remote
 def _pr_shard_nodes(p: int, *blocks) -> np.ndarray:
+    from hydra_ray.sources.store import block_to_table
+
     parts = []
     for t in blocks:
+        t = block_to_table(t)
+        if t.num_rows == 0:
+            continue
         t = t.filter(pc.equal(t["_part"], p))
         parts.append(t["node"].to_numpy(zero_copy_only=False).astype(np.int64))
     return np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)

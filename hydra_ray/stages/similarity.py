@@ -629,7 +629,10 @@ def knn_pq(
         ref = ray.get(refine_ref)
         cs = np.einsum("qd,qrd->qr", q.astype(np.float32), ref[cand])
         cs = np.where(np.isinf(run_d), -np.inf, cs).astype(np.float64)
-        kk = min(k, nc - 1)
+        # the shortlist holds only R candidates, so at most R neighbors
+        # exist per query — clamp (k > refine would otherwise silently
+        # truncate; callers wanting full k must pass refine >= k)
+        kk = min(k, nc - 1, R)
         cand_ids = cids[cand]
         if kk == 1:
             # vectorized top-1 with deterministic smallest-id tie-break
