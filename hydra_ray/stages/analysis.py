@@ -254,7 +254,7 @@ class Analyser:
         """Inspect + cast + span-build for parse-routed rows; returns the
         spans list<struct> column (nulls elsewhere) and parsing-table names."""
         from hydra_ray.schemas import SPAN_STRUCT
-        from hydra_ray.stages.inspection import csv_text_to_table, inspect_csv_text
+        from hydra_ray.stages.inspection import csv_texts_to_tables, inspect_csv_texts_batch
         from hydra_ray.stages.spans import build_spans_batch
 
         urls = batch["url"].to_pylist()
@@ -267,10 +267,22 @@ class Analyser:
         fmts = batch["format"].to_pylist() if "format" in batch.column_names else [None] * len(urls)
         sub_ids, sub_texts, sub_rows = [], [], []
         inspections: list[str | None] = [None] * len(urls)
+        csv_rows: list[int] = []  # batched CSV route (vectorized across rows)
+        csv_texts: list[str] = []
         for j, parse in enumerate(do_parse):
             if not parse:
                 continue
             text = synth.synthetic_text(urls[j], epoch=epoch, max_rows=self.content_rows)
+            if fmts[j] not in ("xls", "xlsx", "ods"):
+                # CSV-like route: defer to one batched inspect+cast pass
+                # below (one kernel sweep for the whole block instead of
+                # per-resource Python cell loops)
+                csv_rows.append(j)
+                csv_texts.append(text)
+                sub_ids.append(rids[j])
+                sub_texts.append(text)
+                sub_rows.append(j)
+                continue
             if fmts[j] in ("xls", "xlsx", "ods"):
                 # Workbook route (S4): the synthetic download is
                 # materialized as a real workbook — OOXML zip for .xlsx,
@@ -320,13 +332,15 @@ class Analyser:
                     wb_rows = read_xlsx_rows(blob)  # parse the XML once
                     insp = inspect_xlsx(blob, rows=wb_rows)
                     xlsx_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
-            else:
-                insp = inspect_csv_text(text)
-                csv_text_to_table(text, insp)  # typed-cast cost (feeds parsed-table sinks)
             inspections[j] = json.dumps(insp, sort_keys=True)
             sub_ids.append(rids[j])
             sub_texts.append(text)
             sub_rows.append(j)
+        if csv_rows:
+            insps = inspect_csv_texts_batch(csv_texts)
+            csv_texts_to_tables(csv_texts, insps)  # typed-cast cost (feeds parsed-table sinks)
+            for j, insp in zip(csv_rows, insps):
+                inspections[j] = json.dumps(insp, sort_keys=True)
 
         parsing_tables: list[str | None] = [None] * len(urls)
         for j in sub_rows:

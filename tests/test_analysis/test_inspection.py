@@ -175,3 +175,95 @@ def test_inspect_csv_bytes_gunzips():
     assert gz["header"] == plain["header"] == ["a", "b"]
     assert gz["columns"] == plain["columns"]
     assert gz["total_lines"] == plain["total_lines"] == 2
+
+
+def test_vectorized_type_vote_parity():
+    """The Arrow-kernel type classifier and vote fold are bit-identical
+    to the per-cell Python path (round-3 verdict item 1), including
+    Unicode digits, control whitespace, json candidates and widening."""
+    import random
+
+    from hydra_ray.stages.inspection import (
+        _classify_cells,
+        _detect_types_py,
+        _TYPE_NAMES,
+        cell_type,
+        detect_types_many,
+    )
+    import pyarrow as pa
+
+    pool = [
+        "12", "-3", "+7", "007", "1.5", "1,5", ".5", "1e5", "+2.5E-3",
+        "true", "FALSE", "oui", "Non", "2024-01-02", "31/04/2021",
+        "02/01/2024", "2024-02-30", "2024-01-02T10:30:00", "2024-01-02 10:30",
+        '{"a": 1}', "[1, 2]", "{bad json", "hello", " spaced ", "", "   ",
+        "1_0", "inf", "20240102", "1/2/2024", "٣٤", "éàç",
+        "item-42", "2024-01-02T10:30:00+02:00", "x\x1cy", "\x1c", "0", "1",
+    ]
+    rng = random.Random(11)
+    cells = [rng.choice(pool) for _ in range(2000)]
+    codes = _classify_cells(pa.array(cells, pa.string()))
+    assert [_TYPE_NAMES[c] for c in codes] == [cell_type(v) for v in cells]
+    items = []
+    for _ in range(40):
+        nc = rng.randint(1, 5)
+        items.append(
+            ([[rng.choice(pool) for _ in range(rng.randint(0, nc + 2))]
+              for _ in range(rng.randint(0, 30))], nc)
+        )
+    assert detect_types_many(items) == [_detect_types_py(r, n) for r, n in items]
+
+
+def test_vectorized_cast_parity():
+    """csv_texts_to_tables (grouped kernel casts) equals the per-cell
+    smart_cast path cell-for-cell on unquoted rectangular CSV, and the
+    quoted/ragged fallbacks agree too."""
+    import random
+
+    from hydra_ray.stages.inspection import (
+        csv_text_to_table,
+        csv_texts_to_tables,
+        inspect_csv_text,
+        inspect_csv_texts_batch,
+        smart_cast,
+        _parse_csv_line,
+        db_col_name,
+        _PA_TYPE,
+    )
+    import pyarrow as pa
+
+    pool = [
+        "12", "-3", "007", "1.5", "1,5", "1e5", "true", "oui", "Non",
+        "2024-01-02", "31/04/2021", "02/01/2024", "2024-01-02T10:30:00",
+        "2024-01-02 10:30", "[1, 2]", "hello", " spaced ", "", "éàç",
+        "1_0", "20240102", "2024-01-02T10:30:00+02:00",
+    ]
+    rng = random.Random(13)
+    texts = []
+    for _ in range(25):
+        nc = rng.randint(1, 4)
+        hdr = ";".join(f"c{i}" for i in range(nc))
+        rows = [";".join(rng.choice(pool) for _ in range(nc)) for _ in range(rng.randint(1, 25))]
+        texts.append("\n".join([hdr] + rows))
+    texts.append('a;b\n"x;1";2\n"y";3')  # quoted → python fallback
+    texts.append("a;b\n1;2;3\n4;5")  # ragged → python fallback
+    insps = inspect_csv_texts_batch(texts)
+    assert [
+        __import__("json").dumps(i, sort_keys=True) for i in insps
+    ] == [__import__("json").dumps(inspect_csv_text(t), sort_keys=True) for t in texts]
+    batch = csv_texts_to_tables(texts, insps)
+    for text, insp, got in zip(texts, insps, batch):
+        # reference: raw per-cell smart_cast fold
+        sep = insp["separator"]
+        lines = [line for line in text.splitlines() if line.strip()]
+        names = [db_col_name(h) for h in insp["header"]]
+        ptypes = [insp["columns"][c]["python_type"] for c in names]
+        cols = [[] for _ in names]
+        for line in lines[1:]:
+            cs = _parse_csv_line(line, sep)
+            for c in range(len(names)):
+                cols[c].append(smart_cast(ptypes[c], cs[c] if c < len(cs) else None))
+        want = pa.table(dict(zip(names, [pa.array(col, type=_PA_TYPE[pt]) for col, pt in zip(cols, ptypes)])))
+        assert got.schema == want.schema and got.equals(want)
+        single = csv_text_to_table(text, insp)
+        assert single.equals(want)
