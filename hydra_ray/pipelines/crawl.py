@@ -182,7 +182,7 @@ class CrawlEngine:
         if self.catalog.is_empty():
             tbl = tbl.filter(pa.array(is_new))
             self.catalog.overwrite(tbl, meta={"iteration": self.iteration})
-            self._frontier_cache = tbl
+            self._frontier_cache = tbl if tbl.num_rows <= self.CACHE_MAX_ROWS else None
         else:
             # re-loads refresh existing rows (upsert by resource_id) and
             # add new ones — with the SAME URL-uniqueness contract as the
@@ -576,7 +576,7 @@ class CrawlEngine:
                 ),
             )
             self.catalog.overwrite(cat, meta={"iteration": self.iteration})
-            self._frontier_cache = cat
+            self._frontier_cache = cat if cat.num_rows <= self.CACHE_MAX_ROWS else None
         return n_stuck
 
     # -- documents (merge-on-read) ----------------------------------------
