@@ -17,6 +17,9 @@ from typing import Any, Iterator
 
 @dataclass
 class Config:
+    # bearer token guarding the mutating API routes (reference
+    # config_default.toml:19 API_KEY; utils/auth.py middleware)
+    API_KEY: str = "hydra_api_key_to_change"
     # -- crawler settings (reference config_default.toml:21-51) -- #
     EXCLUDED_PATTERNS: list[str] = field(
         default_factory=lambda: [

@@ -392,3 +392,86 @@ class EngineApi:
             "checks_rows": self.engine.checks.count() if not self.engine.checks.is_empty() else 0,
             "virtual_now": self.engine.now_dt().isoformat(),
         }
+
+
+# -- bearer-token auth (reference utils/auth.py:16-70, wired in app.py:20
+#    as token_auth_middleware(exclude_methods=("GET",))) --------------------
+
+
+class Unauthorized(PermissionError):
+    """401 — missing Authorization header."""
+
+
+class Forbidden(PermissionError):
+    """403 — malformed header, wrong scheme, or wrong token."""
+
+
+def token_auth_check(
+    headers: dict | None,
+    *,
+    path: str = "",
+    method: str = "POST",
+    auth_scheme: str = "Bearer",
+    exclude_routes: tuple[str, ...] = (),
+    exclude_methods: tuple[str, ...] = ("GET",),
+    api_key: str | None = None,
+) -> dict | None:
+    """The reference token middleware as a pure function: returns the
+    authenticated user dict, None for excluded routes/methods, raises
+    Unauthorized (missing header) / Forbidden (malformed header, wrong
+    scheme, wrong token) — same exception split as the aiohttp
+    middleware's 401/403 responses."""
+    import re as _re
+
+    if method in exclude_methods or any(_re.fullmatch(p, path) for p in exclude_routes):
+        return None
+    try:
+        scheme, token = (headers or {})["Authorization"].strip().split(" ")
+    except KeyError:
+        raise Unauthorized("Missing authorization header")
+    except ValueError:
+        raise Forbidden("Invalid authorization header")
+    if auth_scheme.lower() != scheme.lower():
+        raise Forbidden("Invalid token scheme")
+    if token != (api_key if api_key is not None else config.API_KEY):
+        raise Forbidden("Invalid authentication token")
+    return {"username": "udata"}
+
+
+# mutating route table (reference routes/__init__.py:52-79): everything
+# else is GET and passes the exclude_methods filter untouched
+_WRITE_ROUTES: dict[str, tuple[str, str]] = {
+    "create_check": ("POST", "/api/checks"),
+    "create_resource": ("POST", "/api/resources"),
+    "update_resource": ("PUT", "/api/resources/{resource_id}"),
+    "delete_resource": ("DELETE", "/api/resources/{resource_id}"),
+    "create_resource_exception": ("POST", "/api/resources-exceptions"),
+    "update_resource_exception": ("PUT", "/api/resources-exceptions/{id}"),
+    "delete_resource_exception": ("DELETE", "/api/resources-exceptions/{id}"),
+}
+
+
+class SecuredApi:
+    """EngineApi behind the reference's bearer-token middleware: GET
+    routes are open; mutating routes require ``Authorization: Bearer
+    <API_KEY>``. ``request["user"]`` is exposed as ``.user`` after a
+    successful authorized call, mirroring the middleware's
+    request_property."""
+
+    def __init__(self, api: EngineApi, headers: dict | None = None):
+        self._api = api
+        self.headers = dict(headers or {})
+        self.user: dict | None = None
+
+    def __getattr__(self, name):
+        fn = getattr(self._api, name)
+        route = _WRITE_ROUTES.get(name)
+        if route is None or not callable(fn):
+            return fn
+        method, path = route
+
+        def guarded(*args, **kwargs):
+            self.user = token_auth_check(self.headers, path=path, method=method)
+            return fn(*args, **kwargs)
+
+        return guarded

@@ -177,3 +177,59 @@ class TestApiExtended:
             for d in out["external_resources_allow_origin_distribution"]
         )
         assert dist_total == n_cov
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAuth:
+    """Bearer-token middleware parity (reference utils/auth.py:16-70,
+    app.py:20 token_auth_middleware(exclude_methods=("GET",)))."""
+
+    def test_get_routes_open(self, api):
+        from hydra_ray.pipelines.api import SecuredApi
+
+        s = SecuredApi(api)  # no Authorization header at all
+        assert s.health()["status"] == "ok"
+        assert isinstance(s.get_crawler_status(), dict)
+        assert s.user is None
+
+    def test_mutation_requires_token(self, api):
+        from hydra_ray.config import config
+        from hydra_ray.pipelines.api import Forbidden, SecuredApi, Unauthorized
+
+        cat = api.engine.catalog.read_arrow()
+        rid = cat["resource_id"][3].as_py()
+        with pytest.raises(Unauthorized):
+            SecuredApi(api).create_check(rid)
+        with pytest.raises(Forbidden):
+            SecuredApi(api, {"Authorization": "Bearer wrong-token"}).create_check(rid)
+        with pytest.raises(Forbidden):
+            SecuredApi(api, {"Authorization": f"Basic {config.API_KEY}"}).create_check(rid)
+        with pytest.raises(Forbidden):
+            SecuredApi(api, {"Authorization": "garbage"}).create_check(rid)
+
+    def test_authorized_mutation(self, api):
+        from hydra_ray.config import config
+        from hydra_ray.pipelines.api import SecuredApi
+
+        s = SecuredApi(api, {"Authorization": f"Bearer {config.API_KEY}"})
+        cat = api.engine.catalog.read_arrow()
+        rid = cat["resource_id"][5].as_py()
+        before = api.engine.checks.count()
+        check = s.create_check(rid)
+        assert check["resource_id"] == rid
+        assert api.engine.checks.count() == before + 1
+        assert s.user == {"username": "udata"}
+        # scheme is case-insensitive, like the reference
+        s2 = SecuredApi(api, {"Authorization": f"bearer {config.API_KEY}"})
+        r = s2.create_resource_exception(rid, comment="big file")
+        assert r["resource_id"] == rid
+        s2.delete_resource_exception(rid)
+
+    def test_exclude_route_patterns(self):
+        from hydra_ray.pipelines.api import token_auth_check
+
+        assert (
+            token_auth_check({}, path="/api/health", method="POST",
+                             exclude_routes=(r"/api/health",)) is None
+        )
+        assert token_auth_check({}, path="/x", method="GET") is None
