@@ -1,6 +1,8 @@
 """Text-analysis stages: stats parity with the SQL token contract,
 language ID accuracy, quality gates, fingerprint determinism."""
 
+import time
+
 import duckdb
 import pyarrow as pa
 import pytest
@@ -686,4 +688,75 @@ def test_bpe_train_driver_and_distributed_paths_identical(ray_session):
     )
     fast = bpe_train(rd.from_arrow(docs), n_merges=6)
     dist = bpe_train(rd.from_arrow(docs), n_merges=6, driver_vocab_rows=0)
+    assert fast.equals(dist)
+
+
+def test_bpe_train_batched_rounds_match_sequential(ray_session):
+    """Merge-round batching (round-3 verdict item 2): the distributed
+    path applies many symbol-disjoint merges per Dataset pass yet
+    produces the EXACT sequential merge sequence, and the pass count
+    (the term that multiplies Ray's fixed per-round overhead — the
+    timing claim in deterministic form) drops well below n_merges on a
+    Zipfian corpus."""
+    import random
+
+    import ray.data as rd
+
+    from hydra_ray.stages.text import bpe_train
+
+    rng = random.Random(3)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(3, 9)))
+        for _ in range(120)
+    ]
+    texts = []
+    for d in range(60):
+        # Zipf-ish: low-index words repeat much more
+        words = [vocab[min(int(rng.paretovariate(1.2)) % 120, 119)] for _ in range(80)]
+        texts.append(" ".join(words))
+    docs = pa.table({"doc_id": [str(i) for i in range(60)], "text": texts})
+
+    n_merges = 48
+    fast = bpe_train(rd.from_arrow(docs), n_merges=n_merges)
+    stats: dict = {}
+    t0 = time.monotonic()
+    dist = bpe_train(
+        rd.from_arrow(docs).repartition(4),
+        n_merges=n_merges,
+        driver_vocab_rows=0,
+        stats_out=stats,
+    )
+    elapsed = time.monotonic() - t0
+    assert fast.equals(dist)
+    assert fast.num_rows == n_merges
+    assert stats["rounds"] < n_merges, stats  # batching engaged
+    # the old engine ran TWO Dataset executions per round (~3 s fixed
+    # each on this host); at 33 rounds that is minutes. The sharded
+    # actor engine does one RPC fan-out per round — generous bound so
+    # steal noise can't flake it, but the old pathology can't pass it.
+    assert elapsed < 60, (elapsed, stats)
+
+
+def test_bpe_train_batched_tie_heavy_corpus(ray_session):
+    """Adversarial ties: tiny vocab where many pairs share counts and
+    symbols — the strict-count guard must collapse batches rather than
+    diverge from the sequential sequence."""
+    import ray.data as rd
+
+    from hydra_ray.stages.text import bpe_train
+
+    docs = pa.table(
+        {
+            "doc_id": ["1", "2", "3"],
+            "text": [
+                "ab ab ab ba ba aa bb ab ba",
+                "aa aa bb bb ab ba ab",
+                "aba bab abab baba ab ba aa bb",
+            ],
+        }
+    )
+    fast = bpe_train(rd.from_arrow(docs), n_merges=16)
+    dist = bpe_train(
+        rd.from_arrow(docs).repartition(3), n_merges=16, driver_vocab_rows=0
+    )
     assert fast.equals(dist)
