@@ -3847,6 +3847,50 @@ QUERIES["char_dup_spans"] = q_char_dup_spans
 ORACLES["char_dup_spans"] = ORACLE_CHAR_DUP_SPANS
 
 
+def q_sa_dup_spans(sf_dir: str):
+    """ExactSubstr spans via the distributed SUFFIX ARRAY (stages/
+    suffix.py::sa_dup_spans — Lee et al. 2022 §4's actual formulation,
+    prefix-doubling rank tables; round-3 verdict item 8): maximal
+    per-doc char spans covered by a 20-char window occurring >= 3 times
+    anywhere in the corpus. Window equality is decided by two integer
+    rank lookups — no window text or hash ever enters a shuffle, so the
+    result is exact by construction (different params than
+    char_dup_spans on purpose: both paths stay independently gated)."""
+    from hydra_ray.stages.suffix import sa_dup_spans
+
+    return sa_dup_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        min_len=20,
+        min_occ=3,
+    )
+
+
+ORACLE_SA_DUP_SPANS = """
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 19, 0))) AS p
+        FROM documents
+    ),
+    grams AS (SELECT doc_id, p, substr(text, p, 20) AS g FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 3),
+    hits AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN p - lag_p <= 20 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM (SELECT doc_id, p,
+                     lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+              FROM hits)
+    )
+    SELECT doc_id, min(p) AS start_chr, max(p) + 19 AS end_chr,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+"""
+
+QUERIES["sa_dup_spans"] = q_sa_dup_spans
+ORACLES["sa_dup_spans"] = ORACLE_SA_DUP_SPANS
+
+
 def q_c4_filter(sf_dir: str):
     """C4 line/page cleaning (Raffel et al. 2020 §2.2; stages/text.py::
     c4_filter_batch). The synthetic documents are single-line token
