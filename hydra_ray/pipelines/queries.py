@@ -5086,6 +5086,63 @@ QUERIES["webp_roundtrip"] = q_webp_roundtrip
 ORACLES["webp_roundtrip"] = ORACLE_WEBP_ROUNDTRIP
 
 
+def q_jpeg_progressive(sf_dir: str):
+    """Progressive-JPEG round-trip (sources/codecs.py::
+    encode_jpeg_progressive + the SOF2 decode path — spectral selection,
+    successive approximation, DC/AC refinement scans; round-3 verdict
+    item 7): per doc a 16×16 grayscale frame of four 8×8-constant
+    blocks v(d,R,C) = (d*7 + R*31 + C*57) % 256 — block-constant inputs
+    at quality 100 quantize to DC-only coefficients, so the 8-scan
+    progressive round-trip is EXACT and the decoded stats (mean +
+    position-weighted checksum) have a closed-form SQL oracle. Any
+    refinement-bit or EOB desync anywhere in the codec shifts pixels
+    and fails the hash."""
+    from hydra_ray.sources.codecs import encode_jpeg_progressive
+    from hydra_ray.stages.multimodal import decode_image
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.arange(16).reshape(16, 1)
+        c = np.arange(16).reshape(1, 16)
+        wgt = (1 + r + 17 * c).astype(np.int64)
+        means = np.zeros(len(ids), dtype=np.float64)
+        chk = np.zeros(len(ids), dtype=np.int64)
+        for j, d in enumerate(ids):
+            img = ((int(d) * 7 + (r // 8) * 31 + (c // 8) * 57) % 256).astype(np.uint8)
+            dec = decode_image(encode_jpeg_progressive(img, quality=100))
+            assert dec.shape == (16, 16)
+            means[j] = dec.astype(np.float64).mean()
+            chk[j] = int((dec.astype(np.int64) * wgt).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "jp_mean": pa.array(np.round(means, 6)),
+                "jp_chk": pa.array(chk),
+            }
+        )
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+ORACLE_JPEG_PROGRESSIVE = """
+    WITH px AS (
+        SELECT doc_id,
+               avg(CAST((doc_id * 7 + (r // 8) * 31 + (c // 8) * 57) % 256 AS DOUBLE)) AS m,
+               sum(CAST((doc_id * 7 + (r // 8) * 31 + (c // 8) * 57) % 256 AS BIGINT)
+                   * (1 + r + 17 * c)) AS s
+        FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS r FROM documents),
+             (SELECT unnest(generate_series(0, 15)) AS c)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, round(m, 6) AS jp_mean, CAST(s AS BIGINT) AS jp_chk FROM px
+"""
+
+QUERIES["jpeg_progressive"] = q_jpeg_progressive
+ORACLES["jpeg_progressive"] = ORACLE_JPEG_PROGRESSIVE
+
+
 def q_jaccard_join_salted(sf_dir: str):
     """PPJoin self-join on a NON-degenerate corpus: every doc gains two
     pair-unique salt tokens (s<doc_id//2>x / s<doc_id//2>y), so at

@@ -685,6 +685,193 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) JFIF encode of an HxW (grayscale) or HxWx3
+    (RGB) uint8 array; 4:4:4, Annex-K Huffman tables. The scan script
+    exercises BOTH progressive mechanisms — spectral selection (AC
+    bands 1-5 / 6-63) and successive approximation (DC Al 1→0, AC Al
+    2→1→0 with refinement scans):
+
+        1. DC first, interleaved          (Ss=0 Se=0  Ah=0 Al=1)
+        2. per comp: AC 1-5  first        (Ah=0 Al=2)
+        3. per comp: AC 6-63 first        (Ah=0 Al=2)
+        4. per comp: AC 1-5  refinement   (Ah=2 Al=1)
+        5. per comp: AC 6-63 refinement   (Ah=2 Al=1)
+        6. per comp: AC 1-5  refinement   (Ah=1 Al=0)
+        7. per comp: AC 6-63 refinement   (Ah=1 Al=0)
+        8. DC refinement, interleaved     (Ah=1 Al=0)
+
+    EOB runs are capped at EOB1 because Annex K defines no EOBn>1
+    symbols (a valid, just less compact, choice); the decoder handles
+    general EOB runs. Same forward DCT/quant arithmetic as
+    `encode_jpeg`, so decode(progressive) == decode(baseline) pixel for
+    pixel (pinned by test)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    m = _dct_matrix()
+    qt_l = _quality_scale(_Q_LUMA, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qts = [qt_l]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [qt_l, _quality_scale(_Q_CHROMA, quality)]
+        qsel = [0, 1, 1]
+
+    dc_tabs = [_huff_codes(*_HUFF_DC_LUMA), _huff_codes(*_HUFF_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_HUFF_AC_LUMA), _huff_codes(*_HUFF_AC_CHROMA)]
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz = _ZIGZAG
+    coeffs = []  # per component: (bh*bw, 64) in ZIGZAG order
+    for ci, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        dct = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+        q = np.floor(dct / qts[qsel[ci]] + 0.5).astype(np.int64)
+        coeffs.append(q.reshape(bh * bw, 64)[:, zz])
+
+    ncomp = len(planes)
+
+    def scan_dc_first(bwr: _BitWriter, al: int):
+        pred = [0] * ncomp
+        for bi in range(bh * bw):
+            for ci in range(ncomp):
+                v = int(coeffs[ci][bi, 0]) >> al  # arithmetic point transform
+                diff = v - pred[ci]
+                pred[ci] = v
+                cat, bits = _magnitude(diff)
+                code, ln = dc_tabs[0 if ci == 0 else 1][cat]
+                bwr.write(code, ln)
+                if cat:
+                    bwr.write(bits, cat)
+
+    def scan_dc_refine(bwr: _BitWriter, al: int):
+        for bi in range(bh * bw):
+            for ci in range(ncomp):
+                bwr.write((int(coeffs[ci][bi, 0]) >> al) & 1, 1)
+
+    def scan_ac_first(bwr: _BitWriter, ci: int, ss: int, se: int, al: int):
+        tab = ac_tabs[0 if ci == 0 else 1]
+        for bi in range(bh * bw):
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(coeffs[ci][bi, k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tab[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(t if v > 0 else -t)
+                code, ln = tab[(run << 4) | cat]
+                bwr.write(code, ln)
+                bwr.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = tab[0x00]  # EOB (= EOB1)
+                bwr.write(code, ln)
+
+    def scan_ac_refine(bwr: _BitWriter, ci: int, ss: int, se: int, al: int):
+        """Mirrors libjpeg encode_mcu_AC_refine: correction bits buffer
+        until the next emitted symbol (ZRL at every ≥16-zero run before
+        a nonzero value, newly-significant (r<<4)|1 + sign, or the
+        final EOB); zeros past the last newly-significant coefficient
+        fold into the EOB."""
+        tab = ac_tabs[0 if ci == 0 else 1]
+
+        def flush(bits: list[int]):
+            for bit in bits:
+                bwr.write(bit, 1)
+            bits.clear()
+
+        for bi in range(bh * bw):
+            blk = coeffs[ci][bi]
+            kex = ss - 1  # last newly-significant index in the band
+            for k in range(ss, se + 1):
+                if (abs(int(blk[k])) >> al) == 1:
+                    kex = k
+            pending: list[int] = []
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= kex:
+                    code, ln = tab[0xF0]
+                    bwr.write(code, ln)
+                    flush(pending)
+                    run -= 16
+                if t > 1:  # history-nonzero: one correction bit
+                    pending.append(t & 1)
+                    continue
+                # t == 1: newly significant (k <= kex by construction)
+                code, ln = tab[(run << 4) | 1]
+                bwr.write(code, ln)
+                bwr.write(1 if v > 0 else 0, 1)
+                flush(pending)
+                run = 0
+            if run > 0 or pending:  # decoder still expects a symbol
+                code, ln = tab[0x00]
+                bwr.write(code, ln)
+                flush(pending)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, qt in enumerate(qts):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([ti])
+        out += bytes(int(x) for x in qt.reshape(64)[zz])
+    out += b"\xff\xc2" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, qsel[ci]])
+    specs = [
+        (0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA),
+        (0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA),
+    ][: 2 if gray else 4]
+    for tc_th, (bits, vals) in specs:
+        out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big") + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+
+    def sos(entries: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int, body_fn):
+        nonlocal out
+        out += b"\xff\xda" + (6 + 2 * len(entries)).to_bytes(2, "big") + bytes([len(entries)])
+        for cid, td, ta in entries:
+            out += bytes([cid, (td << 4) | ta])
+        out += bytes([ss, se, (ah << 4) | al])
+        bwr = _BitWriter()
+        body_fn(bwr)
+        bwr.flush()
+        out += bwr.buf
+
+    all_dc = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    sos(all_dc, 0, 0, 0, 1, lambda b: scan_dc_first(b, 1))
+    for first_al, (ah, al) in ((True, (0, 2)), (False, (2, 1)), (False, (1, 0))):
+        for ci in range(ncomp):
+            ta = 0 if ci == 0 else 1
+            for ss, se in ((1, 5), (6, 63)):
+                if first_al:
+                    sos([(ci + 1, 0, ta)], ss, se, ah, al,
+                        lambda b, ci=ci, ss=ss, se=se, al=al: scan_ac_first(b, ci, ss, se, al))
+                else:
+                    sos([(ci + 1, 0, ta)], ss, se, ah, al,
+                        lambda b, ci=ci, ss=ss, se=se, al=al: scan_ac_refine(b, ci, ss, se, al))
+    sos(all_dc, 0, 0, 1, 0, lambda b: scan_dc_refine(b, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -750,18 +937,129 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+class _JpegScanState:
+    """Per-scan entropy-decode state shared by the block decoders."""
+
+    __slots__ = ("br", "htabs", "pred", "eobrun")
+
+    def __init__(self, br: "_BitReader", htabs: dict):
+        self.br = br
+        self.htabs = htabs
+        self.pred: dict[int, int] = {}
+        self.eobrun = 0
+
+    def reset(self):
+        self.pred = {k: 0 for k in self.pred}
+        self.eobrun = 0
+
+
+def _decode_dc(st: _JpegScanState, coef: np.ndarray, cid: int, td: int, ah: int, al: int):
+    if ah == 0:
+        sym = _read_symbol(st.br, st.htabs[(0, td)])
+        st.pred[cid] += _extend(st.br.read(sym), sym)
+        coef[0] = st.pred[cid] << al
+    elif st.br.read(1):
+        coef[0] |= 1 << al
+
+
+def _decode_ac_first(
+    st: _JpegScanState, coef: np.ndarray, ta: int, ss: int, se: int, al: int
+):
+    """AC coefficients of one block, first scan (Ah=0) — also the
+    baseline AC path (ss=1, se=63, al=0: EOB-run symbols beyond EOB1
+    simply never occur in baseline streams)."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    br = st.br
+    tab = st.htabs[(1, ta)]
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, tab)
+        run, cat = sym >> 4, sym & 0xF
+        if cat == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            st.eobrun = (1 << run) - 1
+            if run:
+                st.eobrun += br.read(run)
+            break
+        k += run
+        if k > se:
+            break
+        coef[k] = _extend(br.read(cat), cat) << al
+        k += 1
+
+
+def _decode_ac_refine(
+    st: _JpegScanState, coef: np.ndarray, ta: int, ss: int, se: int, al: int
+):
+    """AC successive-approximation refinement (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): one correction bit per already-nonzero
+    coefficient passed; size-1 symbols place newly-significant ±1<<Al."""
+    br = st.br
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, st.htabs[(1, ta)])
+            run, cat = sym >> 4, sym & 0xF
+            if cat == 0:
+                if run < 15:
+                    st.eobrun = 1 << run
+                    if run:
+                        st.eobrun += br.read(run)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:  # cat is 1 by construction in refinement scans
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        coef[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                coef[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        st.eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF decode to HxW (grayscale) or HxWx3 (RGB) uint8.
-    Supports SOF0, sampling factors up to 2x2, restart intervals."""
+    """JFIF decode to HxW (grayscale) or HxWx3 (RGB) uint8. Supports
+    baseline SOF0 and progressive SOF2 (spectral selection + successive
+    approximation, DC/AC first and refinement scans, EOB runs),
+    sampling factors up to 2x2, restart intervals, multi-scan DHT
+    redefinition. All scans accumulate into per-component coefficient
+    buffers (zigzag order); dequantize + IDCT run once, vectorized over
+    every block, after EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    comps = []  # (id, h, v, tq)
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     h = w = 0
     restart = 0
-    scan = None
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (nby_alloc, nbx_alloc, 64) zigzag
+    dims: dict[int, tuple[int, int, int, int]] = {}  # cid -> (nby, nbx, alloc_by, alloc_bx)
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    saw_scan = False
+
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -797,7 +1095,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -805,81 +1104,104 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, ch, cv, _ in comps:
+                aby, abx = mcuy * cv, mcux * ch
+                cw = -(-w * ch // hmax)
+                chh = -(-h * cv // vmax)
+                dims[cid] = (-(-chh // 8), -(-cw // 8), aby, abx)
+                coefs[cid] = np.zeros((aby, abx, 64), dtype=np.int64)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only SOF0 baseline / SOF2 progressive supported")
         elif marker == 0xDD:
             restart = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for si in range(ns):
                 cs, tds = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cs, tds >> 4, tds & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             pos += seglen
-            break
+            br = _BitReader(data[pos:])
+            st = _JpegScanState(br, htabs)
+            st.pred = {cid: 0 for cid, *_ in comps}
+            comp_by_id = {c[0]: c for c in comps}
+
+            def maybe_restart(n_units: int):
+                if restart and n_units and n_units % restart == 0:
+                    br.align_to_marker()
+                    if (
+                        br.pos + 1 < len(br.data)
+                        and br.data[br.pos] == 0xFF
+                        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                    ):
+                        br.pos += 2
+                    st.reset()
+
+            if len(scan) > 1 or (not progressive and len(comps) > 1):
+                # interleaved: MCU order (progressive: DC scans only)
+                n_mcu = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart(n_mcu)
+                        n_mcu += 1
+                        for cs, td, ta in scan:
+                            cid, ch, cv, _ = comp_by_id[cs]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    coef = coefs[cid][my * cv + by, mx * ch + bx]
+                                    if ss == 0:
+                                        _decode_dc(st, coef, cid, td, ah, al)
+                                    if se > 0 and not progressive:
+                                        _decode_ac_first(st, coef, ta, 1, 63, 0)
+            else:
+                # non-interleaved: the component's own block raster
+                cs, td, ta = scan[0]
+                cid, ch, cv, _ = comp_by_id[cs]
+                nby, nbx, _, _ = dims[cid]
+                n_units = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        maybe_restart(n_units)
+                        n_units += 1
+                        coef = coefs[cid][by, bx]
+                        if ss == 0:
+                            _decode_dc(st, coef, cid, td, ah, al)
+                            if se > 0:  # baseline single-component scan
+                                _decode_ac_first(st, coef, ta, 1, se, al)
+                        elif ah == 0:
+                            _decode_ac_first(st, coef, ta, ss, se, al)
+                        else:
+                            _decode_ac_refine(st, coef, ta, ss, se, al)
+            saw_scan = True
+            br.align_to_marker()
+            pos += br.pos
+            continue
         pos += seglen
-    if scan is None or not comps:
+
+    if not saw_scan or not comps:
         raise ValueError("truncated JPEG")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
     m = _dct_matrix()
-    planes = {}
-    for cid, ch, cv, _ in comps:
-        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
-
-    br = _BitReader(data[pos:])
-    pred = {cid: 0 for cid, *_ in comps}
-    comp_by_id = {c[0]: c for c in comps}
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                br.align_to_marker()
-                if (
-                    br.pos + 1 < len(br.data)
-                    and br.data[br.pos] == 0xFF
-                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
-                ):
-                    br.pos += 2
-                pred = {cid: 0 for cid, *_ in comps}
-            n_mcu += 1
-            for cs, td, ta in scan:
-                cid, ch, cv, tq = comp_by_id[cs]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        sym = _read_symbol(br, htabs[(0, td)])
-                        diff = _extend(br.read(sym), sym)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(br, htabs[(1, ta)])
-                            if sym == 0x00:
-                                break
-                            run, cat = sym >> 4, sym & 0xF
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                break
-                            zz[k] = _extend(br.read(cat), cat)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = zz
-                        deq = block.reshape(8, 8) * qtabs[tq]
-                        pix = m.T @ deq @ m + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
-
     out_planes = []
-    for cid, ch, cv, _ in comps:
-        p = planes[cid]
+    for cid, ch, cv, tq in comps:
+        zz = coefs[cid]
+        aby, abx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz
+        deq = nat.reshape(aby, abx, 8, 8).astype(np.float64) * qtabs[tq]
+        pix = np.matmul(np.matmul(m.T, deq), m) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(aby * 8, abx * 8)
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:

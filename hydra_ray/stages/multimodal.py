@@ -62,13 +62,14 @@ class MediaFetcher:
 def decode_image(payload: bytes, decoder=None):
     """Decode an image payload to an HxWxC uint8 array.
 
-    PNG, BMP, GIF, baseline JPEG and lossless WebP (VP8L subset —
-    sources/webp.py) decode natively (stdlib+numpy only: zlib scanline
-    filters / BITMAPINFOHEADER rows / LZW + color tables / SOF0
-    Huffman + IDCT / canonical-prefix-code VP8L). Other formats (lossy
-    WebP, progressive JPEG, …) need an injected ``decoder`` (e.g.
-    PIL.Image.open) — those libs are not in this container, so they
-    stay honestly gated."""
+    PNG, BMP, GIF, JPEG (baseline SOF0 AND progressive SOF2) and
+    lossless WebP (VP8L subset — sources/webp.py) decode natively
+    (stdlib+numpy only: zlib scanline filters / BITMAPINFOHEADER rows /
+    LZW + color tables / Huffman + IDCT with progressive scan
+    accumulation / canonical-prefix-code VP8L). Other formats (lossy
+    WebP, arithmetic-coded or hierarchical JPEG, …) need an injected
+    ``decoder`` (e.g. PIL.Image.open) — those libs are not in this
+    container, so they stay honestly gated."""
     if decoder is not None:
         return decoder(payload)
     head = bytes(payload[:8])

@@ -555,3 +555,117 @@ def test_flac_roundtrip(data):
     assert rate == 16000
     assert out.shape == exp.shape
     assert (out == exp).all()
+
+
+# --- JPEG (progressive SOF2) -------------------------------------------------
+
+from hydra_ray.sources.codecs import (  # noqa: E402
+    _HUFF_AC_LUMA,
+    _HUFF_DC_LUMA,
+    _BitWriter,
+    _ZIGZAG,
+    _huff_codes,
+    _magnitude,
+    encode_jpeg_progressive,
+)
+
+
+@_FAST
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_jpeg_progressive_equals_baseline_dense(seed):
+    """decode(progressive) must be pixel-identical to decode(baseline):
+    identical forward DCT/quant, so any spectral-selection or
+    successive-approximation defect shows as a pixel diff. Dense random
+    images stress refinement correction bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 34)), int(rng.integers(8, 34))
+    gray = bool(rng.integers(0, 2))
+    q = int(rng.choice([50, 75, 90, 100]))
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+    assert np.array_equal(base, prog), (h, w, gray, q)
+
+
+@_FAST
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_jpeg_progressive_equals_baseline_smooth(seed):
+    """Smooth gradients quantize to long AC zero runs — exercises the
+    ZRL and EOB paths of the refinement scans specifically."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(16, 50)), int(rng.integers(16, 50))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((yy * int(rng.integers(1, 5)) + xx * int(rng.integers(1, 5))) % 256).astype(
+        np.uint8
+    )
+    q = int(rng.choice([40, 85, 95]))
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+    assert np.array_equal(base, prog), (h, w, q)
+
+
+def test_jpeg_progressive_block_constant_q100_lossless():
+    import numpy as np
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for q, v in enumerate([200, 13, 255, 0]):
+        img[(q // 2) * 8 : (q // 2) * 8 + 8, (q % 2) * 8 : (q % 2) * 8 + 8] = v
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_progressive_general_eob_run_decodes():
+    """Hand-built SOF2 bitstream with a real EOBn (n>1) symbol — our
+    encoder caps at EOB1 (Annex K has no EOBn codes), so this pins the
+    decoder's general EOB-run path with a custom Huffman table:
+    two all-DC blocks closed by one EOB2."""
+    import numpy as np
+
+    a, b = 200, 50  # block-constant values -> DC-only at unit quant
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = a
+    img[:, 8:] = b
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes([1] * 64)
+    # SOF2, 8x16 grayscale, 1 component 1x1
+    out += b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+    out += (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    # Annex-K DC table
+    bits, vals = _HUFF_DC_LUMA
+    out += b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big") + bytes([0x00])
+    out += bytes(bits) + bytes(vals)
+    # DC first scan (Ss=0 Se=0 Ah=0 Al=0)
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 0, 0x00])
+    dc = _huff_codes(*_HUFF_DC_LUMA)
+    bw = _BitWriter()
+    pred = 0
+    for v in (8 * (a - 128), 8 * (b - 128)):  # unit quant: DC = 8*(value-128)
+        cat, mbits = _magnitude(v - pred)
+        pred = v
+        code, ln = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(mbits, cat)
+    bw.flush()
+    out += bw.buf
+    # custom AC table: single symbol 0x10 (EOBn, r=1) with a 1-bit code
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x10])
+    out += bytes([1] + [0] * 15) + bytes([0x10])
+    # AC first scan (Ss=1 Se=63 Ah=0 Al=0): EOB2 covers both blocks
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 1, 63, 0x00])
+    bw = _BitWriter()
+    bw.write(0, 1)  # the EOBn symbol (code 0, length 1)
+    bw.write(0, 1)  # 1 extra bit: eobrun = 2 + 0 -> this block + 1 more
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(out))
+    assert np.array_equal(dec, img)
