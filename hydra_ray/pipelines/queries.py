@@ -773,6 +773,26 @@ ORACLE_ANN_RECALL = """
 """
 
 
+def q_knn_hnsw(sf_dir: str):
+    """Sharded-HNSW approximate all-pairs NN ACCURACY gate (stages/
+    similarity.py::knn_hnsw — graph ANN, Malkov & Yashunin 2016; the
+    third ANN family next to IVF and PQ). One actor per corpus shard
+    builds an independent HNSW; queries fan out from map_batches tasks
+    and merge their global top-k in place (no shuffle). Graph builds
+    are not SQL-expressible, so like knn_ivf/knn_pq the query measures
+    recall@1 against the exact brute-force answer and emits
+    {n, recall_ok: recall ≥ 0.95}, which the oracle pins."""
+    from hydra_ray.stages.similarity import knn_hnsw
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = knn_hnsw(ds, k=1, m=8, ef_construction=64, ef_search=48)
+    return _ann_recall_gate(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        approx,
+        threshold=0.95,
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: spans → media refs → fetch → byte features."""
     from hydra_ray.stages.multimodal import MEDIA_BATCH_SIZE, MediaFeatures, MediaFetcher
@@ -4292,6 +4312,8 @@ def q_knn_pq(sf_dir: str):
 QUERIES["knn_pq"] = q_knn_pq
 ORACLES["knn_pq"] = ORACLE_ANN_RECALL
 ORACLES["knn_ivf"] = ORACLE_ANN_RECALL
+QUERIES["knn_hnsw"] = q_knn_hnsw
+ORACLES["knn_hnsw"] = ORACLE_ANN_RECALL
 
 
 def q_bloom_semi_join(sf_dir: str):

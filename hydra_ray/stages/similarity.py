@@ -660,3 +660,229 @@ def knn_pq(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HNSW (graph-based ANN; Malkov & Yashunin 2016), sharded across actors
+# ---------------------------------------------------------------------------
+
+
+class _HnswGraph:
+    """In-memory HNSW over unit-normalized vectors (cosine via dot).
+
+    Pure numpy + heap implementation of the public algorithm: greedy
+    descent through the upper layers, ef-bounded best-first search at
+    each level, bidirectional links pruned to M (2M at level 0) by the
+    simple nearest-first heuristic. Levels come from a seeded
+    exponential draw on splitmix64(id), so the structure depends only
+    on the (id, vector) multiset, not on thread timing."""
+
+    def __init__(self, ids: np.ndarray, vecs: np.ndarray, m: int = 8, ef_construction: int = 64):
+        self.ids = ids.astype(np.int64)
+        self.vecs = vecs  # already unit-normalized
+        self.m = m
+        self.m0 = 2 * m
+        self.efc = ef_construction
+        n = len(ids)
+        # deterministic level per element: floor(-ln(u) * mL)
+        u = (_mix64(self.ids.astype(np.uint64) + np.uint64(0x9E3779B9)).astype(np.float64) + 1.0) / 2.0**64
+        ml = 1.0 / np.log(max(m, 2))
+        self.levels = np.floor(-np.log(u) * ml).astype(np.int64)
+        self.max_level = int(self.levels.max()) if n else 0
+        # adjacency: neighbors[level][node] -> list[int] (local indices)
+        self.neighbors: list[list[list[int]]] = [
+            [[] for _ in range(n)] for _ in range(self.max_level + 1)
+        ]
+        self.entry = -1
+        for i in range(n):
+            self._insert(i)
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int) -> list[tuple[float, int]]:
+        """Best-first search; returns up to ef (−sim, node) heap items."""
+        import heapq
+
+        d0 = float(self.vecs[entry] @ q)
+        visited = {entry}
+        cand = [(-d0, entry)]  # max-heap on sim via negation
+        best: list[tuple[float, int]] = [(d0, entry)]  # min-heap on sim
+        adj = self.neighbors[level]
+        while cand:
+            negd, c = heapq.heappop(cand)
+            if -negd < best[0][0] and len(best) >= ef:
+                break
+            nbrs = [x for x in adj[c] if x not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            sims = self.vecs[nbrs] @ q
+            for x, s in zip(nbrs, sims):
+                s = float(s)
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, x))
+                    heapq.heappush(best, (s, x))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return best
+
+    def _select(self, cands: list[tuple[float, int]], m: int) -> list[int]:
+        return [x for _, x in sorted(cands, key=lambda t: (-t[0], t[1]))[:m]]
+
+    def _insert(self, i: int):
+        lvl = int(self.levels[i])
+        if self.entry < 0:
+            self.entry = i
+            return
+        q = self.vecs[i]
+        ep = self.entry
+        top = int(self.levels[self.entry])
+        for level in range(top, lvl, -1):
+            if level <= self.max_level:
+                best = self._search_layer(q, ep, 1, level)
+                ep = max(best)[1]
+        for level in range(min(lvl, top), -1, -1):
+            cands = self._search_layer(q, ep, self.efc, level)
+            m = self.m0 if level == 0 else self.m
+            sel = self._select(cands, m)
+            adj = self.neighbors[level]
+            adj[i] = list(sel)
+            for x in sel:
+                lst = adj[x]
+                lst.append(i)
+                if len(lst) > m:
+                    sims = self.vecs[lst] @ self.vecs[x]
+                    keep = self._select(list(zip(sims.tolist(), lst)), m)
+                    adj[x] = keep
+            ep = max(cands)[1]
+        if lvl > int(self.levels[self.entry]):
+            self.entry = i
+
+    def search(self, q: np.ndarray, k: int, ef: int, exclude_id: int | None = None) -> list[tuple[int, float]]:
+        """Top-k (global id, sim) for one unit query vector."""
+        if self.entry < 0:
+            return []
+        ep = self.entry
+        for level in range(int(self.levels[self.entry]), 0, -1):
+            best = self._search_layer(q, ep, 1, level)
+            ep = max(best)[1]
+        best = self._search_layer(q, ep, max(ef, k + 1), 0)
+        out = []
+        for s, x in sorted(best, key=lambda t: (-t[0], self.ids[t[1]])):
+            gid = int(self.ids[x])
+            if exclude_id is not None and gid == exclude_id:
+                continue
+            out.append((gid, float(s)))
+            if len(out) == k:
+                break
+        return out
+
+
+class _HnswShard:
+    """One corpus shard: builds a local HNSW in the actor heap, answers
+    batched queries against it (wrapped with ray.remote in knn_hnsw)."""
+
+    def __init__(self, refs: list, m: int, efc: int, id_col: str, emb_col: str):
+        from hydra_ray.sources.store import block_to_table
+
+        ids_l, mats = [], []
+        for blk in ray.get(list(refs)):
+            t = block_to_table(blk)
+            if not t.num_rows:
+                continue
+            ids_l.append(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            mats.append(_normalize(_matrix_of(t, emb_col)))
+        if ids_l:
+            ids = np.concatenate(ids_l)
+            vecs = np.concatenate(mats, axis=0)
+            order = np.argsort(ids, kind="stable")  # block-split invariant
+            self.graph = _HnswGraph(ids[order], vecs[order], m=m, ef_construction=efc)
+        else:
+            self.graph = None
+
+    def query(self, qids: np.ndarray, qm: np.ndarray, k: int, ef: int):
+        if self.graph is None:
+            return None
+        out = []
+        for qid, q in zip(qids, qm):
+            for gid, s in self.graph.search(q, k, ef, exclude_id=int(qid)):
+                out.append((int(qid), gid, s))
+        if not out:
+            return None
+        return pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in out], type=pa.int64()),
+                "nn_id": pa.array([r[1] for r in out], type=pa.int64()),
+                "sim": pa.array([r[2] for r in out], type=pa.float64()),
+            }
+        )
+
+
+def knn_hnsw(
+    ds: "rd.Dataset",
+    k: int = 1,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 48,
+    query_batch_rows: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate all-pairs NN via SHARDED HNSW graphs — the graph-ANN
+    alternative to knn_ivf/knn_pq (Malkov & Yashunin 2016, the public
+    algorithm; no reference-engine counterpart — LLM-curation surface).
+
+    Scale shape: the corpus is split into block-aligned shards, one
+    stateful actor per shard builds an independent HNSW over its
+    vectors in ``__init__`` (graph memory = shard size × M ids);
+    queries fan out to every shard from inside ``map_batches`` tasks
+    (the driver never touches an embedding byte), and because ALL
+    shards' answers for a query land in the task that owns it, the
+    global top-k merge happens right there — no shuffle. This is the
+    standard sharded-HNSW serving layout: each shard answers its local
+    approximate top-k and wire volume is queries × shards × k rows.
+    Shards are capped at half the cluster CPUs so the blocking query
+    tasks can never starve the actor pool. Recall is gated (not
+    structure): see q_knn_hnsw."""
+    from hydra_ray.sources.store import ds_to_table_refs
+
+    refs = ds_to_table_refs(ds)
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    n_shards = max(1, min(len(refs), cpus // 2, 8))
+    shard_refs: list[list] = [[] for _ in range(n_shards)]
+    for i, r in enumerate(refs):
+        shard_refs[i % n_shards].append(r)
+    shard_cls = ray.remote(num_cpus=1)(_HnswShard)
+    actors = [
+        shard_cls.remote(rs, m, ef_construction, id_col, emb_col) for rs in shard_refs
+    ]
+
+    def query_block(t: pa.Table) -> pa.Table:
+        parts: list[pa.Table] = []
+        for s in range(0, t.num_rows, query_batch_rows):
+            sl = t.slice(s, query_batch_rows)
+            qids = sl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            qm = _normalize(_matrix_of(sl, emb_col))
+            outs = ray.get([a.query.remote(qids, qm, k, ef_search) for a in actors])
+            parts.extend(o for o in outs if o is not None)
+        if not parts:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "nn_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        # all shards answered for these queries: merge top-k locally
+        df = pa.concat_tables(parts).to_pandas()
+        df = df.sort_values(
+            ["vec_id", "sim", "nn_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df.drop_duplicates(["vec_id", "nn_id"])
+        rn = df.groupby("vec_id", sort=False).cumcount()
+        df = df[rn < k].reset_index(drop=True)
+        df["sim"] = df["sim"].round(6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = rd.from_arrow_refs(refs).map_batches(query_block, batch_format="pyarrow").to_pandas()
+    for a in actors:
+        ray.kill(a)
+    return out

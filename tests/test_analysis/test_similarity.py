@@ -369,3 +369,57 @@ def test_pq_recall_vs_bruteforce_sf0001(ray_session):
         .sort_index()
     )
     assert (pq == pq2).all()
+
+
+class TestHnsw:
+    def test_hnsw_recall_vs_bruteforce_sf0001(self):
+        """Sharded-HNSW recall@1 >= 0.95 vs exact brute force on the
+        sf0.001 embeddings (uniform vectors), across a shard split."""
+        import pandas as pd
+
+        from hydra_ray.stages.similarity import knn_hnsw, nn_all
+
+        path = "/root/testdata/sf0.001/embeddings.parquet"
+        truth = nn_all(rd.read_parquet(path, columns=["vec_id", "embedding"]))
+        tdf = truth if isinstance(truth, pd.DataFrame) else truth.to_pandas()
+        approx = knn_hnsw(
+            rd.read_parquet(path, columns=["vec_id", "embedding"]).repartition(4),
+            k=1,
+        )
+        assert len(approx) == len(tdf)  # every vector answered
+        m = tdf[["vec_id", "sim"]].merge(
+            approx[["vec_id", "sim"]], on="vec_id", how="left",
+            suffixes=("_true", "_approx"),
+        )
+        recall = float((m["sim_approx"] >= m["sim_true"] - 1e-6).fillna(False).mean())
+        assert recall >= 0.95, f"HNSW recall {recall:.3f} < 0.95"
+
+    def test_hnsw_finds_planted_twin_topk(self):
+        from hydra_ray.stages.similarity import knn_hnsw
+
+        tbl = embeddings()
+        out = knn_hnsw(rd.from_arrow(tbl).repartition(2), k=2).set_index("vec_id")
+        assert out.loc[0, "nn_id"].iloc[0] == 1  # twin is rank 1
+        assert out.loc[1, "nn_id"].iloc[0] == 0
+        # k respected: at most 2 neighbors per query, no self matches
+        per = out.groupby(level=0).size()
+        assert (per <= 2).all()
+        flat = out.reset_index()
+        assert (flat["vec_id"] != flat["nn_id"]).all()
+
+    def test_hnsw_graph_deterministic_levels(self):
+        """Level assignment depends only on ids (seeded splitmix64), so
+        two builds over the same (id, vector) set agree level for
+        level."""
+        import numpy as np
+
+        from hydra_ray.stages.similarity import _HnswGraph, _normalize
+
+        rng = np.random.default_rng(4)
+        ids = np.arange(64, dtype=np.int64)
+        vecs = _normalize(rng.normal(size=(64, 16)))
+        g1 = _HnswGraph(ids, vecs, m=4, ef_construction=16)
+        g2 = _HnswGraph(ids, vecs, m=4, ef_construction=16)
+        assert (g1.levels == g2.levels).all()
+        assert g1.entry == g2.entry
+        assert g1.neighbors == g2.neighbors
