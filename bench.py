@@ -59,6 +59,10 @@ QUERY_NAMES = [
     "bloom_semi_join",
     "gopher_quality",
     "jaccard_join_salted",
+    # round-4 additions
+    "sa_dup_spans",
+    "jpeg_progressive",
+    "knn_hnsw",
     # NOT raw jaccard_set_join: on the synthetic corpus (31-word
     # vocabulary, all docs near-identical) the >=0.8 similarity
     # self-join has inherently quadratic output — not a representative

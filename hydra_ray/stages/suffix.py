@@ -91,13 +91,19 @@ def _shift_rank(did: np.ndarray, r: np.ndarray, h: int) -> np.ndarray:
 
 
 def _dense_rank_local(r: np.ndarray, r2: np.ndarray) -> tuple[np.ndarray, int]:
-    """Dense rank of (r, r2) pairs; returns (new ranks, distinct count)."""
+    """Dense rank of (r, r2) pairs; returns (new ranks, distinct count).
+    The pair is packed into one int64 key (both components are < n, so
+    r*(n+2)+(r2+1) < n² — exact for n < ~3·10⁹, far above the driver
+    fast path's reach) so the sort and the change detection each make
+    a single pass instead of lexsort's two."""
     n = r.size
-    order = np.lexsort((r2, r))
-    rs, r2s = r[order], r2[order]
+    base = np.int64(max(n, 256) + 2)  # round 0 carries raw bytes (< 256)
+    key = r * base + (r2 + np.int64(1))
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (rs[1:] != rs[:-1]) | (r2s[1:] != r2s[:-1])
+    change[1:] = ks[1:] != ks[:-1]
     newr = np.empty(n, dtype=np.int64)
     newr[order] = np.cumsum(change) - 1
     return newr, int(change.sum())
@@ -153,14 +159,16 @@ def _window_hits_local(
     # r at pos+delta: same contiguous-layout shift as _shift_rank
     k2 = _shift_rank(did, r, delta)[valid] if delta else k1
     vd, vp = did[valid], pos[valid]
-    order = np.lexsort((k2, k1))
-    k1s, k2s = k1[order], k2[order]
-    n = k1s.size
+    n = k1.size
     if n == 0:
         return pd.DataFrame({"did": pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")})
+    base = np.int64(max(r.size, 256) + 2)  # ranks are < total positions
+    key = k1 * base + (k2 + np.int64(1))
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+    change[1:] = ks[1:] != ks[:-1]
     gid = np.cumsum(change) - 1
     sizes = np.bincount(gid)
     keep = sizes[gid] >= min_occ
