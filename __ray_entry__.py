@@ -38,9 +38,9 @@ _PRIORITY = [
     "excluded_filter", "crawl_checks", "status_counts",
     "crawler_status_triptych", "purge_retention", "purge_orphans",
     "geojson_features", "ogc_capabilities", "url_key_parity",
-    "xlsx_inspect", "xls_inspect", "ods_inspect", "csv_profile",
+    "xlsx_inspect", "xls_inspect", "csv_profile",
     "pmtiles_tiles", "span_explode", "sessionize_events",
-    "latest_event_per_user", "top2_events_per_user", "grouped_topk",
+    "latest_event_per_user", "grouped_topk",
     "cors_stats_analogue", "pricing_summary", "revenue_by_nation",
     # flagship LLM-data / dedup / similarity / codec / graph ops
     "training_shards", "curate_corpus", "curate_near_dup",
@@ -48,9 +48,15 @@ _PRIORITY = [
     "media_decode", "pagerank", "triangle_count", "webp_roundtrip",
     "flac_roundtrip", "minhash_near_dups", "dedup_exact",
     "paragraph_dedup", "duplicated_passages", "exact_substr_dedup",
-    "decontaminate", "knn_pq", "knn_ivf", "embedding_nn",
+    "decontaminate", "knn_pq", "knn_ivf",
     "tdigest_quantiles", "gopher_quality", "pack_sequences",
     "bloom_semi_join",
+    # round-4 flagship additions (suffix-array dedup, SOF2 codec, graph
+    # ANN) — displacing embedding_nn / ods_inspect / top2_events_per_user,
+    # whose operator families stay in-window via knn_ivf+knn_pq,
+    # xlsx+xls_inspect and latest_event_per_user (all remain fully
+    # gated via tools/check_correctness.py)
+    "sa_dup_spans", "jpeg_progressive", "knn_hnsw",
 ]
 
 
