@@ -1071,6 +1071,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD9:
             break
         seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2:
+            raise ValueError("corrupt JPEG segment length")
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:
             i = 0

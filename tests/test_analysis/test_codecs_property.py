@@ -669,3 +669,25 @@ def test_jpeg_progressive_general_eob_run_decodes():
 
     dec = decode_jpeg(bytes(out))
     assert np.array_equal(dec, img)
+
+
+def test_jpeg_corrupt_streams_raise_not_hang():
+    """Truncation and zeroed segment lengths must raise (ValueError /
+    NotImplementedError / decode error), never loop or crash the
+    interpreter — the crawler feeds decode_jpeg wild bytes."""
+    import numpy as np
+    import pytest
+
+    img = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    good = bytearray(encode_jpeg_progressive(img, quality=90))
+    # zeroed segment length on the first marker after SOI
+    bad = bytearray(good)
+    bad[4:6] = b"\x00\x00"
+    with pytest.raises(Exception):
+        decode_jpeg(bytes(bad))
+    # truncations at various depths decode-or-raise, never hang
+    for cut in (8, 40, len(good) // 2, len(good) - 3):
+        try:
+            decode_jpeg(bytes(good[:cut]))
+        except Exception:
+            pass
