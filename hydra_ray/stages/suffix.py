@@ -16,7 +16,9 @@ Construction (Manber–Myers prefix doubling, re-expressed Ray-Data-first):
   * Suffixes are doc-local ``(doc, pos)`` pairs — suffixes never cross
     document boundaries, so no global concatenation or separator
     sentinels are needed, and the round count is log2(max DOC length),
-    not log2(corpus length).
+    not log2(corpus length). Both paths seed the ranks with PACKED
+    first-4-byte keys (exact, base-257 — not a hash), skipping the
+    first two doubling rounds outright.
   * State is one rank table ``(did, pos, r)`` — one row per corpus
     BYTE. Round h (h = 1, 2, 4, …) turns "r groups suffixes by their
     first h chars" into "first 2h chars":
@@ -90,6 +92,32 @@ def _shift_rank(did: np.ndarray, r: np.ndarray, h: int) -> np.ndarray:
     return r2
 
 
+def _pack_initial(did: np.ndarray, r_bytes: np.ndarray, h0: int) -> np.ndarray:
+    """Exact packed key of the first ``h0`` bytes of each suffix (NOT a
+    hash — the literal bytes, base-257 with 0 for past-doc-end), so the
+    doubling loop can START at h = h0 instead of 1, saving log2(h0)
+    full sort rounds on both paths. h0 ≤ 4 keeps the key < 257⁴ ≈
+    4.4·10⁹, well inside int64."""
+    key = r_bytes + np.int64(1)  # bytes → 1..256; 0 reserved for past-end
+    out = key.copy()
+    for j in range(1, h0):
+        out = out * np.int64(257) + (_shift_rank(did, key, j) + np.int64(1))
+    return out
+
+
+def _dense_rank_single(key: np.ndarray) -> tuple[np.ndarray, int]:
+    """Dense rank of one int64 key array; returns (ranks, distinct)."""
+    n = key.size
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = ks[1:] != ks[:-1]
+    newr = np.empty(n, dtype=np.int64)
+    newr[order] = np.cumsum(change) - 1
+    return newr, int(change.sum())
+
+
 def _dense_rank_local(r: np.ndarray, r2: np.ndarray) -> tuple[np.ndarray, int]:
     """Dense rank of (r, r2) pairs; returns (new ranks, distinct count).
     The pair is packed into one int64 key (both components are < n, so
@@ -97,7 +125,7 @@ def _dense_rank_local(r: np.ndarray, r2: np.ndarray) -> tuple[np.ndarray, int]:
     fast path's reach) so the sort and the change detection each make
     a single pass instead of lexsort's two."""
     n = r.size
-    base = np.int64(max(n, 256) + 2)  # round 0 carries raw bytes (< 256)
+    base = np.int64(n + 2)  # r/r2 are dense ranks < n in every round
     key = r * base + (r2 + np.int64(1))
     order = np.argsort(key, kind="stable")
     ks = key[order]
@@ -110,23 +138,24 @@ def _dense_rank_local(r: np.ndarray, r2: np.ndarray) -> tuple[np.ndarray, int]:
 
 
 def _doubling_local(
-    did: np.ndarray, pos: np.ndarray, r: np.ndarray, h_stop: int | None
+    did: np.ndarray, pos: np.ndarray, r_bytes: np.ndarray, h_stop: int | None
 ) -> tuple[np.ndarray, int]:
-    """Run prefix-doubling rounds locally. Entering, r groups suffixes
-    by their first 1 char. Stops when r groups by ≥ h_stop chars (if
-    given), all ranks are distinct, or h reaches the max doc length.
-    Returns (final ranks, h such that r groups first-h chars)."""
-    n = r.size
+    """Run prefix-doubling rounds locally over raw byte values.
+    Seeds with packed first-min(4, h_stop)-byte keys (exact, not
+    hashed) so the loop starts at h0 instead of 1. Stops when r groups
+    by ≥ h_stop chars (if given), all ranks are distinct, or h reaches
+    the max doc length. Returns (final ranks, h such that r groups
+    first-h chars)."""
+    n = r_bytes.size
     if n == 0:
-        return r, 1
+        return r_bytes, 1
     maxlen = int(pos.max()) + 1  # positions are 0..len-1 per doc
-    h = 1
-    while (h_stop is None or h < h_stop) and h < maxlen:
+    h = min(4, h_stop) if h_stop is not None else 4
+    r, nd = _dense_rank_single(_pack_initial(did, r_bytes, h))
+    while nd < n and (h_stop is None or h < h_stop) and h < maxlen:
         r2 = _shift_rank(did, r, h)
         r, nd = _dense_rank_local(r, r2)
         h *= 2
-        if nd == n:
-            break
     return r, h
 
 
@@ -225,7 +254,6 @@ def _rank_assign(blk, base: int):
 def _dist_round(state: "rd.Dataset", h: int, num_parts: int) -> tuple["rd.Dataset", int, int]:
     """One doubling round on the (did, pos, r) rank table. Returns
     (next state, total rows, total distinct ranks)."""
-    from hydra_ray.sources.store import ds_to_table_refs
     from hydra_ray.stages.keyed import keyed_map_partitions
 
     def with_r2(df: pd.DataFrame) -> pd.DataFrame:
@@ -241,8 +269,18 @@ def _dist_round(state: "rd.Dataset", h: int, num_parts: int) -> tuple["rd.Datase
         )
 
     paired = keyed_map_partitions(state, ["did"], with_r2, num_parts)
+    return _dist_dense_rank(paired)
+
+
+def _dist_dense_rank(paired: "rd.Dataset") -> tuple["rd.Dataset", int, int]:
+    """(did, pos, r, r2) → globally dense-ranked (did, pos, r): one
+    Dataset.sort, an O(blocks) driver probe, block-parallel re-rank."""
+    from hydra_ray.sources.store import ds_to_table_refs
+
     srt = paired.sort(["r", "r2"])
     refs = ds_to_table_refs(srt)
+    if not refs:
+        return srt, 0, 0
     probes = ray.get([_rank_probe.remote(b) for b in refs])
     # stitch block-local dense ranks into global ones: base_b = global
     # rank of block b's first key. A key spanning a block boundary
@@ -295,13 +333,11 @@ def suffix_array(
             )
         )
 
-    state, maxlen, n_total = _init_state(ds, id_col, text_col)
-    h = 1
-    while h < maxlen:
-        state, n, nd = _dist_round(state, h, num_parts)
+    state, maxlen, n_total, nd = _init_state(ds, id_col, text_col, h0=4)
+    h = 4
+    while nd < n_total and h < maxlen:
+        state, n_total, nd = _dist_round(state, h, num_parts)
         h *= 2
-        if nd == n:
-            break
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t["did"], "pos": t["pos"], "sa_rank": t["r"]})
@@ -324,25 +360,30 @@ def _load_local(ds: "rd.Dataset", id_col: str, text_col: str):
     return _explode_bytes(ids, texts)
 
 
-def _init_state(ds: "rd.Dataset", id_col: str, text_col: str):
-    """documents → distributed (did, pos, r) rank table + (max doc len,
-    total rows)."""
+def _init_state(ds: "rd.Dataset", id_col: str, text_col: str, h0: int = 4):
+    """documents → distributed (did, pos, r) rank table GROUPING THE
+    FIRST h0 CHARS (packed exact byte keys, dense-ranked in one sort —
+    the seed that saves log2(h0) doubling rounds) + (max doc len,
+    total rows, distinct ranks)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
         did, pos, r = _explode_bytes(ids, t[text_col].to_pylist())
+        # packing looks only WITHIN docs, and explode sees whole docs
+        packed = _pack_initial(did, r, h0) if r.size else r
         return pa.table(
             {
                 "did": pa.array(did, type=pa.int64()),
                 "pos": pa.array(pos, type=pa.int64()),
-                "r": pa.array(r, type=pa.int64()),
+                "r": pa.array(packed, type=pa.int64()),
+                "r2": pa.array(np.zeros(len(did), dtype=np.int64)),
             }
         )
 
     state = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    agg = state.max("pos"), state.count()
-    maxlen = int(agg[0] or 0) + 1
-    return state, maxlen, int(agg[1])
+    maxlen = int(state.max("pos") or 0) + 1
+    ranked, n_total, n_distinct = _dist_dense_rank(state)
+    return ranked, maxlen, n_total, n_distinct
 
 
 def sa_dup_spans(
@@ -385,16 +426,17 @@ def sa_dup_spans(
         )
         return rd.from_arrow(pa.Table.from_pandas(merged, preserve_index=False))
 
-    state, maxlen, _ = _init_state(ds, id_col, text_col)
-    h = 1
-    all_distinct = False
-    while h < w:
+    h0 = min(4, w)
+    state, maxlen, n, nd = _init_state(ds, id_col, text_col, h0=h0)
+    h = h0
+    all_distinct = nd == n and h < w
+    while not all_distinct and h < w:
         state, n, nd = _dist_round(state, h, num_parts)
         h *= 2
         if nd == n:
             # no two suffixes share even their first h ≤ w chars, so no
             # min_len-window can repeat
-            all_distinct = True
+            all_distinct = h < w
             break
 
     if all_distinct or maxlen < min_len:
