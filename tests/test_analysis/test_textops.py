@@ -419,6 +419,31 @@ def test_table_profile_hll_route_above_cap(ray_session):
     assert out2[0]["n_distinct"] == by["x"]["n_distinct"]
 
 
+def test_table_profile_hll_mixed_exact_and_hll_blocks(ray_session):
+    """Skewed split: one block stays under the cap (exact uniques list)
+    while the other overflows to HLL registers — the driver must fold
+    the exact list into the registers with the identical hash. True
+    distinct = 1 (constant half) + 20000 (distinct half), estimate
+    within the p=12 band."""
+    import numpy as np
+    import ray.data as rd
+
+    from hydra_ray.stages.agg import table_profile
+
+    low = np.arange(20_000, dtype=np.int64) % 4_001  # 4,001 uniques ≤ cap
+    dist = np.arange(1_000_000, 1_020_000, dtype=np.int64)  # 20,000 > cap
+    t = pa.table({"x": pa.array(np.concatenate([low, dist]))})
+    stats: dict = {}
+    out = table_profile(
+        rd.from_arrow(t).repartition(2), ["x"], distinct_cap=5_000, stats_out=stats
+    ).to_pylist()
+    assert stats["approx_cols"] == ["x"]
+    est = out[0]["n_distinct"]
+    # a dropped exact-block fold would estimate ~20,000 (17% low)
+    assert abs(est / 24_001 - 1) < 0.05, est
+    assert out[0]["min_val"] == 0.0 and out[0]["max_val"] == 1_019_999.0
+
+
 def test_temperature_mix_quotas_and_determinism():
     import math
 
