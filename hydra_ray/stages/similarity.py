@@ -825,6 +825,7 @@ def knn_hnsw(
     query_batch_rows: int = 4096,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    queries: "rd.Dataset | None" = None,
 ) -> pd.DataFrame:
     """Approximate all-pairs NN via SHARDED HNSW graphs — the graph-ANN
     alternative to knn_ivf/knn_pq (Malkov & Yashunin 2016, the public
@@ -841,7 +842,13 @@ def knn_hnsw(
     approximate top-k and wire volume is queries × shards × k rows.
     Shards are capped at half the cluster CPUs so the blocking query
     tasks can never starve the actor pool. Recall is gated (not
-    structure): see q_knn_hnsw."""
+    structure): see q_knn_hnsw.
+
+    ``queries``: incremental mode (the minhash_incremental analog for
+    ANN) — the index is built over ``ds`` (the existing corpus) and
+    only the NEW batch's vectors are searched against it; a query whose
+    id equals a corpus id never matches itself. Omitted → all-pairs
+    self-search over the corpus."""
     from hydra_ray.sources.store import ds_to_table_refs
 
     refs = ds_to_table_refs(ds)
@@ -882,7 +889,8 @@ def knn_hnsw(
         df["sim"] = df["sim"].round(6)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = rd.from_arrow_refs(refs).map_batches(query_block, batch_format="pyarrow").to_pandas()
+    qsrc = rd.from_arrow_refs(refs) if queries is None else queries
+    out = qsrc.map_batches(query_block, batch_format="pyarrow").to_pandas()
     for a in actors:
         ray.kill(a)
     return out
