@@ -5426,3 +5426,103 @@ ORDER BY id
 
 
 ORACLES["crawl_checks"] = _crawl_checks_oracle()
+
+
+def q_span_dedup(sf_dir: str):
+    """Span-granularity corpus dedup over the interleaved input_hint
+    table (stages/spans.py::span_dedup): duplicate text chunks drop
+    corpus-wide (first occurrence in (doc_id, offset) order wins, media
+    spans always survive), docs are rebuilt as nested list<struct> rows
+    with densely recomputed offsets, and the result is re-exploded for
+    the compare. Two keyed shuffles (by span identity, then by doc) —
+    the same scale shape as paragraph_dedup, but the rebuild emits the
+    nested Arrow payload itself."""
+    from hydra_ray.stages.spans import span_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return span_dedup(ds).map_batches(explode_spans_batch, batch_format="pyarrow")
+
+
+ORACLE_SPAN_DEDUP = f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM base
+    ), chunks2 AS (
+        SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM chunks
+    ), spans AS (
+        SELECT doc_id, 'text' AS kind, chunk AS text, NULL AS media_ref,
+               CAST(i + i//3 AS INT) AS off FROM chunks2
+        UNION ALL
+        SELECT doc_id, 'media', NULL,
+               'media://' || doc_id || '/' || CAST(i AS VARCHAR),
+               CAST(i + i//3 + 1 AS INT) FROM chunks2 WHERE i % 3 = 2
+    ), marked AS (
+        SELECT *, kind = 'media' OR row_number() OVER (
+            PARTITION BY kind, text ORDER BY doc_id, off
+        ) = 1 AS keep
+        FROM spans
+    )
+    SELECT doc_id, kind, text, media_ref,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS INT)
+               AS "offset"
+    FROM marked WHERE keep
+"""
+
+QUERIES["span_dedup"] = q_span_dedup
+ORACLES["span_dedup"] = ORACLE_SPAN_DEDUP
+
+
+def q_interleave_pack(sf_dir: str):
+    """Greedy span-granularity sequence packing for multimodal training
+    (stages/spans.py::interleave_pack): text spans cost their
+    whitespace token count, media spans a fixed 16-token placeholder,
+    sequences cap at 64 tokens and never cross docs. The greedy state
+    is stepped vectorized across docs per span RANK inside one
+    map_batches over nested doc rows (block-split-safe); the oracle is
+    the identical state machine as a recursive CTE."""
+    from hydra_ray.stages.spans import interleave_pack
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return interleave_pack(ds)
+
+
+ORACLE_INTERLEAVE_PACK = f"""
+    WITH RECURSIVE raw AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM raw
+    ), chunks2 AS (
+        SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM chunks
+    ), spans AS (
+        SELECT doc_id, 'text' AS kind, chunk AS text, CAST(i + i//3 AS INT) AS off
+        FROM chunks2
+        UNION ALL
+        SELECT doc_id, 'media', NULL, CAST(i + i//3 + 1 AS INT)
+        FROM chunks2 WHERE i % 3 = 2
+    ), base AS (
+        SELECT doc_id, kind, off,
+               CAST(CASE WHEN kind = 'media' THEN 16
+                    ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+               END AS BIGINT) AS tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS rn
+        FROM spans
+    ), state AS (
+        SELECT doc_id, rn, off, kind, tok,
+               CAST(0 AS BIGINT) AS seq, tok AS cur
+        FROM base WHERE rn = 0
+        UNION ALL
+        SELECT b.doc_id, b.rn, b.off, b.kind, b.tok,
+               CASE WHEN s.cur + b.tok > 64 THEN s.seq + 1 ELSE s.seq END,
+               CASE WHEN s.cur + b.tok > 64 THEN b.tok ELSE s.cur + b.tok END
+        FROM state s JOIN base b ON b.doc_id = s.doc_id AND b.rn = s.rn + 1
+    )
+    SELECT doc_id, off AS "offset", kind, tok AS tok_cost, seq AS seq_id FROM state
+"""
+
+QUERIES["interleave_pack"] = q_interleave_pack
+ORACLES["interleave_pack"] = ORACLE_INTERLEAVE_PACK

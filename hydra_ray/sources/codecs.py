@@ -290,7 +290,8 @@ def decode_gif_frames(data: bytes) -> np.ndarray:
     """GIF87a/89a bytes → uint8 (F, H, W, 3) RGB — ALL frames, composited
     onto the logical screen. Handles global/local color tables,
     interlacing, sub-rectangle frames, GCE transparency and disposal
-    methods 0/1 (leave) and 2 (restore background)."""
+    methods 0/1 (leave), 2 (restore background) and 3 (restore
+    previous)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -347,6 +348,7 @@ def decode_gif_frames(data: bytes) -> np.ndarray:
                 out[rows] = idx
                 idx = out
             region = canvas[top : top + h, left : left + w]
+            prev_region = region.copy() if disposal == 3 else None
             painted = table[idx]
             if transparent >= 0:
                 painted = np.where((idx == transparent)[:, :, None], region, painted)
@@ -354,8 +356,8 @@ def decode_gif_frames(data: bytes) -> np.ndarray:
             frames.append(canvas.copy())
             if disposal == 2:  # restore background in the frame's rect
                 canvas[top : top + h, left : left + w] = bg_rgb
-            elif disposal == 3:
-                raise NotImplementedError("GIF disposal 3 (restore previous)")
+            elif disposal == 3:  # restore the rect to its pre-frame pixels
+                region[:] = prev_region
             transparent, disposal = -1, 0
         elif block == 0x3B:
             break

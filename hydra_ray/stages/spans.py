@@ -98,6 +98,167 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+PACK_CAPACITY = 64  # tokens per packed training sequence
+MEDIA_TOKENS = 16  # fixed token budget one media span occupies
+
+
+def _assemble_spans(t: pa.Table) -> pa.Table:
+    """Exploded span rows (doc_id, kind, text, media_ref, offset) →
+    nested (doc_id, spans) with offsets recomputed densely per doc.
+
+    Requires all rows of a doc in the table (co-partitioned by doc_id).
+    Pure Arrow/numpy: one sort, run-length doc grouping, flat child
+    arrays reused zero-copy where possible."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "spans": pa.array([], type=pa.list_(SPAN_STRUCT)),
+            }
+        )
+    t = t.take(
+        pa.compute.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
+        )
+    )
+    dids = t["doc_id"].to_pandas().to_numpy()
+    # run lengths in sorted order (np.unique sorts — same order as the take)
+    uniq, counts = np.unique(dids, return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    new_off = np.arange(len(t), dtype=np.int32) - np.repeat(starts, counts).astype(np.int32)
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            t["kind"].combine_chunks(),
+            t["text"].combine_chunks(),
+            t["media_ref"].combine_chunks(),
+            pa.array(new_off),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    list_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets), struct_arr)
+    return pa.table({"doc_id": pa.array(uniq, type=pa.string()), "spans": spans})
+
+
+def span_dedup(ds, num_parts: int = 32):
+    """Corpus-wide exact dedup at SPAN granularity over interleaved
+    documents: every duplicate text span (same 256-char chunk text
+    appearing anywhere else in the corpus) is dropped except the first
+    occurrence in (doc_id, offset) order; media spans always survive.
+    Docs are then REBUILT as nested (doc_id, spans) rows with offsets
+    recomputed densely, preserving span order.
+
+    Distribution shape (same contract as paragraph_dedup, but the
+    rebuild returns the nested input_hint table, not joined text):
+
+      1. build + explode spans (map_batches, Arrow);
+      2. shuffle by span IDENTITY — text spans by chunk text, media
+         spans by their unique media_ref (uniform spread, no NULL-key
+         hot partition) — and mark first-wins vectorized per partition;
+      3. shuffle survivors by doc_id and reassemble list<struct> rows.
+    """
+    import pandas as pd
+
+    from hydra_ray.stages.keyed import keyed_map_partitions, keyed_map_partitions_arrow
+
+    exploded = ds.map_batches(build_spans_batch, batch_format="pyarrow").map_batches(
+        explode_spans_batch, batch_format="pyarrow"
+    )
+
+    def addkey(t: pa.Table) -> pa.Table:
+        # kind-prefixed so a text chunk can never collide with a media_ref
+        key = pa.compute.binary_join_element_wise(
+            t["kind"], pa.compute.coalesce(t["text"], t["media_ref"]), "|"
+        )
+        return t.append_column("_k", key)
+
+    def mark(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["doc_id", "offset"], kind="mergesort")
+        is_text = df["kind"].eq("text")
+        keep = ~(df["_k"].duplicated() & is_text)
+        return df.loc[keep, ["doc_id", "kind", "text", "media_ref", "offset"]]
+
+    marked = keyed_map_partitions(
+        exploded.map_batches(addkey, batch_format="pyarrow"),
+        ["_k"],
+        mark,
+        num_parts=num_parts,
+    )
+    return keyed_map_partitions_arrow(
+        marked, ["doc_id"], _assemble_spans, num_parts=num_parts
+    )
+
+
+def interleave_pack(
+    ds,
+    capacity: int = PACK_CAPACITY,
+    media_tokens: int = MEDIA_TOKENS,
+):
+    """Greedy sequence packing at SPAN granularity for multimodal
+    training: each doc's interleaved span stream is split, in offset
+    order, into sequences of at most ``capacity`` tokens — a text span
+    costs its whitespace token count (same tokenizer contract as
+    text_stats_batch), a media span costs a fixed ``media_tokens``
+    placeholder budget. A span is placed in the current sequence unless
+    it would overflow it, in which case a new sequence starts (a span
+    costing more than ``capacity`` occupies a sequence alone).
+
+    Packing is doc-atomic at sequence level (sequences never span
+    docs), so the stage is embarrassingly parallel over NESTED doc
+    rows — the greedy state lives entirely inside the per-row
+    computation, immune to dynamic block splitting. The inner loop is
+    vectorized across docs per span RANK (state arrays stepped
+    max-spans-per-doc times), mirroring the recursive-CTE oracle.
+
+    Returns one row per span: (doc_id, offset, kind, tok_cost, seq_id)
+    with seq_id counted within the doc.
+    """
+    from hydra_ray.stages.text import _tokens_arr
+
+    def pack_fn(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pa.compute.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        ndocs = len(t)
+        flat = spans.flatten()
+        n = len(flat)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        toks = pa.compute.list_value_length(_tokens_arr(flat.field("text")))
+        toks = toks.to_numpy(zero_copy_only=False)  # float w/ nan for media
+        tok = np.where(kind == "media", float(media_tokens), toks).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        seq = np.zeros(n, dtype=np.int64)
+        cur = np.zeros(ndocs, dtype=np.int64)
+        curseq = np.zeros(ndocs, dtype=np.int64)
+        for r in range(int(lengths.max()) if ndocs else 0):
+            m = lengths > r
+            pos = starts[m] + r
+            c = tok[pos]
+            over = (cur[m] + c > capacity) & (cur[m] > 0)
+            curseq[m] += over
+            cur[m] = np.where(over, c, cur[m] + c)
+            seq[pos] = curseq[m]
+        doc_id = t["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        parent = np.repeat(np.arange(ndocs), lengths)
+        return pa.table(
+            {
+                "doc_id": doc_id.take(pa.array(parent)),
+                "offset": flat.field("offset"),
+                "kind": flat.field("kind"),
+                "tok_cost": pa.array(tok),
+                "seq_id": pa.array(seq),
+            }
+        )
+
+    return ds.map_batches(build_spans_batch, batch_format="pyarrow").map_batches(
+        pack_fn, batch_format="pyarrow"
+    )
+
+
 def span_sequences_equal(a: pa.Table, b: pa.Table) -> tuple[bool, list[str]]:
     """Row-wise span-sequence comparator (the per-row invariant).
 

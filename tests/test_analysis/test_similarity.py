@@ -338,6 +338,40 @@ def test_gif_animation_compositing_and_sampling():
     assert s["sum_luma"].to_pylist() == [0, 20 * 1000 * 4]
 
 
+def test_gif_disposal_restore_previous():
+    """GCE disposal method 3: after the frame is emitted, its rect
+    reverts to the pre-frame pixels, so a later frame composites over
+    the RESTORED canvas — not over the disposed frame's paint."""
+    import struct
+
+    import numpy as np
+
+    from hydra_ray.sources.codecs import _lzw_encode_gif, decode_gif_frames
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # 4-entry gct
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    specs = [
+        (0, (0, 0, 2, 2), [0, 0, 0, 0]),  # frame 1: all black
+        (3, (0, 0, 1, 1), [1]),  # frame 2: red at (0,0), restore-previous
+        (0, (1, 1, 1, 1), [2]),  # frame 3: green at (1,1)
+    ]
+    for disposal, (left, top, w, h), indices in specs:
+        out += b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(2)
+        lzw = _lzw_encode_gif(2, np.array(indices))
+        out.append(len(lzw))
+        out += lzw + b"\x00"
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert frames.shape == (3, 2, 2, 3)
+    assert (frames[1][0, 0] == (255, 0, 0)).all()  # red painted in frame 2
+    exp = np.zeros((2, 2, 3), np.uint8)
+    exp[1, 1] = (0, 255, 0)
+    assert (frames[2] == exp).all()  # (0,0) restored to black, green added
+
+
 def test_pq_recall_vs_bruteforce_sf0001(ray_session):
     """knn_pq recall@1 >= 0.85 against exact brute force (PQ with m=8,
     ks=16 on 64-dim; ADC is lossy by design — the knob trade is

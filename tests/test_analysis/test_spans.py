@@ -101,3 +101,61 @@ def test_duckdb_oracle_for_explode():
     assert got["offset"].tolist() == oracle["offset"].tolist()
     assert got["text"].fillna("∅").tolist() == oracle["text"].fillna("∅").tolist()
     assert got["media_ref"].fillna("∅").tolist() == oracle["media_ref"].fillna("∅").tolist()
+
+
+def test_span_dedup_first_wins_and_media_survive():
+    """Duplicate text spans drop corpus-wide (first in (doc_id, offset)
+    order wins); media spans always survive; offsets re-densify."""
+    import ray
+
+    from hydra_ray.stages.spans import span_dedup
+
+    # doc 1 and doc 2 share identical chunk text; doc 2 sees it later
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["x" * CHUNK + "y" * CHUNK, "x" * CHUNK + "z" * CHUNK + "w" * CHUNK],
+        }
+    )
+    out = span_dedup(ray.data.from_arrow(docs), num_parts=4)
+    rows = {r["doc_id"]: r["spans"] for r in out.take_all()}
+    # doc 1 keeps both chunks (first occurrence of the shared "x" chunk)
+    assert [(s["kind"], s["offset"]) for s in rows["1"]] == [("text", 0), ("text", 1)]
+    # doc 2: shared "x" chunk dropped; media (i=2) kept; offsets dense
+    kinds = [(s["kind"], s["offset"]) for s in rows["2"]]
+    assert kinds == [("text", 0), ("text", 1), ("media", 2)]
+    assert rows["2"][0]["text"] == "z" * CHUNK
+    assert rows["2"][1]["text"] == "w" * CHUNK
+
+
+def test_interleave_pack_capacity_and_doc_atomicity():
+    """Greedy packing: spans fill sequences up to capacity; an
+    over-capacity span sits alone; sequences reset per doc."""
+    import ray
+
+    from hydra_ray.stages.spans import interleave_pack
+
+    # words of 1 char → token count = word count; CHUNK-sized chunks of
+    # "w " pairs give CHUNK/2 tokens per chunk
+    per_chunk = CHUNK // 2  # 128 tokens > capacity 64 → each chunk alone
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": [("w " * per_chunk) * 3],  # 3 chunks + 1 media span
+        }
+    )
+    out = interleave_pack(ray.data.from_arrow(docs), capacity=64, media_tokens=16)
+    t = out.to_pandas().sort_values("offset").reset_index(drop=True)
+    assert t["kind"].tolist() == ["text", "text", "text", "media"]
+    # each 128-token chunk exceeds capacity → own sequence; media starts seq 3
+    assert t["seq_id"].tolist() == [0, 1, 2, 3]
+    # small spans pack together until the boundary
+    docs2 = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "text": ["one two three"],  # single 3-token span
+        }
+    )
+    out2 = interleave_pack(ray.data.from_arrow(docs2), capacity=64)
+    t2 = out2.to_pandas()
+    assert t2["tok_cost"].tolist() == [3] and t2["seq_id"].tolist() == [0]
