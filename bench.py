@@ -63,6 +63,9 @@ QUERY_NAMES = [
     "sa_dup_spans",
     "jpeg_progressive",
     "knn_hnsw",
+    "span_dedup",
+    "interleave_pack",
+    "interleaved_shards",
     # NOT raw jaccard_set_join: on the synthetic corpus (31-word
     # vocabulary, all docs near-identical) the >=0.8 similarity
     # self-join has inherently quadratic output — not a representative

@@ -5526,3 +5526,204 @@ ORACLE_INTERLEAVE_PACK = f"""
 
 QUERIES["interleave_pack"] = q_interleave_pack
 ORACLES["interleave_pack"] = ORACLE_INTERLEAVE_PACK
+
+
+def q_span_stats(sf_dir: str):
+    """Per-doc modality/quality metrics over interleaved span docs
+    (stages/spans.py::span_stats): span counts by kind, summed text
+    token cost, and the quality-keep verdict (token-count window +
+    media fraction <= 1/4 as the integer rule n_media*4 <= n_spans —
+    no float compares in the gate). One embarrassingly-parallel
+    map_batches; three reduceat segment sums per block."""
+    from hydra_ray.stages.spans import span_stats
+
+    return span_stats(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _span_synthesis_ctes() -> str:
+    """The shared span-construction CTEs (build_spans_batch contract):
+    text → 256-char chunks, media span after every 3rd chunk, with the
+    interleave offset. Ends with `spans(doc_id, kind, text, off)`."""
+    return f"""
+    base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM base
+    ), chunks2 AS (
+        SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM chunks
+    ), spans AS (
+        SELECT doc_id, 'text' AS kind, chunk AS text,
+               CAST(i + i//3 AS INT) AS off FROM chunks2
+        UNION ALL
+        SELECT doc_id, 'media', NULL, CAST(i + i//3 + 1 AS INT)
+        FROM chunks2 WHERE i % 3 = 2
+    )"""
+
+
+def _oracle_span_stats() -> str:
+    from hydra_ray.stages.spans import MAX_DOC_TOKENS, MIN_DOC_TOKENS
+
+    return f"""
+    WITH {_span_synthesis_ctes()}, costs AS (
+        SELECT doc_id, kind,
+               CASE WHEN kind = 'media' THEN 0
+                    ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+               END AS ttok
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (kind = 'media') AS BIGINT) AS n_media,
+           CAST(sum(ttok) AS BIGINT) AS text_tokens,
+           sum(ttok) BETWEEN {MIN_DOC_TOKENS} AND {MAX_DOC_TOKENS}
+               AND count(*) FILTER (kind = 'media') * 4 <= count(*) AS keep
+    FROM costs GROUP BY doc_id
+"""
+
+
+QUERIES["span_stats"] = q_span_stats
+ORACLES["span_stats"] = _oracle_span_stats()
+
+
+def q_interleaved_shards(sf_dir: str):
+    """Flagship interleaved-corpus curation composite
+    (stages/spans.py::interleaved_shards): corpus-wide span dedup →
+    per-doc quality keep on the SURVIVING spans → greedy capacity-64
+    interleave packing → splitmix64 shard assignment, one row per
+    packed sequence. The whole chain — dedup first-wins, token-window
+    keep rule, the greedy packing state machine, and the bit-exact
+    splitmix64 shard hash — is reproduced in SQL below."""
+    from hydra_ray.stages.spans import interleaved_shards
+
+    return interleaved_shards(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def _oracle_interleaved_shards(n_shards: int = 8, seed: int = 1234) -> str:
+    from hydra_ray.stages.spans import (
+        MAX_DOC_TOKENS,
+        MEDIA_TOKENS,
+        MIN_DOC_TOKENS,
+        PACK_CAPACITY,
+    )
+
+    return f"""
+    WITH RECURSIVE {_span_synthesis_ctes()}, marked AS (
+        SELECT *, kind = 'media' OR row_number() OVER (
+            PARTITION BY kind, text ORDER BY doc_id, off
+        ) = 1 AS keep
+        FROM spans
+    ), surv AS (
+        SELECT doc_id, kind,
+               row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS rn,
+               CAST(CASE WHEN kind = 'media' THEN {MEDIA_TOKENS}
+                    ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+               END AS BIGINT) AS tok
+        FROM marked WHERE keep
+    ), stats AS (
+        SELECT doc_id,
+               count(*) AS n_spans,
+               count(*) FILTER (kind = 'media') AS n_media,
+               sum(CASE WHEN kind = 'media' THEN 0 ELSE tok END) AS text_tokens
+        FROM surv GROUP BY doc_id
+    ), b AS (
+        SELECT s.* FROM surv s JOIN stats st USING (doc_id)
+        WHERE st.text_tokens BETWEEN {MIN_DOC_TOKENS} AND {MAX_DOC_TOKENS}
+          AND st.n_media * 4 <= st.n_spans
+    ), state AS (
+        SELECT doc_id, rn, tok, CAST(0 AS BIGINT) AS seq, tok AS cur
+        FROM b WHERE rn = 0
+        UNION ALL
+        SELECT x.doc_id, x.rn, x.tok,
+               CASE WHEN s.cur + x.tok > {PACK_CAPACITY} THEN s.seq + 1 ELSE s.seq END,
+               CASE WHEN s.cur + x.tok > {PACK_CAPACITY} THEN x.tok ELSE s.cur + x.tok END
+        FROM state s JOIN b x ON x.doc_id = s.doc_id AND x.rn = s.rn + 1
+    ), agg AS (
+        SELECT doc_id, seq,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(tok) AS BIGINT) AS tok_total
+        FROM state GROUP BY doc_id, seq
+    ), sh_0 AS (
+        SELECT doc_id, seq, n_spans, tok_total,
+               CAST(CAST(doc_id AS UBIGINT) * 4096 + seq + {seed} AS UBIGINT) AS v
+        FROM agg
+    ),
+    {_mix64_ctes_sql("sh", "v", "doc_id, seq, n_spans, tok_total")}
+    SELECT doc_id, CAST(seq AS BIGINT) AS seq_id, n_spans, tok_total,
+           CAST(v % {n_shards} AS BIGINT) AS shard
+    FROM sh_5
+"""
+
+
+QUERIES["interleaved_shards"] = q_interleaved_shards
+ORACLES["interleaved_shards"] = _oracle_interleaved_shards()
+
+
+def q_span_dedup_incremental(sf_dir: str):
+    """Incremental span dedup against an existing corpus
+    (stages/spans.py::span_dedup_incremental) — the append-only
+    documents contract: docs with doc_id%5==0 arrive as the NEW batch
+    and are deduped against the rest of the corpus, which contributes
+    only block-distinct chunk keys to the shuffle and is never
+    rewritten. Result re-exploded for the compare."""
+    from hydra_ray.stages.spans import span_dedup_incremental
+
+    def split(rem: int, neq: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 5 != rem) if neq else (ids % 5 == rem)
+            return t.filter(pa.array(m))
+
+        return f
+
+    new = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        split(0, False), batch_format="pyarrow"
+    )
+    corpus = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        split(0, True), batch_format="pyarrow"
+    )
+    return span_dedup_incremental(new, corpus).map_batches(
+        explode_spans_batch, batch_format="pyarrow"
+    )
+
+
+ORACLE_SPAN_DEDUP_INCREMENTAL = f"""
+    WITH nb AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents WHERE doc_id % 5 = 0
+    ), nc AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM nb
+    ), nc2 AS (
+        SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM nc
+    ), nspans AS (
+        SELECT doc_id, 'text' AS kind, chunk AS text, NULL AS media_ref,
+               CAST(i + i//3 AS INT) AS off FROM nc2
+        UNION ALL
+        SELECT doc_id, 'media', NULL,
+               'media://' || doc_id || '/' || CAST(i AS VARCHAR),
+               CAST(i + i//3 + 1 AS INT) FROM nc2 WHERE i % 3 = 2
+    ), cb AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents WHERE doc_id % 5 <> 0
+    ), cc AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM cb
+    ), ctext AS (
+        SELECT DISTINCT substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM cc
+    ), marked AS (
+        SELECT *, kind = 'media' OR (
+            row_number() OVER (PARTITION BY kind, text ORDER BY doc_id, off) = 1
+            AND text NOT IN (SELECT chunk FROM ctext)
+        ) AS keep
+        FROM nspans
+    )
+    SELECT doc_id, kind, text, media_ref,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS INT)
+               AS "offset"
+    FROM marked WHERE keep
+"""
+
+QUERIES["span_dedup_incremental"] = q_span_dedup_incremental
+ORACLES["span_dedup_incremental"] = ORACLE_SPAN_DEDUP_INCREMENTAL
