@@ -5727,3 +5727,59 @@ ORACLE_SPAN_DEDUP_INCREMENTAL = f"""
 
 QUERIES["span_dedup_incremental"] = q_span_dedup_incremental
 ORACLES["span_dedup_incremental"] = ORACLE_SPAN_DEDUP_INCREMENTAL
+
+
+def q_span_near_dup(sf_dir: str):
+    """Fuzzy span-granularity dedup over the interleaved input_hint
+    table (stages/spans.py::span_near_dup): every text span becomes a
+    MinHash-LSH document keyed by doc_id:offset, verified near-dup
+    pairs (true shingle Jaccard >= 0.5) drop their larger key, and docs
+    are rebuilt with dense offsets. Spans under shingle_k tokens have
+    no full shingle, are never candidates and always survive (exactly
+    the regime where the SQL oracle's 3-shingle self-joins are empty).
+    The whole MinHash pipeline — md5 token hashes, splitmix64 shingles,
+    64 exact-wraparound permutations, 16x4 banding, bucket-collision
+    pairs, Jaccard verify — is the same SQL used by minhash_near_dups,
+    parameterized over the span synthesis CTE."""
+    from hydra_ray.stages.spans import explode_spans_batch, span_near_dup
+
+    out = span_near_dup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5)
+    return out.map_batches(explode_spans_batch, batch_format="pyarrow")
+
+
+def _oracle_span_near_dup(threshold: float = 0.5) -> str:
+    pairs_sql = _minhash_oracle_sql(threshold=threshold, src="sp")
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT) AS nchunks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS i, text FROM base
+    ), chunks2 AS (
+        SELECT doc_id, i, substring(text, i*{CHUNK}+1, {CHUNK}) AS chunk FROM chunks
+    ), spans AS (
+        SELECT doc_id, 'text' AS kind, chunk AS text, NULL AS media_ref,
+               CAST(i + i//3 AS INT) AS off FROM chunks2
+        UNION ALL
+        SELECT doc_id, 'media', NULL,
+               'media://' || doc_id || '/' || CAST(i AS VARCHAR),
+               CAST(i + i//3 + 1 AS INT) FROM chunks2 WHERE i % 3 = 2
+    ), keyed AS (
+        SELECT *, doc_id || ':' || lpad(CAST(off AS VARCHAR), 6, '0') AS sk,
+               CASE WHEN kind = 'text'
+                    THEN array_length(regexp_split_to_array(trim(text), '\\s+'))
+                    ELSE 0 END AS ntok
+        FROM spans
+    ), sp AS (
+        SELECT sk AS doc_id, text FROM keyed WHERE kind = 'text' AND ntok >= 3
+    ), nd AS ({pairs_sql})
+    SELECT doc_id, kind, text, media_ref,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS INT)
+               AS "offset"
+    FROM keyed WHERE sk NOT IN (SELECT doc_b FROM nd)
+"""
+
+
+QUERIES["span_near_dup"] = q_span_near_dup
+ORACLES["span_near_dup"] = _oracle_span_near_dup()

@@ -16,7 +16,13 @@ available in this environment, so this module provides the same
   files (never materializes);
 - ``merge_insert`` implements last-wins upsert by key, the Lance
   ``merge_insert`` / reference ``ON CONFLICT DO UPDATE`` equivalent
-  (udata_hydra/db/resource.py:64-79).
+  (udata_hydra/db/resource.py:64-79);
+- ``delete_where`` implements Lance deletion-file semantics: row
+  deletes are POSITION vectors in per-data-file sidecar files, applied
+  merge-on-read by every reader — no data file is rewritten at delete
+  time, a delete at 10^10-row scale costs O(matching files' key
+  columns) read + O(deleted positions) write. ``compact()``
+  materializes the deletes away.
 
 Swapping the physical layer for real Lance on a cluster is a local
 change confined to this module.
@@ -114,9 +120,23 @@ class VersionedTable:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], meta: dict | None, parent: int) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        meta: dict | None,
+        parent: int,
+        deletes: dict[str, str] | None = None,
+    ) -> int:
         version = parent + 1
-        manifest = {"version": version, "parent": parent, "files": files, "meta": meta or {}}
+        # deletion vectors only make sense for files the version references
+        deletes = {f: d for f, d in (deletes or {}).items() if f in set(files)}
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "files": files,
+            "meta": meta or {},
+            "deletes": deletes,
+        }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -151,13 +171,15 @@ class VersionedTable:
         files = [f for f in files if os.path.exists(f)]
         parent = self.latest_version()
         prev = self._load_manifest(parent)
-        return self._commit(prev["files"] + sorted(files), meta, parent)
+        return self._commit(
+            prev["files"] + sorted(files), meta, parent, deletes=prev.get("deletes")
+        )
 
     def append(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         files = prev["files"] + self._write_data(data)
-        return self._commit(files, meta, parent)
+        return self._commit(files, meta, parent, deletes=prev.get("deletes"))
 
     def overwrite(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
         parent = self.latest_version()
@@ -236,7 +258,136 @@ class VersionedTable:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         merged = {**prev.get("meta", {}), **meta}
-        return self._commit(prev["files"], merged, parent)
+        return self._commit(prev["files"], merged, parent, deletes=prev.get("deletes"))
+
+    # -- deletion vectors (Lance deletion-file semantics) ------------------
+    def delete_where(
+        self,
+        key: str,
+        values=None,
+        *,
+        predicate=None,
+        predicate_columns: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Merge-on-read row deletes: mark rows for deletion WITHOUT
+        rewriting any data file. For every data file whose rows match,
+        a sidecar Parquet of deleted row POSITIONS (``pos:int64``,
+        sorted, deduped) is written and referenced from the new
+        manifest's ``deletes`` map; readers drop those positions.
+        Repeated deletes against the same file union into a fresh
+        sidecar (the old one becomes gc()-able garbage).
+
+        Match either by ``values`` (rows whose ``key`` column is in the
+        set — the common path; only the key column is read per file) or
+        by ``predicate`` (a callable ``pa.Table -> bool mask``;
+        ``predicate_columns`` bounds what it reads). The per-file match
+        runs as parallel Ray tasks, so delete cost at any table size is
+        O(matched files' pruned columns), never O(table rewrite).
+
+        Returns the new version (a version is committed even when
+        nothing matched — the delete intent is part of lineage)."""
+        import numpy as np
+
+        parent = self.latest_version()
+        prev = self._load_manifest(parent)
+        files = prev["files"]
+        if not files:
+            raise ValueError(f"table {self.path} is empty")
+        if (values is None) == (predicate is None):
+            raise ValueError("pass exactly one of values / predicate")
+        cols = [key] if predicate is None else predicate_columns
+        if values is not None:
+            value_set = pa.array(sorted(set(values)))
+
+            def match(tbl: pa.Table):
+                import pyarrow.compute as pc
+
+                return pc.is_in(tbl[key], value_set=value_set)
+
+        else:
+            match = predicate
+
+        @ray.remote
+        def positions(path: str) -> "np.ndarray":
+            import pyarrow.compute as pc
+
+            tbl = pq.read_table(path, columns=cols)
+            mask = match(tbl)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+            else:
+                m = np.asarray(mask)
+            return np.flatnonzero(m.astype(bool)).astype(np.int64)
+
+        hit_lists = ray.get([positions.remote(f) for f in files])
+        del_dir = os.path.join(self.path, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        deletes = dict(prev.get("deletes") or {})
+        for f, pos in zip(files, hit_lists):
+            if len(pos) == 0:
+                continue
+            old = deletes.get(f)
+            if old is not None:
+                pos = np.union1d(pos, pq.read_table(old)["pos"].to_numpy())
+            out = os.path.join(del_dir, f"del-{uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(pa.table({"pos": pa.array(np.sort(pos), pa.int64())}), out)
+            deletes[f] = out
+        return self._commit(files, meta or prev.get("meta"), parent, deletes=deletes)
+
+    def deleted_count(self, version: int | None = None) -> int:
+        m = self._load_manifest(version)
+        return sum(
+            pq.ParquetFile(d).metadata.num_rows for d in (m.get("deletes") or {}).values()
+        )
+
+    def compact(self, meta: dict | None = None) -> int:
+        """Materialize deletion vectors away: rewrite the table's live
+        rows as fresh files and commit a delete-free version. The
+        rewrite streams through Ray Data (never a driver pull)."""
+        return self.overwrite(
+            self.read() if self.count() > DRIVER_MERGE_MAX_ROWS else self.read_arrow(),
+            meta=meta,
+        )
+
+    @staticmethod
+    def _drop_positions(tbl: pa.Table, del_file: str | None) -> pa.Table:
+        if del_file is None:
+            return tbl
+        import numpy as np
+
+        pos = pq.read_table(del_file)["pos"].to_numpy()
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[pos[pos < tbl.num_rows]] = False
+        return tbl.filter(pa.array(keep))
+
+    def _read_files_with_deletes(
+        self, files: list[str], deletes: dict[str, str], columns: list[str] | None
+    ) -> "rd.Dataset":
+        """Per-file load tasks that apply each file's deletion vector as
+        the rows come off the Parquet reader (one task per file — files
+        are partition-sized by construction)."""
+        drop = self._drop_positions
+
+        def load(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                t = pq.read_table(row["file"], columns=columns)
+                out.append(drop(t, row["del_file"]))
+            return pa.concat_tables(out, promote_options="default")
+
+        items = pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "del_file": pa.array([deletes.get(f) for f in files], pa.string()),
+            }
+        )
+        # one block per file so loads run as parallel tasks
+        return (
+            rd.from_arrow(items)
+            .repartition(len(files))
+            .map_batches(load, batch_format="pyarrow", batch_size=None)
+        )
 
     # -- reads ------------------------------------------------------------
     def files(self, version: int | None = None) -> list[str]:
@@ -249,41 +400,60 @@ class VersionedTable:
         return not self.files(version)
 
     def read(self, version: int | None = None, columns: list[str] | None = None, **kwargs) -> "rd.Dataset":
-        files = self.files(version)
+        m = self._load_manifest(version)
+        files = m["files"]
         if not files:
             raise ValueError(f"table {self.path} is empty")
+        deletes = m.get("deletes") or {}
+        if deletes:
+            return self._read_files_with_deletes(files, deletes, columns)
         return rd.read_parquet(files, columns=columns, **kwargs)
 
     def read_arrow(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
         """Driver-side read — only for small tables (manifests, tests)."""
-        files = self.files(version)
+        m = self._load_manifest(version)
+        files = m["files"]
         if not files:
             raise ValueError(f"table {self.path} is empty")
+        deletes = m.get("deletes") or {}
         return pa.concat_tables(
-            [pq.read_table(f, columns=columns) for f in files], promote_options="default"
+            [
+                self._drop_positions(pq.read_table(f, columns=columns), deletes.get(f))
+                for f in files
+            ],
+            promote_options="default",
         )
 
     def count(self, version: int | None = None) -> int:
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in self.files(version))
+        """Live row count: file metadata minus deletion-vector sizes —
+        position deletes keep counts exact with zero data reads."""
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows for f in self.files(version)
+        ) - self.deleted_count(version)
 
     # -- maintenance -------------------------------------------------------
     def gc(self, keep_versions: int = 1) -> int:
         """Remove data files not referenced by the newest ``keep_versions``
         manifests (crashed-iteration txn garbage + compacted-away
-        versions). Returns the number of files removed."""
+        versions + superseded deletion vectors). Returns the number of
+        files removed."""
         latest = self.latest_version()
         keep = set()
         for v in range(max(1, latest - keep_versions + 1), latest + 1):
-            keep.update(self._load_manifest(v)["files"])
+            m = self._load_manifest(v)
+            keep.update(m["files"])
+            keep.update((m.get("deletes") or {}).values())
         removed = 0
-        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
-            for f in files:
-                path = os.path.join(root, f)
-                if f.endswith(".parquet") and path not in keep:
-                    os.remove(path)
-                    removed += 1
-            if root != self.data_dir and not os.listdir(root):
-                os.rmdir(root)
+        del_dir = os.path.join(self.path, "deletes")
+        for top in (self.data_dir, del_dir):
+            for root, _dirs, files in os.walk(top, topdown=False):
+                for f in files:
+                    path = os.path.join(root, f)
+                    if f.endswith(".parquet") and path not in keep:
+                        os.remove(path)
+                        removed += 1
+                if root != top and not os.listdir(root):
+                    os.rmdir(root)
         return removed
 
     def prune_manifests(self, keep: int = 16) -> int:
@@ -370,16 +540,23 @@ class VersionedTable:
         touched = sorted(set(int(p) for p in parts))
         txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
         os.makedirs(txn_dir, exist_ok=True)
+        all_deletes = self._load_manifest().get("deletes") or {}
         new_files: list[str] = []
+        carried_deletes: dict[str, str] = {}
         for p, fs in by_part.items():
             if p not in touched:
                 new_files.extend(fs)
+                carried_deletes.update({f: all_deletes[f] for f in fs if f in all_deletes})
         for p in touched:
             inc = incoming_tbl.filter(pa.array(parts == p))
             prev_files = by_part.get(p, [])
             if prev_files:
                 prev = pa.concat_tables(
-                    [pq.read_table(f) for f in prev_files], promote_options="default"
+                    [
+                        self._drop_positions(pq.read_table(f), all_deletes.get(f))
+                        for f in prev_files
+                    ],
+                    promote_options="default",
                 )
                 inc_keys = inc[key].combine_chunks() if isinstance(
                     inc[key], pa.ChunkedArray
@@ -392,7 +569,9 @@ class VersionedTable:
             out = os.path.join(txn_dir, f"part-p{p:04d}-{uuid.uuid4().hex[:8]}.parquet")
             pq.write_table(merged, out, compression="snappy")
             new_files.append(out)
-        return self._commit(sorted(new_files), meta, self.latest_version())
+        return self._commit(
+            sorted(new_files), meta, self.latest_version(), deletes=carried_deletes
+        )
 
 
 def ds_to_table_refs(ds: "rd.Dataset") -> list:

@@ -189,6 +189,84 @@ def span_dedup(ds, num_parts: int = 32):
     )
 
 
+def span_near_dup(
+    ds,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_parts: int = 32,
+    concurrency: tuple = (1, 2),
+):
+    """MinHash-LSH NEAR-duplicate span removal over interleaved docs —
+    the fuzzy sibling of span_dedup: text spans whose shingle-set
+    Jaccard with an earlier span reaches ``threshold`` are dropped,
+    then docs are rebuilt with dense offsets.
+
+    Each text span becomes a MinHash "document" keyed by
+    ``doc_id:offset`` (offset zero-padded so string order is span
+    order) and the whole stages/dedup.py pipeline runs unchanged:
+    shingle → per-batch banding (actor pool) → distributed bucket
+    collision → true-Jaccard verify. Removal mirrors curate_near_dup:
+    the larger key of every verified pair is dropped (one anti-join).
+
+    Spans with fewer than ``shingle_k`` tokens have no full shingle, so
+    they are never candidates and always survive — as do media spans.
+    (This is also what keeps the SQL oracle exact: its 3-shingle
+    self-joins produce no rows below k tokens.)
+
+    Scale shape: candidates/verify inherit dedup_minhash's routing
+    (broadcast verify below BROADCAST_DOCS_MAX span-docs, co-partition
+    joins above); the only new exchange is the doc-keyed reassembly.
+    The dropped-key set is LSH-output-sized, broadcast once.
+    """
+    import ray as _ray
+
+    from hydra_ray.stages.dedup import dedup_minhash
+    from hydra_ray.stages.keyed import keyed_map_partitions_arrow
+    from hydra_ray.stages.text import _tokens_arr
+
+    pc = pa.compute
+
+    flat = (
+        ds.map_batches(build_spans_batch, batch_format="pyarrow")
+        .map_batches(explode_spans_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def span_key(t: pa.Table) -> pa.Array:
+        off = pc.utf8_lpad(pc.cast(t["offset"], pa.string()), width=6, padding="0")
+        k = pc.binary_join_element_wise(t["doc_id"], off, ":")
+        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ntok = pc.fill_null(pc.list_value_length(_tokens_arr(t["text"])), 0)
+        m = pc.and_(pc.equal(t["kind"], "text"), pc.greater_equal(ntok, shingle_k))
+        sub = t.filter(m)
+        return pa.table({"doc_id": span_key(sub), "text": sub["text"]})
+
+    pairs = dedup_minhash(
+        flat.map_batches(candidates, batch_format="pyarrow"),
+        threshold=threshold,
+        shingle_k=shingle_k,
+        concurrency=concurrency,
+    )
+    drop_keys = pa.array(
+        sorted({r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}),
+        type=pa.string(),
+    )
+    drop_ref = _ray.put(drop_keys)
+
+    class Survivors:
+        def __init__(self):
+            self.drop = _ray.get(drop_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dup = pc.is_in(span_key(t), value_set=self.drop)
+            return t.filter(pc.invert(dup))
+
+    surv = flat.map_batches(Survivors, batch_format="pyarrow", concurrency=concurrency)
+    return keyed_map_partitions_arrow(surv, ["doc_id"], _assemble_spans, num_parts=num_parts)
+
+
 def _span_costs(spans: pa.ListArray, media_tokens: int) -> tuple[np.ndarray, pa.StructArray, np.ndarray]:
     """Nested spans column → (per-doc span counts, flat child struct,
     per-span token cost). Text spans cost their whitespace token count

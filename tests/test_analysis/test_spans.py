@@ -244,3 +244,44 @@ def test_span_dedup_incremental_vs_corpus(ray_session):
         ("media", None),
     ]
     assert [s["offset"] for s in rows["10"]] == [0, 1, 2]
+
+
+def test_span_near_dup_fuzzy_removal(ray_session):
+    """Near-identical (not byte-equal) chunks drop; short spans with no
+    full shingle always survive; media survives."""
+    import ray
+
+    from hydra_ray.stages.spans import span_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    near = base.replace("theta", "thetaX", 1)  # one token differs
+    assert base != near and len(base) < CHUNK and len(near) < CHUNK
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [base, near, "aa bb"],  # doc 3: 2 tokens, no shingle
+        }
+    )
+    out = span_near_dup(ray.data.from_arrow(docs), threshold=0.5, num_parts=4)
+    rows = {r["doc_id"]: r["spans"] for r in out.take_all()}
+    # doc 1 keeps its span (smaller key wins); doc 2's near-dup drops,
+    # so doc 2 vanishes entirely; doc 3's 2-token span is uncandidate
+    assert set(rows) == {"1", "3"}
+    assert [s["kind"] for s in rows["1"]] == ["text"]
+    assert [s["text"] for s in rows["3"]] == ["aa bb"]
+
+
+def test_span_near_dup_exact_dup_still_drops(ray_session):
+    """Byte-equal spans are trivially Jaccard 1.0 — subsumes span_dedup
+    on candidates; first-wins order matches the oracle's string keys."""
+    import ray
+
+    from hydra_ray.stages.spans import span_near_dup
+
+    t = "one two three four five six " * 4
+    docs = pa.table(
+        {"doc_id": pa.array([7, 8], type=pa.int64()), "text": [t, t]}
+    )
+    out = span_near_dup(ray.data.from_arrow(docs), threshold=0.5, num_parts=4)
+    rows = {r["doc_id"]: r["spans"] for r in out.take_all()}
+    assert set(rows) == {"7"}

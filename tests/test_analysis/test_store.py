@@ -75,3 +75,93 @@ def test_lineage_chain(tmp_path, ray_session):
     assert [r["parent"] for r in lin] == [0, 1, 2]
     assert [json.loads(r["meta"])["iteration"] for r in lin] == [0, 1, 2]
     assert lin[-1]["n_files"] >= lin[0]["n_files"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeletionVectors:
+    """Lance deletion-file semantics: position deletes applied
+    merge-on-read, carried across appends, compacted away."""
+
+    def test_delete_by_values_and_read_paths(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.append(t(["d", "e"], [4, 5]))
+        v_before = vt.latest_version()
+        files_before = set(vt.files())
+        vt.delete_where("k", ["b", "d", "zz"])
+        # no data file rewritten; versions advance; counts are exact
+        assert set(vt.files()) == files_before
+        assert vt.latest_version() == v_before + 1
+        assert vt.count() == 3 and vt.deleted_count() == 2
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "c", "e"]
+        # distributed read path applies the same vectors
+        ds = vt.read(columns=["k"])
+        assert sorted(r["k"] for r in ds.take_all()) == ["a", "c", "e"]
+        # time travel: pre-delete version still sees every row
+        assert vt.count(version=v_before) == 5
+
+    def test_delete_by_predicate_union_and_append_carry(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.delete_where("k", predicate=lambda tb: pa.compute.greater(tb["v"], 2),
+                        predicate_columns=["v"])
+        assert vt.read_arrow()["k"].to_pylist() == ["a", "b"]
+        # second delete on the same file unions positions
+        vt.delete_where("k", ["a"])
+        assert vt.read_arrow()["k"].to_pylist() == ["b"]
+        # appends carry existing deletion vectors forward
+        vt.append(t(["x"], [9]))
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["b", "x"]
+        assert vt.count() == 2
+
+    def test_merge_insert_respects_deletes(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.overwrite(t(["a", "b", "c"], [1, 2, 3]))
+        vt.delete_where("k", ["a"])
+        vt.merge_insert(t(["b"], [20]), key="k")
+        got = vt.read_arrow().sort_by("k")
+        # deleted 'a' must not resurrect through the merge rewrite
+        assert got["k"].to_pylist() == ["b", "c"]
+        assert got["v"].to_pylist() == [20, 3]
+
+    def test_partitioned_merge_carries_deletes(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"), partition_key="k",
+                            n_parts=4, partition_min_rows=1)
+        keys = [f"k{i}" for i in range(40)]
+        vt.overwrite(t(keys, list(range(40))))
+        vt.delete_where("k", ["k1", "k2", "k3"])
+        assert vt.count() == 37
+        # upsert touching SOME partitions: untouched partitions keep
+        # their deletion vectors; touched ones materialize them
+        vt.merge_insert(t(["k5"], [500]), key="k")
+        got = vt.read_arrow()
+        ks = set(got["k"].to_pylist())
+        assert {"k1", "k2", "k3"}.isdisjoint(ks) and len(ks) == 37
+        assert got.filter(pa.compute.equal(got["k"], "k5"))["v"].to_pylist() == [500]
+
+    def test_compact_and_gc(self, tmp_path):
+        import os
+
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.delete_where("k", ["b"])
+        vt.compact()
+        assert vt.deleted_count() == 0 and vt.count() == 2
+        assert vt.read_arrow().sort_by("k")["k"].to_pylist() == ["a", "c"]
+        removed = vt.gc(keep_versions=1)
+        assert removed >= 1  # old data file + stale delete sidecar
+        del_dir = tmp_path / "t" / "deletes"
+        assert not del_dir.exists() or not any(os.listdir(del_dir))
+        # survivors still readable after gc
+        assert vt.read_arrow().sort_by("k")["k"].to_pylist() == ["a", "c"]
+
+    def test_resume_sees_deletes(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.delete_where("k", ["a"])
+        # a fresh handle (crash/resume) reads the same live rows
+        vt2 = VersionedTable(str(tmp_path / "t"))
+        assert vt2.read_arrow()["k"].to_pylist() == ["b"]
+        assert vt2.count() == 1
