@@ -35,10 +35,10 @@ def entry() -> Any:
 _PRIORITY = [
     # SURVEY-§2 crawl/catalog staples
     "catalog_synth", "domain_counts", "frontier_tiers", "next_check_delays",
-    "excluded_filter", "crawl_checks", "status_counts",
-    "crawler_status_triptych", "purge_retention", "purge_orphans",
+    "excluded_filter", "crawl_checks",
+    "crawler_status_triptych", "purge_orphans",
     "geojson_features", "ogc_capabilities", "url_key_parity",
-    "xlsx_inspect", "xls_inspect", "csv_profile",
+    "xlsx_inspect", "csv_profile",
     "pmtiles_tiles", "span_explode", "sessionize_events",
     "latest_event_per_user", "grouped_topk",
     "cors_stats_analogue", "pricing_summary", "revenue_by_nation",
@@ -48,7 +48,7 @@ _PRIORITY = [
     "media_decode", "pagerank", "triangle_count", "webp_roundtrip",
     "flac_roundtrip", "minhash_near_dups", "dedup_exact",
     "paragraph_dedup", "duplicated_passages", "exact_substr_dedup",
-    "decontaminate", "knn_pq", "knn_ivf",
+    "decontaminate", "knn_pq",
     "tdigest_quantiles", "gopher_quality", "pack_sequences",
     "bloom_semi_join",
     # round-4 flagship additions (suffix-array dedup, SOF2 codec, graph
@@ -57,6 +57,12 @@ _PRIORITY = [
     # xlsx+xls_inspect and latest_event_per_user (all remain fully
     # gated via tools/check_correctness.py)
     "sa_dup_spans", "jpeg_progressive", "knn_hnsw",
+    # round-4 interleaved-axis flagships (the input_hint data model) —
+    # displacing status_counts / purge_retention / xls_inspect /
+    # knn_ivf, whose families stay in-window via
+    # crawler_status_triptych, purge_orphans, xlsx_inspect and
+    # knn_pq+knn_hnsw (all remain gated via check_correctness.py)
+    "span_dedup", "interleave_pack", "interleaved_shards", "span_near_dup",
 ]
 
 

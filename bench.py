@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "span_dedup",
     "interleave_pack",
     "interleaved_shards",
+    "span_near_dup",
     # NOT raw jaccard_set_join: on the synthetic corpus (31-word
     # vocabulary, all docs near-identical) the >=0.8 similarity
     # self-join has inherently quadratic output — not a representative
