@@ -245,6 +245,17 @@ def cmd_purge(args) -> dict:
     return out
 
 
+def cmd_purge_documents(args) -> dict:
+    """reference: cli/purge.py drop-data-of-deleted-resources — here a
+    deletion-vector commit on the documents table (no rewrite); the
+    next `purge` (gc) after compaction reclaims the bytes."""
+    _ray_init()
+    eng = _engine(args.workdir)
+    out = eng.purge_documents(args.resource_id)
+    eng.shutdown()
+    return out
+
+
 def cmd_status(args) -> dict:
     """reference: routes worker/crawler status."""
     _ray_init()
@@ -291,6 +302,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("find-check", cmd_find_check, wd, (["--url"], {"default": None}),
         (["--resource-id"], {"default": None}))
     add("purge", cmd_purge, wd, (["--keep-versions"], {"type": int, "default": 2}))
+    add("purge-documents", cmd_purge_documents, wd,
+        (["--resource-id"], {"action": "append", "required": True}))
     add("status", cmd_status, wd)
     return p
 

@@ -600,6 +600,24 @@ class CrawlEngine:
         )
         return tbl.take(pa.array(np.sort(keep))).drop_columns(["_iter"])
 
+    def purge_documents(self, doc_ids: list[str]) -> dict:
+        """Remove documents (all their ``_iter`` versions) WITHOUT
+        rewriting the append-only table: a deletion-vector commit
+        (sources/store.py delete_where — Lance deletion-file
+        semantics). ``read_documents`` and every downstream reader
+        exclude the rows immediately; ``compact_documents`` later
+        materializes the deletes away and ``gc`` reclaims the sidecars.
+        This is the reference purge contract (cli/purge.py: drop data
+        of deleted resources) at append-only-log cost: O(matching
+        files' doc_id column), never O(table rewrite)."""
+        if not doc_ids or self.documents.is_empty():
+            return {"deleted_rows": 0}
+        before = self.documents.deleted_count()
+        self.documents.delete_where(
+            "doc_id", list(doc_ids), meta={"purged_at_iteration": self.iteration}
+        )
+        return {"deleted_rows": self.documents.deleted_count() - before}
+
     DOCS_COMPACT_DRIVER_ROWS = 2_000_000
 
     def compact_documents(self) -> dict:

@@ -50,6 +50,9 @@ def test_cli_crawl_roundtrip(tmp_path, capsys):
     out = _run(capsys, "crawl-url", "--workdir", wd, "--url", "https://c.example/new.csv")
     assert out.get("status") is not None
 
+    out = _run(capsys, "purge-documents", "--workdir", wd, "--resource-id", "r1")
+    assert out["deleted_rows"] >= 0  # deletion-vector commit path exercised
+
     out = _run(capsys, "purge", "--workdir", wd)
     assert isinstance(out, dict)
 

@@ -224,3 +224,39 @@ def test_ods_resource_routes_through_odf_reader(tmp_path, make_crawl_engine):
             assert row["resource_id"] in doc_ids  # span doc built from the workbook route
     assert got > 0
     eng.shutdown()
+
+
+def test_purge_documents_deletion_vectors(tmp_path, make_crawl_engine):
+    """purge_documents removes a doc via a deletion-vector commit (no
+    rewrite of the append-only documents log); read_documents excludes
+    it immediately, compaction materializes the delete away, gc
+    reclaims the sidecar."""
+    urls = [URL_OK, "https://site-ok2.example/data.csv"]
+    responses = {
+        ("head", u): {"kind": "ok", "status": 200, "headers": OK_HEADERS} for u in urls
+    }
+    eng = make_engine(make_crawl_engine, str(tmp_path / "wd"), responses, urls)
+    eng.run_iteration()
+    docs = eng.read_documents()
+    assert docs.num_rows == 2
+    victim, survivor = sorted(docs["doc_id"].to_pylist())
+    files_before = set(eng.documents.files())
+
+    out = eng.purge_documents([victim])
+    assert out["deleted_rows"] >= 1
+    # append-only log untouched — only a deletion-vector commit
+    assert set(eng.documents.files()) == files_before
+    after = eng.read_documents()
+    assert after["doc_id"].to_pylist() == [survivor]
+
+    # a fresh engine handle (resume) sees the purge
+    eng2 = make_crawl_engine(str(tmp_path / "wd"), actor_pools=False)
+    assert eng2.read_documents()["doc_id"].to_pylist() == [survivor]
+
+    # compaction materializes the delete; gc reclaims the sidecar
+    eng2.compact_documents()
+    assert eng2.documents.deleted_count() == 0
+    eng2.gc()
+    assert eng2.read_documents()["doc_id"].to_pylist() == [survivor]
+    eng.shutdown()
+    eng2.shutdown()
