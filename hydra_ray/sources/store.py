@@ -212,8 +212,6 @@ class VersionedTable:
         the partition id is carried in the file name."""
         import numpy as np
 
-        import numpy as np
-
         txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
         os.makedirs(txn_dir, exist_ok=True)
         parts = self._part_ids(tbl)
@@ -334,6 +332,149 @@ class VersionedTable:
             pq.write_table(pa.table({"pos": pa.array(np.sort(pos), pa.int64())}), out)
             deletes[f] = out
         return self._commit(files, meta or prev.get("meta"), parent, deletes=deletes)
+
+    def update_where(
+        self,
+        key: str,
+        values=None,
+        *,
+        predicate=None,
+        predicate_columns: list[str] | None = None,
+        set_values: dict[str, Any] | None = None,
+        updater=None,
+        meta: dict | None = None,
+    ) -> int:
+        """Merge-on-read row UPDATE (the Lance ``update`` contract):
+        rows matching the filter are marked deleted via position
+        sidecars and their replacements are appended as fresh part
+        files — ONE manifest commit, no data file rewritten. Cost is
+        O(matched files) read + O(matched rows) write at any table
+        size; ``compact()`` later materializes the churn away.
+
+        Filter: exactly one of ``values`` (rows whose ``key`` is in the
+        set) or ``predicate`` (``pa.Table -> bool mask``, reading only
+        ``predicate_columns``). New values: exactly one of
+        ``set_values`` ({col: scalar} assigned to every matched row) or
+        ``updater`` (callable ``matched_rows: pa.Table -> pa.Table``,
+        same row count; output is cast back to the file schema).
+
+        Per-file match+rewrite runs as parallel Ray tasks; replacement
+        parts are written inside the tasks, so updated bytes never
+        touch the driver. Rows already dead under an existing deletion
+        vector are NOT matched (an update never resurrects a deleted
+        row). Returns the new version."""
+        import numpy as np
+
+        parent = self.latest_version()
+        prev = self._load_manifest(parent)
+        files = prev["files"]
+        if not files:
+            raise ValueError(f"table {self.path} is empty")
+        if (values is None) == (predicate is None):
+            raise ValueError("pass exactly one of values / predicate")
+        if (set_values is None) == (updater is None):
+            raise ValueError("pass exactly one of set_values / updater")
+        cols = [key] if predicate is None else predicate_columns
+        if values is not None:
+            value_set = pa.array(sorted(set(values)))
+
+            def match(tbl: pa.Table):
+                import pyarrow.compute as pc
+
+                return pc.is_in(tbl[key], value_set=value_set)
+
+        else:
+            match = predicate
+
+        prev_deletes = dict(prev.get("deletes") or {})
+        txn_dir = self.new_txn_dir()
+
+        def apply_new_values(matched: pa.Table) -> pa.Table:
+            if set_values is not None:
+                out = matched
+                for col, val in set_values.items():
+                    i = out.schema.get_field_index(col)
+                    if i < 0:
+                        raise KeyError(f"unknown column {col!r}")
+                    typ = out.schema.field(i).type
+                    arr = pa.array([val] * out.num_rows).cast(typ)
+                    out = out.set_column(i, out.schema.field(i), arr)
+                return out
+            out = updater(matched)
+            if out.num_rows != matched.num_rows:
+                raise ValueError("updater must preserve the row count")
+            return out.select(matched.column_names).cast(matched.schema)
+
+        @ray.remote
+        def process(path: str, del_file: str | None, out_path: str):
+            import pyarrow.compute as pc
+
+            # pruned probe first: unmatched files never read full columns
+            probe = pq.read_table(path, columns=cols)
+            m = match(probe)
+            if isinstance(m, (pa.Array, pa.ChunkedArray)):
+                m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+            m = np.asarray(m).astype(bool)
+            if del_file is not None:
+                dead = pq.read_table(del_file)["pos"].to_numpy()
+                m[dead[dead < len(m)]] = False  # never update a deleted row
+            pos = np.flatnonzero(m).astype(np.int64)
+            if len(pos) == 0:
+                return None
+            tbl = pq.read_table(path)
+            replacement = apply_new_values(tbl.take(pa.array(pos)))
+            pq.write_table(replacement, out_path, compression="snappy")
+            return pos
+
+        out_paths = [
+            os.path.join(txn_dir, f"upd-{uuid.uuid4().hex[:8]}.parquet") for _ in files
+        ]
+        hit_lists = ray.get(
+            [
+                process.remote(f, prev_deletes.get(f), out)
+                for f, out in zip(files, out_paths)
+            ]
+        )
+        del_dir = os.path.join(self.path, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        deletes = dict(prev_deletes)
+        new_parts: list[str] = []
+        for f, pos, out in zip(files, hit_lists, out_paths):
+            if pos is None:
+                continue
+            new_parts.append(out)
+            old = deletes.get(f)
+            if old is not None:
+                pos = np.union1d(pos, pq.read_table(old)["pos"].to_numpy())
+            sidecar = os.path.join(del_dir, f"del-{uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(pa.table({"pos": pa.array(np.sort(pos), pa.int64())}), sidecar)
+            deletes[f] = sidecar
+        return self._commit(
+            files + sorted(new_parts), meta or prev.get("meta"), parent, deletes=deletes
+        )
+
+    def restore(self, version: int, meta: dict | None = None) -> int:
+        """Roll the table back to an earlier committed version as a NEW
+        commit (Lance ``restore``): the old manifest's files, deletion
+        vectors and metadata are re-referenced under version
+        latest+1, so the rollback itself is part of lineage and no data
+        moves. The intervening versions' files stay gc()-able garbage."""
+        if version < 1 or not os.path.exists(self._manifest_path(version)):
+            raise ValueError(f"no committed version {version} in {self.path}")
+        m = self._load_manifest(version)
+        gone = [f for f in m["files"] if not os.path.exists(f)]
+        if gone:
+            raise ValueError(
+                f"version {version} is not restorable: {len(gone)} data "
+                "files were gc()-ed (raise gc keep_versions to retain "
+                "rollback targets)"
+            )
+        return self._commit(
+            m["files"],
+            meta or m.get("meta"),
+            self.latest_version(),
+            deletes=m.get("deletes"),
+        )
 
     def deleted_count(self, version: int | None = None) -> int:
         m = self._load_manifest(version)

@@ -165,3 +165,107 @@ class TestDeletionVectors:
         vt2 = VersionedTable(str(tmp_path / "t"))
         assert vt2.read_arrow()["k"].to_pylist() == ["b"]
         assert vt2.count() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUpdateRestore:
+    """Lance update/restore parity: merge-on-read updates (delete-vector
+    + appended replacement rows in ONE commit) and version rollback."""
+
+    def test_update_set_values(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.append(t(["d"], [4]))
+        files_before = set(vt.files())
+        v_before = vt.latest_version()
+        vt.update_where("k", ["b", "d"], set_values={"v": 99})
+        # one commit; original data files untouched, replacements appended
+        assert vt.latest_version() == v_before + 1
+        assert files_before <= set(vt.files())
+        assert len(set(vt.files()) - files_before) == 2  # one part per touched file
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "b", "c", "d"]
+        assert got["v"].to_pylist() == [1, 99, 3, 99]
+        assert vt.count() == 4 and vt.deleted_count() == 2
+        # distributed read path agrees
+        assert sorted(r["v"] for r in vt.read(columns=["v"]).take_all()) == [1, 3, 99, 99]
+
+    def test_update_predicate_callable_updater(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+
+        def bump(matched):
+            import pyarrow.compute as pc
+
+            return matched.set_column(
+                matched.schema.get_field_index("v"),
+                matched.schema.field("v"),
+                pc.add(matched["v"], 10),
+            )
+
+        vt.update_where(
+            "k",
+            predicate=lambda tb: pa.compute.greater(tb["v"], 1),
+            predicate_columns=["v"],
+            updater=bump,
+        )
+        got = vt.read_arrow().sort_by("k")
+        assert got["v"].to_pylist() == [1, 12, 13]
+
+    def test_update_never_resurrects_deleted_rows(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.delete_where("k", ["a"])
+        vt.update_where("k", ["a", "b"], set_values={"v": 7})
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["b"] and got["v"].to_pylist() == [7]
+
+    def test_repeated_update_unions_vectors_and_compacts(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.update_where("k", ["a"], set_values={"v": 10})
+        vt.update_where("k", ["a"], set_values={"v": 20})  # updates the replacement row
+        got = vt.read_arrow().sort_by("k")
+        assert got["v"].to_pylist() == [20, 2, 3]
+        vt.compact()
+        assert vt.deleted_count() == 0
+        assert vt.read_arrow().sort_by("k")["v"].to_pylist() == [20, 2, 3]
+
+    def test_time_travel_sees_pre_update_values(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        v1 = vt.latest_version()
+        vt.update_where("k", ["a"], set_values={"v": 50})
+        assert vt.read_arrow(version=v1).sort_by("k")["v"].to_pylist() == [1, 2]
+        assert vt.read_arrow().sort_by("k")["v"].to_pylist() == [50, 2]
+
+    def test_restore_rolls_back_as_new_commit(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]), meta={"iteration": 1})
+        v1 = vt.latest_version()
+        vt.append(t(["b"], [2]), meta={"iteration": 2})
+        vt.update_where("k", ["a"], set_values={"v": 9})
+        v_restored = vt.restore(v1)
+        assert v_restored == vt.latest_version() and v_restored > v1
+        assert vt.read_arrow()["k"].to_pylist() == ["a"]
+        assert vt.read_arrow()["v"].to_pylist() == [1]  # pre-update value
+        assert vt.meta()["iteration"] == 1  # old cursor restored
+        # rollback is lineage, not erasure: the undone version still reads
+        assert sorted(vt.read_arrow(version=v1 + 1)["k"].to_pylist()) == ["a", "b"]
+
+    def test_restore_refuses_gced_target(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        v1 = vt.latest_version()
+        vt.overwrite(t(["b"], [2]))
+        vt.gc(keep_versions=1)
+        with pytest.raises(ValueError, match="not restorable"):
+            vt.restore(v1)
+
+    def test_update_validates_arguments(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        with pytest.raises(ValueError, match="set_values / updater"):
+            vt.update_where("k", ["a"])
+        with pytest.raises(ValueError, match="values / predicate"):
+            vt.update_where("k", set_values={"v": 1})
