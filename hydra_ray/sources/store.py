@@ -258,6 +258,105 @@ class VersionedTable:
         merged = {**prev.get("meta", {}), **meta}
         return self._commit(prev["files"], merged, parent, deletes=prev.get("deletes"))
 
+    # -- zone maps (Lance scalar-index analog) -----------------------------
+    def file_key_ranges(self, files: list[str], key: str) -> dict[str, tuple | None]:
+        """Per-file (min, max) of ``key`` from the Parquet footers'
+        row-group statistics, cached in ``_stats/<key>.json`` (stats are
+        immutable per data file, so the cache is version-independent and
+        only ever extends). ``None`` means the footer carries no usable
+        stats for the file — such a file is never pruned. Reading a
+        footer costs one metadata fetch, paid once per file per key over
+        the table's lifetime."""
+        stats_dir = os.path.join(self.path, "_stats")
+        cache_path = os.path.join(stats_dir, f"{key}.json")
+        cache: dict[str, list | None] = {}
+        if os.path.exists(cache_path):
+            with open(cache_path) as fh:
+                cache = json.load(fh)
+        missing = [f for f in files if f not in cache]
+        for f in missing:
+            cache[f] = self._footer_key_range(f, key)
+        if missing:
+            os.makedirs(stats_dir, exist_ok=True)
+            tmp = cache_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(cache, fh)
+            os.replace(tmp, cache_path)
+        return {f: (None if cache[f] is None else tuple(cache[f])) for f in files}
+
+    @staticmethod
+    def _footer_key_range(path: str, key: str):
+        try:
+            md = pq.ParquetFile(path).metadata
+            names = md.schema.names
+            if key not in names:
+                return None
+            idx = names.index(key)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None or isinstance(lo, bytes):
+                return None  # empty file or non-comparable physical type
+            return [lo, hi]
+        except Exception:
+            return None
+
+    def prune_files(self, files: list[str], key: str, values) -> list[str]:
+        """Files that MAY contain a row whose ``key`` is in ``values``
+        (zone-map containment test; unknown-stats files always kept)."""
+        import bisect
+
+        vals = sorted(set(values))
+        ranges = self.file_key_ranges(files, key)
+        out = []
+        for f in files:
+            r = ranges[f]
+            if r is None:
+                out.append(f)
+                continue
+            i = bisect.bisect_left(vals, r[0])
+            if i < len(vals) and vals[i] <= r[1]:
+                out.append(f)
+        return out
+
+    def read_where(
+        self, key: str, values, columns: list[str] | None = None
+    ) -> "rd.Dataset":
+        """Point/set lookup: zone-map-prune the manifest's files, then
+        read only the surviving files and row-filter. A lookup of k keys
+        against a 10^10-row table touches O(files whose range matches),
+        never the whole table."""
+        import pyarrow.compute as pc
+
+        m = self._load_manifest(None)
+        files = self.prune_files(m["files"], key, values)
+        deletes = m.get("deletes") or {}
+        value_set = pa.array(sorted(set(values)))
+        cols_read = (
+            columns if columns is None or key in columns else list(columns) + [key]
+        )
+
+        def only_matching(tbl: pa.Table) -> pa.Table:
+            out = tbl.filter(pc.is_in(tbl[key], value_set=value_set))
+            return out.select(columns) if columns is not None else out
+
+        if not files:
+            # empty result with the right shape: no file can match
+            src = m["files"]
+            if not src:
+                raise ValueError(f"table {self.path} is empty")
+            empty = pq.read_table(src[0], columns=columns).slice(0, 0)
+            return rd.from_arrow(empty)
+        if deletes:
+            ds = self._read_files_with_deletes(files, deletes, cols_read)
+        else:
+            ds = rd.read_parquet(files, columns=cols_read)
+        return ds.map_batches(only_matching, batch_format="pyarrow")
+
     # -- deletion vectors (Lance deletion-file semantics) ------------------
     def delete_where(
         self,
@@ -318,11 +417,14 @@ class VersionedTable:
                 m = np.asarray(mask)
             return np.flatnonzero(m.astype(bool)).astype(np.int64)
 
-        hit_lists = ray.get([positions.remote(f) for f in files])
+        # zone-map prune: files whose key range can't contain any target
+        # value are skipped without a task (O(matching files), not O(files))
+        candidates = files if values is None else self.prune_files(files, key, values)
+        hit_lists = ray.get([positions.remote(f) for f in candidates])
         del_dir = os.path.join(self.path, "deletes")
         os.makedirs(del_dir, exist_ok=True)
         deletes = dict(prev.get("deletes") or {})
-        for f, pos in zip(files, hit_lists):
+        for f, pos in zip(candidates, hit_lists):
             if len(pos) == 0:
                 continue
             old = deletes.get(f)
@@ -426,20 +528,23 @@ class VersionedTable:
             pq.write_table(replacement, out_path, compression="snappy")
             return pos
 
+        # zone-map prune as in delete_where
+        candidates = files if values is None else self.prune_files(files, key, values)
         out_paths = [
-            os.path.join(txn_dir, f"upd-{uuid.uuid4().hex[:8]}.parquet") for _ in files
+            os.path.join(txn_dir, f"upd-{uuid.uuid4().hex[:8]}.parquet")
+            for _ in candidates
         ]
         hit_lists = ray.get(
             [
                 process.remote(f, prev_deletes.get(f), out)
-                for f, out in zip(files, out_paths)
+                for f, out in zip(candidates, out_paths)
             ]
         )
         del_dir = os.path.join(self.path, "deletes")
         os.makedirs(del_dir, exist_ok=True)
         deletes = dict(prev_deletes)
         new_parts: list[str] = []
-        for f, pos, out in zip(files, hit_lists, out_paths):
+        for f, pos, out in zip(candidates, hit_lists, out_paths):
             if pos is None:
                 continue
             new_parts.append(out)
@@ -595,6 +700,19 @@ class VersionedTable:
                         removed += 1
                 if root != top and not os.listdir(root):
                     os.rmdir(root)
+        # drop zone-map cache entries for files that no longer exist
+        stats_dir = os.path.join(self.path, "_stats")
+        if os.path.isdir(stats_dir):
+            for f in os.listdir(stats_dir):
+                p = os.path.join(stats_dir, f)
+                with open(p) as fh:
+                    cache = json.load(fh)
+                live = {k: v for k, v in cache.items() if os.path.exists(k)}
+                if len(live) != len(cache):
+                    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as fh:
+                        json.dump(live, fh)
+                    os.replace(tmp, p)
         return removed
 
     def prune_manifests(self, keep: int = 16) -> int:

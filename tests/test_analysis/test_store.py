@@ -269,3 +269,71 @@ class TestUpdateRestore:
             vt.update_where("k", ["a"])
         with pytest.raises(ValueError, match="values / predicate"):
             vt.update_where("k", set_values={"v": 1})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZoneMaps:
+    """Zone-map file pruning: per-file key min/max from Parquet footers
+    (cached in _stats/) lets point deletes/updates/lookups skip files
+    whose range can't match."""
+
+    def _two_range_table(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))   # file 1: keys a..c
+        vt.append(t(["x", "y", "z"], [7, 8, 9]))   # file 2: keys x..z
+        return vt
+
+    def test_prune_files_by_key_range(self, tmp_path):
+        vt = self._two_range_table(tmp_path)
+        files = vt.files()
+        assert len(files) == 2
+        assert vt.prune_files(files, "k", ["b"]) == [files[0]]
+        assert vt.prune_files(files, "k", ["y", "z"]) == [files[1]]
+        assert set(vt.prune_files(files, "k", ["a", "z"])) == set(files)
+        assert vt.prune_files(files, "k", ["m"]) == []  # between the ranges
+        # cache file exists and survives a fresh handle
+        import os as _os
+
+        assert _os.path.exists(str(tmp_path / "t" / "_stats" / "k.json"))
+        vt2 = VersionedTable(str(tmp_path / "t"))
+        assert vt2.prune_files(files, "k", ["b"]) == [files[0]]
+
+    def test_read_where_point_lookup(self, tmp_path):
+        vt = self._two_range_table(tmp_path)
+        got = vt.read_where("k", ["b", "y"]).take_all()
+        assert sorted((r["k"], r["v"]) for r in got) == [("b", 2), ("y", 8)]
+        # pruned column selection that omits the key still works
+        got = vt.read_where("k", ["z"], columns=["v"]).take_all()
+        assert [r["v"] for r in got] == [9]
+        assert all(set(r) == {"v"} for r in got)
+        # no candidate file → empty result, schema preserved
+        assert vt.read_where("k", ["m"]).count() == 0
+
+    def test_read_where_respects_deletes(self, tmp_path):
+        vt = self._two_range_table(tmp_path)
+        vt.delete_where("k", ["b"])
+        assert vt.read_where("k", ["b", "c"]).take_all() == [{"k": "c", "v": 3}]
+
+    def test_delete_and_update_prune_but_stay_correct(self, tmp_path):
+        vt = self._two_range_table(tmp_path)
+        vt.delete_where("k", ["y"])
+        vt.update_where("k", ["a"], set_values={"v": 100})
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "b", "c", "x", "z"]
+        assert got["v"].to_pylist() == [100, 2, 3, 7, 9]
+        # only file 2 carries a delete sidecar from the "y" delete plus
+        # file 1 from the "a" update — the untouched ranges were pruned
+        assert vt.deleted_count() == 2
+
+    def test_gc_prunes_stale_stats_entries(self, tmp_path):
+        import json as _json
+        import os as _os
+
+        vt = self._two_range_table(tmp_path)
+        files_v1 = list(vt.files())
+        vt.prune_files(files_v1, "k", ["a"])  # populate cache
+        vt.overwrite(t(["q"], [0]))
+        vt.gc(keep_versions=1)
+        cache = _json.loads((tmp_path / "t" / "_stats" / "k.json").read_text())
+        assert all(_os.path.exists(f) for f in cache)
+        assert not (set(files_v1) & set(cache))
