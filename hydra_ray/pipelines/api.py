@@ -49,16 +49,25 @@ class EngineApi:
         self.engine = engine
 
     # -- checks ------------------------------------------------------------
+    # above this many rows a point lookup routes through the zone-map
+    # pruned Dataset path instead of a driver read of the whole table
+    DRIVER_LOOKUP_MAX_ROWS = 2_000_000
+
     def _checks_filtered(self, url: str | None, resource_id: str | None) -> pa.Table:
         if url is None and resource_id is None:
             raise ValueError("provide url or resource_id")
-        t = self.engine.checks.read_arrow()
-        mask = (
-            pc.equal(t["resource_id"], resource_id)
-            if resource_id is not None
-            else pc.equal(t["url"], url)
+        key, val = (
+            ("resource_id", resource_id) if resource_id is not None else ("url", url)
         )
-        return t.filter(mask)
+        checks = self.engine.checks
+        if checks.count() > self.DRIVER_LOOKUP_MAX_ROWS:
+            # 10^10-checks path: zone-map prune the manifest's files by
+            # the key's footer min/max, read + filter only candidates
+            from hydra_ray.sources.store import _ds_to_arrow
+
+            return _ds_to_arrow(checks.read_where(key, [val]))
+        t = checks.read_arrow()
+        return t.filter(pc.equal(t[key], val))
 
     def get_latest_check(self, url: str | None = None, resource_id: str | None = None) -> dict:
         t = self._checks_filtered(url, resource_id)

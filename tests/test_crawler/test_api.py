@@ -233,3 +233,20 @@ class TestAuth:
                              exclude_routes=(r"/api/health",)) is None
         )
         assert token_auth_check({}, path="/x", method="GET") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedLookupPath:
+    def test_over_threshold_lookup_matches_driver_path(self, api, monkeypatch):
+        """The zone-map pruned Dataset lookup (10^10-checks route) returns
+        exactly what the driver read_arrow route returns."""
+        checks = api.engine.checks.read_arrow()
+        rid = checks["resource_id"][0].as_py()
+        url = checks["url"][0].as_py()
+        want_rid = api.get_all_checks(resource_id=rid)
+        want_url = api.get_all_checks(url=url)
+        monkeypatch.setattr(EngineApi, "DRIVER_LOOKUP_MAX_ROWS", 0)
+        assert api.get_all_checks(resource_id=rid) == want_rid
+        assert api.get_all_checks(url=url) == want_url
+        with pytest.raises(NotFound):
+            api.get_all_checks(resource_id="nope")
