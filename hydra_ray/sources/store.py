@@ -126,16 +126,22 @@ class VersionedTable:
         meta: dict | None,
         parent: int,
         deletes: dict[str, str] | None = None,
+        added: list[dict] | None = None,
     ) -> int:
         version = parent + 1
         # deletion vectors only make sense for files the version references
         deletes = {f: d for f, d in (deletes or {}).items() if f in set(files)}
+        if added is None:
+            # schema adds are table state: carried forward automatically
+            # (readers default-fill files predating each add)
+            added = self._load_manifest(parent).get("added_columns") or []
         manifest = {
             "version": version,
             "parent": parent,
             "files": files,
             "meta": meta or {},
             "deletes": deletes,
+            "added_columns": added,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -258,6 +264,86 @@ class VersionedTable:
         merged = {**prev.get("meta", {}), **meta}
         return self._commit(prev["files"], merged, parent, deletes=prev.get("deletes"))
 
+    # -- schema evolution (Lance add_columns analog) -----------------------
+    _ADD_TYPES = {
+        "int8": pa.int8,
+        "int16": pa.int16,
+        "int32": pa.int32,
+        "int64": pa.int64,
+        "float32": pa.float32,
+        "float64": pa.float64,
+        "double": pa.float64,
+        "bool": pa.bool_,
+        "string": pa.string,
+        "large_string": pa.large_string,
+        "binary": pa.binary,
+        "date32[day]": pa.date32,
+        "timestamp[us]": lambda: pa.timestamp("us"),
+        "timestamp[ms]": lambda: pa.timestamp("ms"),
+        "timestamp[s]": lambda: pa.timestamp("s"),
+    }
+
+    @classmethod
+    def _parse_add_type(cls, s: str) -> pa.DataType:
+        try:
+            return cls._ADD_TYPES[s]()
+        except KeyError:
+            raise ValueError(
+                f"unsupported added-column type {s!r} (one of {sorted(cls._ADD_TYPES)})"
+            ) from None
+
+    def add_column(
+        self, name: str, type: "pa.DataType | str", default=None, meta: dict | None = None
+    ) -> int:
+        """Schema evolution WITHOUT rewriting any file (the Lance
+        ``add_columns`` contract): the new column is recorded in the
+        manifest and every reader default-fills it for files that
+        predate the add, while appends from now on may carry it
+        physically. Time travel stays exact — versions before the add
+        do not have the column. ``compact()`` materializes it into
+        real files. O(1) cost at any table size."""
+        typ = self._parse_add_type(type) if isinstance(type, str) else type
+        type_str = str(typ)
+        self._parse_add_type(type_str)  # round-trippable or refuse
+        if default is not None:
+            pa.array([default]).cast(typ)  # default must fit the type
+        parent = self.latest_version()
+        prev = self._load_manifest(parent)
+        if not prev["files"]:
+            raise ValueError(f"table {self.path} is empty")
+        added = list(prev.get("added_columns") or [])
+        existing = set(pq.ParquetFile(prev["files"][0]).schema_arrow.names)
+        existing.update(a["name"] for a in added)
+        if name in existing:
+            raise ValueError(f"column {name!r} already exists")
+        added.append({"name": name, "type": type_str, "default": default})
+        return self._commit(
+            prev["files"], meta or prev.get("meta"), parent,
+            deletes=prev.get("deletes"), added=added,
+        )
+
+    @classmethod
+    def _fill_added(
+        cls, tbl: pa.Table, added: list[dict] | None, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Append manifest-declared columns missing from a physical file,
+        filled with each add's default (None → nulls)."""
+        for spec in added or []:
+            name = spec["name"]
+            if name in tbl.column_names or (columns is not None and name not in columns):
+                continue
+            typ = cls._parse_add_type(spec["type"])
+            default = spec.get("default")
+            if default is None:
+                arr = pa.nulls(tbl.num_rows, typ)
+            else:
+                arr = pa.array([default] * tbl.num_rows).cast(typ)
+            tbl = tbl.append_column(pa.field(name, typ), arr)
+        return tbl
+
+    def added_columns(self, version: int | None = None) -> list[dict]:
+        return self._load_manifest(version).get("added_columns") or []
+
     # -- zone maps (Lance scalar-index analog) -----------------------------
     def file_key_ranges(self, files: list[str], key: str) -> dict[str, tuple | None]:
         """Per-file (min, max) of ``key`` from the Parquet footers'
@@ -335,6 +421,7 @@ class VersionedTable:
         m = self._load_manifest(None)
         files = self.prune_files(m["files"], key, values)
         deletes = m.get("deletes") or {}
+        added = m.get("added_columns") or []
         value_set = pa.array(sorted(set(values)))
         cols_read = (
             columns if columns is None or key in columns else list(columns) + [key]
@@ -349,10 +436,11 @@ class VersionedTable:
             src = m["files"]
             if not src:
                 raise ValueError(f"table {self.path} is empty")
-            empty = pq.read_table(src[0], columns=columns).slice(0, 0)
+            canon = self._canonical_columns(src, added, columns)
+            empty = self._load_file_table(src[0], None, added, canon).slice(0, 0)
             return rd.from_arrow(empty)
-        if deletes:
-            ds = self._read_files_with_deletes(files, deletes, cols_read)
+        if deletes or added:
+            ds = self._read_files_merged(files, deletes, added, cols_read)
         else:
             ds = rd.read_parquet(files, columns=cols_read)
         return ds.map_batches(only_matching, batch_format="pyarrow")
@@ -405,11 +493,18 @@ class VersionedTable:
         else:
             match = predicate
 
+        added_specs = prev.get("added_columns") or []
+        fill = self._fill_added
+
         @ray.remote
         def positions(path: str) -> "np.ndarray":
             import pyarrow.compute as pc
 
-            tbl = pq.read_table(path, columns=cols)
+            avail = set(pq.ParquetFile(path).schema_arrow.names)
+            tbl = pq.read_table(
+                path, columns=None if cols is None else [c for c in cols if c in avail]
+            )
+            tbl = fill(tbl, added_specs, cols)
             mask = match(tbl)
             if isinstance(mask, (pa.Array, pa.ChunkedArray)):
                 m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
@@ -507,12 +602,19 @@ class VersionedTable:
                 raise ValueError("updater must preserve the row count")
             return out.select(matched.column_names).cast(matched.schema)
 
+        added_specs = prev.get("added_columns") or []
+        fill = self._fill_added
+
         @ray.remote
         def process(path: str, del_file: str | None, out_path: str):
             import pyarrow.compute as pc
 
             # pruned probe first: unmatched files never read full columns
-            probe = pq.read_table(path, columns=cols)
+            avail = set(pq.ParquetFile(path).schema_arrow.names)
+            probe = pq.read_table(
+                path, columns=None if cols is None else [c for c in cols if c in avail]
+            )
+            probe = fill(probe, added_specs, cols)
             m = match(probe)
             if isinstance(m, (pa.Array, pa.ChunkedArray)):
                 m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
@@ -523,7 +625,7 @@ class VersionedTable:
             pos = np.flatnonzero(m).astype(np.int64)
             if len(pos) == 0:
                 return None
-            tbl = pq.read_table(path)
+            tbl = fill(pq.read_table(path), added_specs)
             replacement = apply_new_values(tbl.take(pa.array(pos)))
             pq.write_table(replacement, out_path, compression="snappy")
             return pos
@@ -579,6 +681,7 @@ class VersionedTable:
             meta or m.get("meta"),
             self.latest_version(),
             deletes=m.get("deletes"),
+            added=m.get("added_columns") or [],
         )
 
     def deleted_count(self, version: int | None = None) -> int:
@@ -607,19 +710,52 @@ class VersionedTable:
         keep[pos[pos < tbl.num_rows]] = False
         return tbl.filter(pa.array(keep))
 
-    def _read_files_with_deletes(
-        self, files: list[str], deletes: dict[str, str], columns: list[str] | None
+    def _canonical_columns(
+        self, files: list[str], added: list[dict], columns: list[str] | None
+    ) -> list[str]:
+        """Stable output column order across physically heterogeneous
+        files: the requested order, or oldest file's schema + added
+        columns at the end."""
+        if columns is not None:
+            return list(columns)
+        names0 = list(pq.ParquetFile(files[0]).schema_arrow.names)
+        return names0 + [a["name"] for a in added if a["name"] not in names0]
+
+    @classmethod
+    def _load_file_table(
+        cls,
+        path: str,
+        del_file: str | None,
+        added: list[dict],
+        canon: list[str],
+    ) -> pa.Table:
+        """One file → live rows with the canonical columns: prune the
+        read to what the file physically has, drop deleted positions,
+        default-fill manifest-added columns, fix the order."""
+        avail = set(pq.ParquetFile(path).schema_arrow.names)
+        t = pq.read_table(path, columns=[c for c in canon if c in avail])
+        t = cls._drop_positions(t, del_file)
+        t = cls._fill_added(t, added, canon)
+        return t.select(canon)
+
+    def _read_files_merged(
+        self,
+        files: list[str],
+        deletes: dict[str, str],
+        added: list[dict],
+        columns: list[str] | None,
     ) -> "rd.Dataset":
-        """Per-file load tasks that apply each file's deletion vector as
-        the rows come off the Parquet reader (one task per file — files
-        are partition-sized by construction)."""
-        drop = self._drop_positions
+        """Per-file load tasks that apply each file's deletion vector and
+        schema adds as the rows come off the Parquet reader (one task per
+        file — files are partition-sized by construction)."""
+        canon = self._canonical_columns(files, added, columns)
+        load_one = self._load_file_table
 
         def load(batch: pa.Table) -> pa.Table:
-            out = []
-            for row in batch.to_pylist():
-                t = pq.read_table(row["file"], columns=columns)
-                out.append(drop(t, row["del_file"]))
+            out = [
+                load_one(row["file"], row["del_file"], added, canon)
+                for row in batch.to_pylist()
+            ]
             return pa.concat_tables(out, promote_options="default")
 
         items = pa.table(
@@ -651,8 +787,9 @@ class VersionedTable:
         if not files:
             raise ValueError(f"table {self.path} is empty")
         deletes = m.get("deletes") or {}
-        if deletes:
-            return self._read_files_with_deletes(files, deletes, columns)
+        added = m.get("added_columns") or []
+        if deletes or added:
+            return self._read_files_merged(files, deletes, added, columns)
         return rd.read_parquet(files, columns=columns, **kwargs)
 
     def read_arrow(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
@@ -662,11 +799,15 @@ class VersionedTable:
         if not files:
             raise ValueError(f"table {self.path} is empty")
         deletes = m.get("deletes") or {}
+        added = m.get("added_columns") or []
+        if not deletes and not added:
+            return pa.concat_tables(
+                [pq.read_table(f, columns=columns) for f in files],
+                promote_options="default",
+            )
+        canon = self._canonical_columns(files, added, columns)
         return pa.concat_tables(
-            [
-                self._drop_positions(pq.read_table(f, columns=columns), deletes.get(f))
-                for f in files
-            ],
+            [self._load_file_table(f, deletes.get(f), added, canon) for f in files],
             promote_options="default",
         )
 
@@ -742,6 +883,8 @@ class VersionedTable:
         import pyarrow.compute as pc
 
         incoming_tbl = data if isinstance(data, pa.Table) else _ds_to_arrow(data)
+        # schema evolution: an incoming batch may predate an add_column
+        incoming_tbl = self._fill_added(incoming_tbl, self.added_columns())
         # last-wins dedup by key, Arrow/numpy only (pandas would mangle types)
         keys = np.asarray(incoming_tbl[key].to_pylist())
         if len(np.unique(keys)) < len(keys):
@@ -799,7 +942,9 @@ class VersionedTable:
         touched = sorted(set(int(p) for p in parts))
         txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
         os.makedirs(txn_dir, exist_ok=True)
-        all_deletes = self._load_manifest().get("deletes") or {}
+        manifest = self._load_manifest()
+        all_deletes = manifest.get("deletes") or {}
+        added = manifest.get("added_columns") or []
         new_files: list[str] = []
         carried_deletes: dict[str, str] = {}
         for p, fs in by_part.items():
@@ -810,9 +955,10 @@ class VersionedTable:
             inc = incoming_tbl.filter(pa.array(parts == p))
             prev_files = by_part.get(p, [])
             if prev_files:
+                canon = self._canonical_columns(prev_files, added, None)
                 prev = pa.concat_tables(
                     [
-                        self._drop_positions(pq.read_table(f), all_deletes.get(f))
+                        self._load_file_table(f, all_deletes.get(f), added, canon)
                         for f in prev_files
                     ],
                     promote_options="default",

@@ -337,3 +337,101 @@ class TestZoneMaps:
         cache = _json.loads((tmp_path / "t" / "_stats" / "k.json").read_text())
         assert all(_os.path.exists(f) for f in cache)
         assert not (set(files_v1) & set(cache))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaEvolution:
+    """Lance add_columns parity: manifest-recorded column adds,
+    default-filled merge-on-read for files that predate the add —
+    no file rewritten, time travel exact."""
+
+    def test_add_column_default_fill_both_read_paths(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        files_before = set(vt.files())
+        vt.add_column("score", "float64", default=0.5)
+        assert set(vt.files()) == files_before  # no rewrite
+        got = vt.read_arrow().sort_by("k")
+        assert got.column_names == ["k", "v", "score"]
+        assert got["score"].to_pylist() == [0.5, 0.5]
+        rows = sorted(vt.read().take_all(), key=lambda r: r["k"])
+        assert [r["score"] for r in rows] == [0.5, 0.5]
+
+    def test_add_column_null_default_and_new_appends_carry_it(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        vt.add_column("tag", "string")
+        vt.append(
+            pa.table({"k": ["b"], "v": pa.array([2], pa.int64()), "tag": ["fresh"]})
+        )
+        got = vt.read_arrow().sort_by("k")
+        assert got["tag"].to_pylist() == [None, "fresh"]
+        # column selection across mixed physical schemas
+        sel = vt.read_arrow(columns=["k", "tag"]).sort_by("k")
+        assert sel.column_names == ["k", "tag"]
+        assert sel["tag"].to_pylist() == [None, "fresh"]
+        ds_rows = sorted(vt.read(columns=["k", "tag"]).take_all(), key=lambda r: r["k"])
+        assert [r["tag"] for r in ds_rows] == [None, "fresh"]
+
+    def test_time_travel_predates_the_add(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        v1 = vt.latest_version()
+        vt.add_column("score", "int64", default=7)
+        assert vt.read_arrow(version=v1).column_names == ["k", "v"]
+        assert vt.read_arrow()["score"].to_pylist() == [7]
+
+    def test_update_and_delete_on_added_column(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.add_column("score", "int64", default=0)
+        vt.update_where("k", ["b"], set_values={"score": 9})
+        got = vt.read_arrow().sort_by("k")
+        assert got["score"].to_pylist() == [0, 9]
+        # filter on the added column itself (merge-on-read value)
+        vt.delete_where(
+            "score", predicate=lambda tb: pa.compute.equal(tb["score"], 9),
+            predicate_columns=["score"],
+        )
+        assert vt.read_arrow()["k"].to_pylist() == ["a"]
+
+    def test_merge_insert_across_schema_evolution(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.overwrite(t(["a", "b"], [1, 2]))
+        vt.add_column("score", "int64", default=3)
+        # incoming batch predates the add → default-filled
+        vt.merge_insert(t(["b", "c"], [20, 30]), key="k")
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "b", "c"]
+        assert got["v"].to_pylist() == [1, 20, 30]
+        assert got["score"].to_pylist() == [3, 3, 3]
+
+    def test_compact_materializes_added_columns(self, tmp_path):
+        import pyarrow.parquet as _pq
+
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.add_column("score", "float64", default=1.5)
+        vt.compact()
+        for f in vt.files():
+            assert "score" in _pq.ParquetFile(f).schema_arrow.names
+        assert vt.read_arrow().sort_by("k")["score"].to_pylist() == [1.5, 1.5]
+
+    def test_add_column_validations(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        with pytest.raises(ValueError, match="already exists"):
+            vt.add_column("v", "int64")
+        with pytest.raises(ValueError, match="unsupported"):
+            vt.add_column("x", "list<int64>")
+        vt.add_column("s", "string", default="d")
+        with pytest.raises(ValueError, match="already exists"):
+            vt.add_column("s", "string")
+
+    def test_restore_restores_pre_add_schema(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        v1 = vt.latest_version()
+        vt.add_column("score", "int64", default=7)
+        vt.restore(v1)
+        assert vt.read_arrow().column_names == ["k", "v"]
