@@ -433,11 +433,13 @@ class VersionedTable:
 
         if not files:
             # empty result with the right shape: no file can match
+            # (schema from the footer — never read data for an empty result)
             src = m["files"]
             if not src:
                 raise ValueError(f"table {self.path} is empty")
             canon = self._canonical_columns(src, added, columns)
-            empty = self._load_file_table(src[0], None, added, canon).slice(0, 0)
+            base = pq.ParquetFile(src[0]).schema_arrow.empty_table()
+            empty = self._fill_added(base, added, canon).select(canon)
             return rd.from_arrow(empty)
         if deletes or added:
             ds = self._read_files_merged(files, deletes, added, cols_read)
