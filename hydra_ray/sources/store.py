@@ -692,14 +692,18 @@ class VersionedTable:
             pq.ParquetFile(d).metadata.num_rows for d in (m.get("deletes") or {}).values()
         )
 
-    def compact(self, meta: dict | None = None) -> int:
-        """Materialize deletion vectors away: rewrite the table's live
-        rows as fresh files and commit a delete-free version. The
-        rewrite streams through Ray Data (never a driver pull)."""
-        return self.overwrite(
-            self.read() if self.count() > DRIVER_MERGE_MAX_ROWS else self.read_arrow(),
-            meta=meta,
-        )
+    def compact(self, meta: dict | None = None, sort_by: str | None = None) -> int:
+        """Materialize deletion vectors (and schema adds) away: rewrite
+        the table's live rows as fresh files and commit a delete-free
+        version. The rewrite streams through Ray Data (never a driver
+        pull). ``sort_by`` clusters the rewrite on a key so the new
+        files carry tight, near-disjoint zone maps — point lookups and
+        deletes after a clustered compaction prune to O(1) files."""
+        if self.count() > DRIVER_MERGE_MAX_ROWS:
+            ds = self.read()
+            return self.overwrite(ds.sort(sort_by) if sort_by else ds, meta=meta)
+        tbl = self.read_arrow()
+        return self.overwrite(tbl.sort_by(sort_by) if sort_by else tbl, meta=meta)
 
     @staticmethod
     def _drop_positions(tbl: pa.Table, del_file: str | None) -> pa.Table:

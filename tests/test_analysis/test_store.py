@@ -435,3 +435,37 @@ class TestSchemaEvolution:
         vt.add_column("score", "int64", default=7)
         vt.restore(v1)
         assert vt.read_arrow().column_names == ["k", "v"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clustered_compaction_tightens_zone_maps(tmp_path):
+    """compact(sort_by=key) rewrites rows clustered on the key, so the
+    fresh files' footer ranges prune point lookups tightly."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    # interleaved key ranges across two files → no pruning possible
+    vt.append(t(["a", "z", "c"], [1, 26, 3]))
+    vt.append(t(["b", "y", "d"], [2, 25, 4]))
+    files = vt.files()
+    assert set(vt.prune_files(files, "k", ["d"])) == set(files)
+    vt.delete_where("k", ["c"])
+    vt.compact(sort_by="k")
+    assert vt.deleted_count() == 0
+    got = vt.read_arrow()
+    assert got["k"].to_pylist() == sorted(got["k"].to_pylist())
+    assert got["k"].to_pylist() == ["a", "b", "d", "y", "z"]
+    # distributed path pinned equal
+    vt2 = VersionedTable(str(tmp_path / "t2"))
+    vt2.append(t(["a", "z", "c"], [1, 26, 3]))
+    vt2.append(t(["b", "y", "d"], [2, 25, 4]))
+    vt2.delete_where("k", ["c"])
+    import hydra_ray.sources.store as store_mod
+
+    old = store_mod.DRIVER_MERGE_MAX_ROWS
+    store_mod.DRIVER_MERGE_MAX_ROWS = 0
+    try:
+        vt2.compact(sort_by="k")
+    finally:
+        store_mod.DRIVER_MERGE_MAX_ROWS = old
+    got2 = vt2.read_arrow()
+    assert got2["k"].to_pylist() == ["a", "b", "d", "y", "z"]
+    assert got2["v"].to_pylist() == got["v"].to_pylist()
