@@ -634,10 +634,16 @@ class VersionedTable:
 
         # zone-map prune as in delete_where
         candidates = files if values is None else self.prune_files(files, key, values)
-        out_paths = [
-            os.path.join(txn_dir, f"upd-{uuid.uuid4().hex[:8]}.parquet")
-            for _ in candidates
-        ]
+
+        def out_name(src: str) -> str:
+            # replacement rows stay in their source file's hash partition:
+            # carry the part tag so a partitioned layout (and with it the
+            # merge_insert partial-rewrite fast path) survives updates
+            p = self._file_part(src)
+            stem = f"part-p{p:04d}-{uuid.uuid4().hex[:8]}" if p is not None else f"upd-{uuid.uuid4().hex[:8]}"
+            return os.path.join(txn_dir, f"{stem}.parquet")
+
+        out_paths = [out_name(f) for f in candidates]
         hit_lists = ray.get(
             [
                 process.remote(f, prev_deletes.get(f), out)

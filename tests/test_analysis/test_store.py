@@ -469,3 +469,40 @@ def test_clustered_compaction_tightens_zone_maps(tmp_path):
     got2 = vt2.read_arrow()
     assert got2["k"].to_pylist() == ["a", "b", "d", "y", "z"]
     assert got2["v"].to_pylist() == got["v"].to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zone_maps_int_keys_and_update_preserves_partition_layout(tmp_path):
+    """Zone maps work on int64 keys (doc_id shape), and update_where on
+    a hash-partitioned table keeps every file part-tagged so the
+    merge_insert partial-rewrite fast path survives."""
+    import pyarrow as pa
+
+    from hydra_ray.sources.store import VersionedTable
+
+    def ti(ids, vals):
+        return pa.table(
+            {"k": pa.array(ids, type=pa.int64()), "v": pa.array(vals, type=pa.int64())}
+        )
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(ti([1, 2, 3], [10, 20, 30]))
+    vt.append(ti([100, 200], [1000, 2000]))
+    files = vt.files()
+    assert vt.prune_files(files, "k", [2]) == [files[0]]
+    assert vt.prune_files(files, "k", [50]) == []  # in the gap between ranges
+    got = vt.read_where("k", [3, 200]).take_all()
+    assert sorted(r["v"] for r in got) == [30, 2000]
+
+    # partitioned layout survives an update
+    pt = VersionedTable(
+        str(tmp_path / "p"), partition_key="k", n_parts=4, partition_min_rows=0
+    )
+    pt.overwrite(ti(list(range(40)), list(range(40))))
+    assert pt._partitioned_layout(pt.files()) is not None
+    pt.update_where("k", [7, 23], set_values={"v": -1})
+    assert pt._partitioned_layout(pt.files()) is not None  # still all tagged
+    # partial-rewrite merge still works and sees the updated values
+    pt.merge_insert(ti([7, 41], [700, 4100]), key="k")
+    got = {r["k"]: r["v"] for r in pt.read_arrow().to_pylist()}
+    assert got[7] == 700 and got[23] == -1 and got[41] == 4100 and len(got) == 41
