@@ -62,10 +62,10 @@ class EngineApi:
         checks = self.engine.checks
         if checks.count() > self.DRIVER_LOOKUP_MAX_ROWS:
             # 10^10-checks path: zone-map prune the manifest's files by
-            # the key's footer min/max, read + filter only candidates
-            from hydra_ray.sources.store import _ds_to_arrow
-
-            return _ds_to_arrow(checks.read_where(key, [val]))
+            # the key's footer min/max, then read + filter ONLY the
+            # candidate files on the driver — a serving lookup must not
+            # pay Ray Data's per-execution fixed cost for O(1) files
+            return checks.read_where_arrow(key, [val])
         t = checks.read_arrow()
         return t.filter(pc.equal(t[key], val))
 

@@ -68,6 +68,9 @@ class VersionedTable:
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.versions_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # a version's row count is immutable — memoize per version so
+        # serving-path threshold checks don't re-open every footer
+        self._count_cache: dict[int, int] = {}
 
     # -- version bookkeeping ---------------------------------------------
     def latest_version(self) -> int:
@@ -178,14 +181,18 @@ class VersionedTable:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         return self._commit(
-            prev["files"] + sorted(files), meta, parent, deletes=prev.get("deletes")
+            prev["files"] + sorted(files), meta, parent,
+            deletes=prev.get("deletes"), added=prev.get("added_columns") or [],
         )
 
     def append(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         files = prev["files"] + self._write_data(data)
-        return self._commit(files, meta, parent, deletes=prev.get("deletes"))
+        return self._commit(
+            files, meta, parent,
+            deletes=prev.get("deletes"), added=prev.get("added_columns") or [],
+        )
 
     def overwrite(self, data: "rd.Dataset | pa.Table", meta: dict | None = None) -> int:
         parent = self.latest_version()
@@ -262,7 +269,10 @@ class VersionedTable:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         merged = {**prev.get("meta", {}), **meta}
-        return self._commit(prev["files"], merged, parent, deletes=prev.get("deletes"))
+        return self._commit(
+            prev["files"], merged, parent,
+            deletes=prev.get("deletes"), added=prev.get("added_columns") or [],
+        )
 
     # -- schema evolution (Lance add_columns analog) -----------------------
     _ADD_TYPES = {
@@ -337,7 +347,8 @@ class VersionedTable:
             if default is None:
                 arr = pa.nulls(tbl.num_rows, typ)
             else:
-                arr = pa.array([default] * tbl.num_rows).cast(typ)
+                # constant array without an O(rows) Python list
+                arr = pa.repeat(pa.array([default]).cast(typ)[0], tbl.num_rows)
             tbl = tbl.append_column(pa.field(name, typ), arr)
         return tbl
 
@@ -385,8 +396,16 @@ class VersionedTable:
                     return None
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            if lo is None or isinstance(lo, bytes):
-                return None  # empty file or non-comparable physical type
+            # only JSON-round-trippable, order-preserving stat types are
+            # usable: temporal/decimal footer stats come back as Python
+            # datetime/Decimal objects that neither json.dump nor a
+            # post-reload bisect can handle — such keys are never pruned
+            if (
+                lo is None
+                or isinstance(lo, bool)
+                or not isinstance(lo, (int, float, str))
+            ):
+                return None
             return [lo, hi]
         except Exception:
             return None
@@ -437,15 +456,58 @@ class VersionedTable:
             src = m["files"]
             if not src:
                 raise ValueError(f"table {self.path} is empty")
-            canon = self._canonical_columns(src, added, columns)
+            canon, fill_types = self._canonical_layout(src, added, columns)
             base = pq.ParquetFile(src[0]).schema_arrow.empty_table()
-            empty = self._fill_added(base, added, canon).select(canon)
-            return rd.from_arrow(empty)
+            empty = self._fill_added(base, added, canon)
+            for name in canon:
+                if name not in empty.column_names:
+                    typ = fill_types[name]
+                    empty = empty.append_column(
+                        pa.field(name, typ), pa.nulls(0, typ)
+                    )
+            return rd.from_arrow(empty.select(canon))
         if deletes or added:
             ds = self._read_files_merged(files, deletes, added, cols_read)
         else:
             ds = rd.read_parquet(files, columns=cols_read)
         return ds.map_batches(only_matching, batch_format="pyarrow")
+
+    def read_where_arrow(
+        self, key: str, values, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Driver-side zone-map point lookup: prune to candidate files,
+        read them directly, row-filter. For serving-style lookups where
+        the zone maps leave O(1) candidate files — same result as
+        ``read_where`` without Ray Data's per-execution fixed cost."""
+        import pyarrow.compute as pc
+
+        m = self._load_manifest(None)
+        if not m["files"]:
+            raise ValueError(f"table {self.path} is empty")
+        deletes = m.get("deletes") or {}
+        added = m.get("added_columns") or []
+        want = (
+            None
+            if columns is None
+            else list(columns) + ([key] if key not in columns else [])
+        )
+        cols_read, fill_types = self._canonical_layout(m["files"], added, want)
+        files = self.prune_files(m["files"], key, values)
+        value_set = pa.array(sorted(set(values)))
+        parts = []
+        for f in files:
+            t = self._load_file_table(f, deletes.get(f), added, cols_read, fill_types)
+            parts.append(t.filter(pc.is_in(t[key], value_set=value_set)))
+        if not parts:
+            base = pq.ParquetFile(m["files"][0]).schema_arrow.empty_table()
+            t = self._fill_added(base, added, cols_read)
+            for name in cols_read:
+                if name not in t.column_names:
+                    typ = fill_types[name]
+                    t = t.append_column(pa.field(name, typ), pa.nulls(0, typ))
+            parts = [t.select(cols_read)]
+        out = pa.concat_tables(parts, promote_options="default")
+        return out.select(columns) if columns is not None else out
 
     # -- deletion vectors (Lance deletion-file semantics) ------------------
     def delete_where(
@@ -530,7 +592,10 @@ class VersionedTable:
             out = os.path.join(del_dir, f"del-{uuid.uuid4().hex[:12]}.parquet")
             pq.write_table(pa.table({"pos": pa.array(np.sort(pos), pa.int64())}), out)
             deletes[f] = out
-        return self._commit(files, meta or prev.get("meta"), parent, deletes=deletes)
+        return self._commit(
+            files, meta or prev.get("meta"), parent,
+            deletes=deletes, added=prev.get("added_columns") or [],
+        )
 
     def update_where(
         self,
@@ -635,11 +700,20 @@ class VersionedTable:
         # zone-map prune as in delete_where
         candidates = files if values is None else self.prune_files(files, key, values)
 
+        # an update that may rewrite the partition key itself would leave
+        # replacement rows in the wrong hash bucket — only keep the tag
+        # when the update provably cannot touch the key (updater callables
+        # are opaque, so they conservatively untag; the layout then falls
+        # back to the full-overwrite merge path, correct but slower)
+        keeps_partition = self.partition_key is None or (
+            set_values is not None and self.partition_key not in set_values
+        )
+
         def out_name(src: str) -> str:
             # replacement rows stay in their source file's hash partition:
             # carry the part tag so a partitioned layout (and with it the
             # merge_insert partial-rewrite fast path) survives updates
-            p = self._file_part(src)
+            p = self._file_part(src) if keeps_partition else None
             stem = f"part-p{p:04d}-{uuid.uuid4().hex[:8]}" if p is not None else f"upd-{uuid.uuid4().hex[:8]}"
             return os.path.join(txn_dir, f"{stem}.parquet")
 
@@ -665,7 +739,8 @@ class VersionedTable:
             pq.write_table(pa.table({"pos": pa.array(np.sort(pos), pa.int64())}), sidecar)
             deletes[f] = sidecar
         return self._commit(
-            files + sorted(new_parts), meta or prev.get("meta"), parent, deletes=deletes
+            files + sorted(new_parts), meta or prev.get("meta"), parent,
+            deletes=deletes, added=prev.get("added_columns") or [],
         )
 
     def restore(self, version: int, meta: dict | None = None) -> int:
@@ -677,7 +752,8 @@ class VersionedTable:
         if version < 1 or not os.path.exists(self._manifest_path(version)):
             raise ValueError(f"no committed version {version} in {self.path}")
         m = self._load_manifest(version)
-        gone = [f for f in m["files"] if not os.path.exists(f)]
+        referenced = list(m["files"]) + list((m.get("deletes") or {}).values())
+        gone = [f for f in referenced if not os.path.exists(f)]
         if gone:
             raise ValueError(
                 f"version {version} is not restorable: {len(gone)} data "
@@ -722,16 +798,60 @@ class VersionedTable:
         keep[pos[pos < tbl.num_rows]] = False
         return tbl.filter(pa.array(keep))
 
-    def _canonical_columns(
+    def _file_schemas(self, files: list[str]) -> dict[str, list[str]]:
+        """Per-file physical column names, cached like zone maps
+        (a file's schema is immutable, so the cache only extends)."""
+        stats_dir = os.path.join(self.path, "_stats")
+        cache_path = os.path.join(stats_dir, "__schemas__.json")
+        cache: dict[str, list[str]] = {}
+        if os.path.exists(cache_path):
+            with open(cache_path) as fh:
+                cache = json.load(fh)
+        missing = [f for f in files if f not in cache]
+        for f in missing:
+            cache[f] = list(pq.ParquetFile(f).schema_arrow.names)
+        if missing:
+            os.makedirs(stats_dir, exist_ok=True)
+            tmp = cache_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(cache, fh)
+            os.replace(tmp, cache_path)
+        return {f: cache[f] for f in files}
+
+    def _canonical_layout(
         self, files: list[str], added: list[dict], columns: list[str] | None
-    ) -> list[str]:
-        """Stable output column order across physically heterogeneous
-        files: the requested order, or oldest file's schema + added
-        columns at the end."""
-        if columns is not None:
-            return list(columns)
-        names0 = list(pq.ParquetFile(files[0]).schema_arrow.names)
-        return names0 + [a["name"] for a in added if a["name"] not in names0]
+    ) -> tuple[list[str], dict]:
+        """Stable output layout across physically heterogeneous files:
+        (column order, {name: pa type} for columns some file lacks).
+        Order = requested order, or the union of file schemas in
+        first-seen order + manifest-added columns at the end. A column
+        only SOME files carry (appended without ``add_column``) is
+        null-filled for the others — never silently dropped."""
+        schemas = self._file_schemas(files)
+        union: list[str] = []
+        seen: set[str] = set()
+        for f in files:
+            for n in schemas[f]:
+                if n not in seen:
+                    seen.add(n)
+                    union.append(n)
+        added_names = {a["name"] for a in added}
+        canon = (
+            list(columns)
+            if columns is not None
+            else union + [a["name"] for a in added if a["name"] not in seen]
+        )
+        fill_types: dict[str, pa.DataType] = {}
+        for n in canon:
+            if n in added_names:
+                continue  # _fill_added owns these
+            if all(n in schemas[f] for f in files):
+                continue  # physically everywhere — nothing to fill
+            donor = next((f for f in files if n in schemas[f]), None)
+            if donor is None:
+                raise KeyError(f"column {n!r} exists in no file of {self.path}")
+            fill_types[n] = pq.ParquetFile(donor).schema_arrow.field(n).type
+        return canon, fill_types
 
     @classmethod
     def _load_file_table(
@@ -740,14 +860,20 @@ class VersionedTable:
         del_file: str | None,
         added: list[dict],
         canon: list[str],
+        fill_types: dict | None = None,
     ) -> pa.Table:
         """One file → live rows with the canonical columns: prune the
         read to what the file physically has, drop deleted positions,
-        default-fill manifest-added columns, fix the order."""
+        default-fill manifest-added columns, null-fill union columns
+        the file predates, fix the order."""
         avail = set(pq.ParquetFile(path).schema_arrow.names)
         t = pq.read_table(path, columns=[c for c in canon if c in avail])
         t = cls._drop_positions(t, del_file)
         t = cls._fill_added(t, added, canon)
+        for name in canon:
+            if name not in t.column_names:
+                typ = (fill_types or {})[name]
+                t = t.append_column(pa.field(name, typ), pa.nulls(t.num_rows, typ))
         return t.select(canon)
 
     def _read_files_merged(
@@ -760,12 +886,12 @@ class VersionedTable:
         """Per-file load tasks that apply each file's deletion vector and
         schema adds as the rows come off the Parquet reader (one task per
         file — files are partition-sized by construction)."""
-        canon = self._canonical_columns(files, added, columns)
+        canon, fill_types = self._canonical_layout(files, added, columns)
         load_one = self._load_file_table
 
         def load(batch: pa.Table) -> pa.Table:
             out = [
-                load_one(row["file"], row["del_file"], added, canon)
+                load_one(row["file"], row["del_file"], added, canon, fill_types)
                 for row in batch.to_pylist()
             ]
             return pa.concat_tables(out, promote_options="default")
@@ -817,18 +943,28 @@ class VersionedTable:
                 [pq.read_table(f, columns=columns) for f in files],
                 promote_options="default",
             )
-        canon = self._canonical_columns(files, added, columns)
+        canon, fill_types = self._canonical_layout(files, added, columns)
         return pa.concat_tables(
-            [self._load_file_table(f, deletes.get(f), added, canon) for f in files],
+            [
+                self._load_file_table(f, deletes.get(f), added, canon, fill_types)
+                for f in files
+            ],
             promote_options="default",
         )
 
     def count(self, version: int | None = None) -> int:
         """Live row count: file metadata minus deletion-vector sizes —
-        position deletes keep counts exact with zero data reads."""
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows for f in self.files(version)
-        ) - self.deleted_count(version)
+        position deletes keep counts exact with zero data reads.
+        Memoized per version (a committed version never changes)."""
+        v = self.latest_version() if version is None else version
+        cached = self._count_cache.get(v)
+        if cached is not None:
+            return cached
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in self.files(v)
+        ) - self.deleted_count(v)
+        self._count_cache[v] = n
+        return n
 
     # -- maintenance -------------------------------------------------------
     def gc(self, keep_versions: int = 1) -> int:
@@ -854,10 +990,15 @@ class VersionedTable:
                 if root != top and not os.listdir(root):
                     os.rmdir(root)
         # drop zone-map cache entries for files that no longer exist
+        # (and crashed-write .tmp leftovers — gc must never choke on them)
         stats_dir = os.path.join(self.path, "_stats")
         if os.path.isdir(stats_dir):
             for f in os.listdir(stats_dir):
                 p = os.path.join(stats_dir, f)
+                if not f.endswith(".json"):
+                    if ".tmp-" in f:
+                        os.remove(p)
+                    continue
                 with open(p) as fh:
                     cache = json.load(fh)
                 live = {k: v for k, v in cache.items() if os.path.exists(k)}
@@ -967,10 +1108,12 @@ class VersionedTable:
             inc = incoming_tbl.filter(pa.array(parts == p))
             prev_files = by_part.get(p, [])
             if prev_files:
-                canon = self._canonical_columns(prev_files, added, None)
+                canon, fill_types = self._canonical_layout(prev_files, added, None)
                 prev = pa.concat_tables(
                     [
-                        self._load_file_table(f, all_deletes.get(f), added, canon)
+                        self._load_file_table(
+                            f, all_deletes.get(f), added, canon, fill_types
+                        )
                         for f in prev_files
                     ],
                     promote_options="default",
@@ -987,7 +1130,8 @@ class VersionedTable:
             pq.write_table(merged, out, compression="snappy")
             new_files.append(out)
         return self._commit(
-            sorted(new_files), meta, self.latest_version(), deletes=carried_deletes
+            sorted(new_files), meta, self.latest_version(),
+            deletes=carried_deletes, added=manifest.get("added_columns") or [],
         )
 
 

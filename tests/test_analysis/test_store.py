@@ -506,3 +506,99 @@ def test_zone_maps_int_keys_and_update_preserves_partition_layout(tmp_path):
     pt.merge_insert(ti([7, 41], [700, 4100]), key="k")
     got = {r["k"]: r["v"] for r in pt.read_arrow().to_pylist()}
     assert got[7] == 700 and got[23] == -1 and got[41] == 4100 and len(got) == 41
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewHardening:
+    """Regressions from the round-4 self-review: sidecar-aware restore,
+    temporal zone-map keys, heterogeneous-schema union reads,
+    partition-key-rewriting updates, crash-leftover gc hygiene."""
+
+    def test_restore_refuses_when_sidecar_gced(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.delete_where("k", ["b"])          # sidecar d1
+        v_d1 = vt.latest_version()
+        vt.delete_where("k", ["c"])          # union sidecar d2; d1 now stale
+        vt.gc(keep_versions=1)               # removes d1
+        with pytest.raises(ValueError, match="not restorable"):
+            vt.restore(v_d1)
+        # the latest head still reads fine
+        assert vt.read_arrow()["k"].to_pylist() == ["a"]
+
+    def test_temporal_key_zone_maps_never_prune_but_work(self, tmp_path):
+        from datetime import datetime
+
+        vt = VersionedTable(str(tmp_path / "t"))
+        ts = [datetime(2024, 1, d + 1) for d in range(4)]
+        vt.append(pa.table({"ts": pa.array(ts[:2], pa.timestamp("us")), "v": [1, 2]}))
+        vt.append(pa.table({"ts": pa.array(ts[2:], pa.timestamp("us")), "v": [3, 4]}))
+        files = vt.files()
+        # temporal stats are not JSON-round-trippable: no pruning, no crash
+        assert vt.prune_files(files, "ts", [ts[0]]) == files
+        vt.delete_where("ts", [ts[1]])
+        assert sorted(vt.read_arrow()["v"].to_pylist()) == [1, 3, 4]
+        got = vt.read_where_arrow("ts", [ts[2]])
+        assert got["v"].to_pylist() == [3]
+
+    def test_heterogeneous_appends_union_not_dropped(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.append(
+            pa.table({"k": ["c"], "v": pa.array([3], pa.int64()), "extra": ["x"]})
+        )
+        vt.delete_where("k", ["a"])  # forces the merged per-file read path
+        got = vt.read_arrow().sort_by("k")
+        assert got.column_names == ["k", "v", "extra"]
+        assert got["extra"].to_pylist() == [None, "x"]
+        rows = sorted(vt.read().take_all(), key=lambda r: r["k"])
+        assert [r["extra"] for r in rows] == [None, "x"]
+
+    def test_update_rewriting_partition_key_stays_correct(self, tmp_path):
+        def ti(ids, vals):
+            return pa.table(
+                {"k": pa.array(ids, pa.int64()), "v": pa.array(vals, pa.int64())}
+            )
+
+        pt = VersionedTable(
+            str(tmp_path / "p"), partition_key="k", n_parts=4, partition_min_rows=0
+        )
+        pt.overwrite(ti(list(range(20)), list(range(20))))
+        pt.update_where("v", [7], set_values={"k": 99})
+        # rewriting the partition key must drop the part tags (rows would
+        # sit in the wrong hash bucket) → fast-path layout disabled
+        assert pt._partitioned_layout(pt.files()) is None
+        got = {r["k"]: r["v"] for r in pt.read_arrow().to_pylist()}
+        assert got[99] == 7 and 7 not in got
+        # last-wins upsert of the moved key must not duplicate it
+        pt.merge_insert(ti([99], [990]), key="k")
+        ks = pt.read_arrow()["k"].to_pylist()
+        assert ks.count(99) == 1
+        assert {r["k"]: r["v"] for r in pt.read_arrow().to_pylist()}[99] == 990
+
+    def test_gc_survives_crashed_stats_tmp(self, tmp_path):
+        import os as _os
+
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        vt.prune_files(vt.files(), "k", ["a"])  # create _stats
+        stats_dir = tmp_path / "t" / "_stats"
+        (stats_dir / "k.json.tmp-dead").write_text("{trunc")
+        vt.gc(keep_versions=1)  # must not raise
+        assert not _os.path.exists(stats_dir / "k.json.tmp-dead")
+
+    def test_read_where_arrow_matches_dataset_path(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.append(t(["x", "y"], [7, 8]))
+        vt.delete_where("k", ["b"])
+        vt.add_column("score", "int64", default=5)
+        want = sorted(vt.read_where("k", ["a", "y", "zz"]).take_all(),
+                      key=lambda r: r["k"])
+        got = sorted(vt.read_where_arrow("k", ["a", "y", "zz"]).to_pylist(),
+                     key=lambda r: r["k"])
+        assert got == want
+        assert [r["score"] for r in got] == [5, 5]
+        # column subset without the key
+        sub = vt.read_where_arrow("k", ["x"], columns=["v"])
+        assert sub.column_names == ["v"] and sub["v"].to_pylist() == [7]
