@@ -602,3 +602,57 @@ class TestReviewHardening:
         # column subset without the key
         sub = vt.read_where_arrow("k", ["x"], columns=["v"])
         assert sub.column_names == ["v"] and sub["v"].to_pylist() == [7]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_churn_soak(tmp_path):
+    """60 mixed append/update/delete cycles with periodic compact+gc:
+    the table must always equal a driver-side dict oracle, and gc must
+    keep disk bounded (no file leaks across compactions)."""
+    import os as _os
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vt = VersionedTable(str(tmp_path / "t"))
+    expected: dict[str, int] = {}
+    next_id = 0
+
+    def check():
+        got = {r["k"]: r["v"] for r in vt.read_arrow().to_pylist()}
+        assert got == expected
+        assert vt.count() == len(expected)
+
+    for cycle in range(60):
+        op = cycle % 3
+        if op == 0 or not expected:  # append 3 fresh rows
+            ks = [f"r{next_id + i}" for i in range(3)]
+            next_id += 3
+            vs = [int(x) for x in rng.integers(0, 1000, 3)]
+            vt.append(t(ks, vs))
+            expected.update(zip(ks, vs))
+        elif op == 1:  # update one existing row
+            k = sorted(expected)[int(rng.integers(len(expected)))]
+            nv = int(rng.integers(0, 1000))
+            vt.update_where("k", [k], set_values={"v": nv})
+            expected[k] = nv
+        else:  # delete one existing row
+            k = sorted(expected)[int(rng.integers(len(expected)))]
+            vt.delete_where("k", [k])
+            del expected[k]
+        if cycle % 10 == 9:
+            vt.compact(sort_by="k")
+            vt.gc(keep_versions=1)
+            vt.prune_manifests(keep=4)
+            check()
+    check()
+    # disk stays bounded: after a final compact+gc only the live files
+    # (plus their stats caches) remain
+    vt.compact()
+    vt.gc(keep_versions=1)
+    n_parquet = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in _os.walk(tmp_path / "t")
+    )
+    assert n_parquet <= 4  # live data only — no leaked parts or sidecars
+    check()
