@@ -223,6 +223,104 @@ def cmd_probe_cors(args) -> dict:
     return {"url": url, "cors_headers": cors, "allows_any": allow == "*"}
 
 
+def cmd_insert_url(args) -> dict:
+    """reference: cli/catalog.py insert_url_into_catalog — register one
+    URL as a (priority) catalog resource without a full resync. The
+    reference resolves metadata from the data.gouv API; offline, the
+    caller supplies it."""
+    import hashlib
+
+    _ray_init()
+    eng = _engine(args.workdir)
+    rid = args.resource_id or hashlib.md5(args.url.encode()).hexdigest()
+    existed = False
+    if not eng.catalog.is_empty():
+        existing = eng.catalog.read_arrow(columns=["resource_id"])["resource_id"]
+        existed = rid in set(existing.to_pylist())
+    fmt = args.format or (
+        args.url.rsplit(".", 1)[-1].lower() if "." in args.url.rsplit("/", 1)[-1] else ""
+    )
+    eng.insert_priority_resource(
+        {
+            "resource_id": rid,
+            "dataset_id": args.dataset_id,
+            "url": args.url,
+            "format": fmt,
+        }
+    )
+    eng.shutdown()
+    return {"resource_id": rid, "url": args.url, "action": "update" if existed else "insert"}
+
+
+def cmd_download_resource(args) -> dict:
+    """reference: cli/crawl.py download_resource_cli — fetch a catalog
+    resource's bytes to {output_dir}/{resource_id}.{ext}."""
+    import os
+
+    _ray_init()
+    from hydra_ray.pipelines.api import EngineApi
+    from hydra_ray.stages.fetcher import make_transport
+
+    eng = _engine(args.workdir)
+    res = EngineApi(eng).get_resource(args.resource_id)
+    url = res["url"]
+    transport = make_transport(eng.transport)
+    data = transport.body(url, max_bytes=args.max_bytes)
+    ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else "bin"
+    out_dir = args.output_dir or "/tmp"
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{args.resource_id}.{ext}")
+    with open(path, "wb") as f:
+        f.write(data)
+    eng.shutdown()
+    return {"resource_id": args.resource_id, "url": url, "path": path, "bytes": len(data)}
+
+
+def cmd_analyse_ogc(args) -> dict:
+    """reference: cli/analysis.py analyse_ogc_cli — OGC GetCapabilities
+    analysis from a check_id, URL or resource_id (check looked up first,
+    bare URLs analysed directly, same fallback order as the reference)."""
+    _ray_init()
+    from hydra_ray.config import config
+    from hydra_ray.pipelines.api import EngineApi, NotFound
+    from hydra_ray.stages.fetcher import make_transport
+    from hydra_ray.stages.ogc import analyse_ogc
+
+    # reference cli/analysis.py:311: "Temporarily enabling OGC analysis
+    # for CLI" — restored afterwards so long-lived callers keep their
+    # configuration
+    was_enabled = config.OGC_ANALYSIS_ENABLED
+    config.override(OGC_ANALYSIS_ENABLED=True)
+    eng = _engine(args.workdir)
+    check = None
+    if args.check_id is not None or args.resource_id is not None or args.url:
+        try:
+            api = EngineApi(eng)
+            if args.check_id is not None:
+                rows = [
+                    r
+                    for r in api.get_all_checks(
+                        url=args.url, resource_id=args.resource_id
+                    )
+                    if str(r.get("id")) == str(args.check_id)
+                ] if (args.url or args.resource_id) else []
+                check = rows[0] if rows else None
+            if check is None and (args.url or args.resource_id):
+                check = api.get_latest_check(url=args.url, resource_id=args.resource_id)
+        except (NotFound, ValueError):
+            check = None
+    try:
+        if check is None and args.url:
+            check = {"id": None, "url": args.url, "resource_id": None}
+        if check is None:
+            return {"error": "no check found for this resource", "result": None}
+        result = analyse_ogc(dict(check), transport=make_transport(eng.transport))
+        return {"url": check["url"], "result": result}
+    finally:
+        config.override(OGC_ANALYSIS_ENABLED=was_enabled)
+        eng.shutdown()
+
+
 def cmd_find_check(args) -> dict:
     """reference: cli/db.py find_check — checks rows for a URL / resource."""
     _ray_init()
@@ -301,6 +399,18 @@ def build_parser() -> argparse.ArgumentParser:
         (["--resource-id"], {"default": None}))
     add("find-check", cmd_find_check, wd, (["--url"], {"default": None}),
         (["--resource-id"], {"default": None}))
+    add("insert-url-into-catalog", cmd_insert_url, wd,
+        (["--url"], {"required": True}), (["--resource-id"], {"default": None}),
+        (["--dataset-id"], {"default": "cli"}), (["--format"], {"default": None}))
+    add("insert-resource-into-catalog", cmd_insert_url, wd,
+        (["--url"], {"required": True}), (["--resource-id"], {"required": True}),
+        (["--dataset-id"], {"default": "cli"}), (["--format"], {"default": None}))
+    add("download-resource", cmd_download_resource, wd,
+        (["--resource-id"], {"required": True}),
+        (["--output-dir"], {"default": None}),
+        (["--max-bytes"], {"type": int, "default": 100 * 1024 * 1024}))
+    add("analyse-ogc", cmd_analyse_ogc, wd, (["--url"], {"default": None}),
+        (["--resource-id"], {"default": None}), (["--check-id"], {"default": None}))
     add("purge", cmd_purge, wd, (["--keep-versions"], {"type": int, "default": 2}))
     add("purge-documents", cmd_purge_documents, wd,
         (["--resource-id"], {"action": "append", "required": True}))

@@ -78,3 +78,35 @@ def test_cli_analyse_geojson(tmp_path, capsys):
     assert out["n_features"] == 2
     assert out["geometry_types"] == {"Point": 2}
     assert out["bbox"] == [2.0, 48.0, 3.0, 49.0]
+
+
+def test_cli_catalog_insert_download_ogc(tmp_path, capsys, ray_session):
+    """Reference verbs insert-url-into-catalog / download-resource /
+    analyse-ogc over the engine's synthetic web."""
+    cat = tmp_path / "catalog.csv"
+    cat.write_text(CSV)
+    wd = str(tmp_path / "wd")
+    _run(capsys, "load-catalog", "--workdir", wd, "--csv", str(cat))
+
+    out = _run(capsys, "insert-url-into-catalog", "--workdir", wd,
+               "--url", "https://new.example/data.csv", "--resource-id", "r9")
+    assert out == {"resource_id": "r9", "url": "https://new.example/data.csv",
+                   "action": "insert"}
+    out = _run(capsys, "insert-resource-into-catalog", "--workdir", wd,
+               "--url", "https://new.example/data2.csv", "--resource-id", "r9")
+    assert out["action"] == "update"
+
+    out = _run(capsys, "download-resource", "--workdir", wd,
+               "--resource-id", "r1", "--output-dir", str(tmp_path / "dl"))
+    assert out["bytes"] > 0
+    import os
+    assert os.path.exists(out["path"]) and out["path"].endswith("r1.csv")
+    assert os.path.getsize(out["path"]) == out["bytes"]
+
+    out = _run(capsys, "analyse-ogc", "--workdir", wd,
+               "--url", "https://geo.example/wfs?service=WFS&request=GetCapabilities")
+    assert out["result"] is not None
+    assert out["result"]["service_type"] in ("wfs", "WFS") or out["result"].get("layers")
+
+    out = _run(capsys, "analyse-ogc", "--workdir", wd, "--resource-id", "does-not-exist")
+    assert out["result"] is None
