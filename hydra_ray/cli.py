@@ -382,6 +382,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("crawl", cmd_crawl, wd, (["--iterations"], {"type": int, "default": 1}),
         (["--batch-size"], {"type": int, "default": None}))
     add("check-resource", cmd_check_resource, wd, (["--resource-id"], {"required": True}))
+    # reference cli/analysis.py analyse-resource: re-run fetch+analysis
+    # for one resource — same one-shot path as check-resource here
+    add("analyse-resource", cmd_check_resource, wd, (["--resource-id"], {"required": True}))
     add("crawl-url", cmd_crawl_url, wd, (["--url"], {"required": True}),
         (["--resource-id"], {"default": None}), (["--dataset-id"], {"default": "cli"}))
     add("analyse-csv", cmd_analyse_csv, (["--file"], {"required": True}),

@@ -110,3 +110,12 @@ def test_cli_catalog_insert_download_ogc(tmp_path, capsys, ray_session):
 
     out = _run(capsys, "analyse-ogc", "--workdir", wd, "--resource-id", "does-not-exist")
     assert out["result"] is None
+
+
+def test_cli_analyse_resource_alias(tmp_path, capsys, ray_session):
+    cat = tmp_path / "catalog.csv"
+    cat.write_text(CSV)
+    wd = str(tmp_path / "wd")
+    _run(capsys, "load-catalog", "--workdir", wd, "--csv", str(cat))
+    out = _run(capsys, "analyse-resource", "--workdir", wd, "--resource-id", "r1")
+    assert out.get("resource_id") == "r1" and out.get("status") is not None
