@@ -828,6 +828,7 @@ class VersionedTable:
         only SOME files carry (appended without ``add_column``) is
         null-filled for the others — never silently dropped."""
         schemas = self._file_schemas(files)
+        name_sets = {f: set(ns) for f, ns in schemas.items()}
         union: list[str] = []
         seen: set[str] = set()
         for f in files:
@@ -841,13 +842,12 @@ class VersionedTable:
             if columns is not None
             else union + [a["name"] for a in added if a["name"] not in seen]
         )
+        universal = set.intersection(*name_sets.values()) if name_sets else set()
         fill_types: dict[str, pa.DataType] = {}
         for n in canon:
-            if n in added_names:
-                continue  # _fill_added owns these
-            if all(n in schemas[f] for f in files):
-                continue  # physically everywhere — nothing to fill
-            donor = next((f for f in files if n in schemas[f]), None)
+            if n in added_names or n in universal:
+                continue  # _fill_added owns adds; universal needs no fill
+            donor = next((f for f in files if n in name_sets[f]), None)
             if donor is None:
                 raise KeyError(f"column {n!r} exists in no file of {self.path}")
             fill_types[n] = pq.ParquetFile(donor).schema_arrow.field(n).type
