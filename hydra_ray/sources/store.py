@@ -11,18 +11,31 @@ available in this environment, so this module provides the same
 - every ``append``/``overwrite`` is a new immutable version (atomic
   manifest rename), so readers never see partial writes and a crashed
   run resumes from the last committed version — this is the
-  per-partition checkpoint mechanism;
+  per-partition checkpoint mechanism; ``lineage()`` exposes the
+  version/parent/meta ancestry, ``restore(version)`` rolls back as a
+  new commit, and old versions stay readable (time travel) until
+  ``gc()`` reclaims them;
 - ``read()`` returns a lazy ``ray.data.Dataset`` over the manifest's
   files (never materializes);
 - ``merge_insert`` implements last-wins upsert by key, the Lance
   ``merge_insert`` / reference ``ON CONFLICT DO UPDATE`` equivalent
-  (udata_hydra/db/resource.py:64-79);
+  (udata_hydra/db/resource.py:64-79); with ``partition_key`` set the
+  layout is hash-bucketed and an upsert rewrites only touched buckets;
 - ``delete_where`` implements Lance deletion-file semantics: row
   deletes are POSITION vectors in per-data-file sidecar files, applied
   merge-on-read by every reader — no data file is rewritten at delete
   time, a delete at 10^10-row scale costs O(matching files' key
-  columns) read + O(deleted positions) write. ``compact()``
-  materializes the deletes away.
+  columns) read + O(deleted positions) write; ``update_where`` is the
+  merge-on-read UPDATE (deletion vector + replacement parts appended
+  in ONE commit, written inside Ray tasks); ``compact()`` materializes
+  the churn away (``sort_by=`` clusters the rewrite);
+- per-file footer min/max zone maps (cached under ``_stats/``) let
+  ``delete_where``/``update_where``/``read_where``/``read_where_arrow``
+  prune to the files whose key range can match — the Lance
+  scalar-index analog;
+- ``add_column`` records schema evolution in the manifest: readers
+  default-fill the column merge-on-read for files predating the add,
+  time travel and restore keep the pre-add schema.
 
 Swapping the physical layer for real Lance on a cluster is a local
 change confined to this module.

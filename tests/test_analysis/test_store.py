@@ -656,3 +656,88 @@ def test_store_churn_soak(tmp_path):
     )
     assert n_parquet <= 4  # live data only — no leaked parts or sidecars
     check()
+
+
+# ---------------------------------------------------------------------------
+# property-based: random op sequences vs a dict oracle (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "update", "delete", "add_col", "compact", "restore"]),
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_store_random_op_sequences_match_dict_oracle(tmp_path_factory, ops):
+    """Any sequence of append/update/delete/add_column/compact/restore
+    leaves the table equal to a plain-dict model; restore rewinds the
+    model to the chosen snapshot."""
+    tmp_path = tmp_path_factory.mktemp("vt")
+    vt = VersionedTable(str(tmp_path / "t"))
+    model: dict[str, dict] = {}
+    cols: dict[str, int] = {}  # added column -> default
+    snapshots: dict[int, tuple[dict, dict]] = {}
+    next_id = 0
+
+    def rows_for(keys, seed):
+        out = {"k": list(keys), "v": pa.array([seed % 997] * len(keys), pa.int64())}
+        for c, d in cols.items():
+            out[c] = pa.array([seed % 53] * len(keys), pa.int64())
+        return pa.table(out)
+
+    for op, seed in ops:
+        if op == "append" or not model:
+            keys = [f"r{next_id + i}" for i in range(2)]
+            next_id += 2
+            vt.append(rows_for(keys, seed))
+            for k in keys:
+                model[k] = {"v": seed % 997, **{c: seed % 53 for c in cols}}
+        elif op == "update":
+            k = sorted(model)[seed % len(model)]
+            vt.update_where("k", [k], set_values={"v": seed % 101})
+            model[k]["v"] = seed % 101
+        elif op == "delete":
+            k = sorted(model)[seed % len(model)]
+            vt.delete_where("k", [k])
+            del model[k]
+        elif op == "add_col":
+            name = f"c{len(cols)}"
+            vt.add_column(name, "int64", default=seed % 7)
+            cols[name] = seed % 7
+            for r in model.values():
+                r[name] = seed % 7
+        elif op == "compact":
+            vt.compact(sort_by="k")
+        elif op == "restore":
+            if snapshots:
+                v = sorted(snapshots)[seed % len(snapshots)]
+                vt.restore(v)
+                m, c = snapshots[v]
+                model = {k: dict(r) for k, r in m.items()}
+                cols = dict(c)
+        snapshots[vt.latest_version()] = (
+            {k: dict(r) for k, r in model.items()},
+            dict(cols),
+        )
+
+    got = {
+        r["k"]: {c: r[c] for c in r if c != "k"}
+        for r in vt.read_arrow().to_pylist()
+    }
+    want = {k: {"v": r["v"], **{c: r.get(c) for c in cols}} for k, r in model.items()}
+    assert got == want
+    assert vt.count() == len(model)
