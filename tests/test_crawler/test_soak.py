@@ -232,3 +232,60 @@ def test_500_iteration_soak_with_compaction(tmp_path, make_crawl_engine):
     # stays under 256 MiB (ru_maxrss is KiB on linux)
     assert rss_end - rss_warm < 256 * 1024, (rss_warm, rss_end)
     eng2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_continuous_soak_with_resource_deletion_and_purge(tmp_path, make_crawl_engine):
+    """The reference's full resource-deletion lifecycle under churn:
+    crawl → DELETE /api/resources (tombstone) → purge-documents
+    (deletion-vector commit, no rewrite) → more crawling → compaction
+    + gc → resume. Purged docs never resurface (tombstoned resources
+    leave the frontier), reads stay consistent, disk stays bounded."""
+    import os
+
+    from hydra_ray.pipelines.api import EngineApi
+
+    docs = pa.table({"doc_id": pa.array(np.arange(80), type=pa.int64())})
+    kw = dict(
+        batch_size=40,
+        actor_pools=False,
+        politeness_kwargs={"backoff_nb_req": 10**9},
+    )
+    wd = str(tmp_path / "wd")
+    eng = make_crawl_engine(wd, **kw)
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run_continuous(iterations=40, gc_every=10, compact_every=20)
+
+    # only parseable (CSV-shaped) resources yield span documents in the
+    # synthetic web — work with whatever the crawl produced
+    live = sorted(eng.read_documents()["doc_id"].to_pylist())
+    assert len(live) >= 16
+    victims = live[:8]
+    survivors = set(live) - set(victims)
+    api = EngineApi(eng)
+    for rid in victims:
+        api.delete_resource(rid)          # tombstone: leaves the frontier
+    out = eng.purge_documents(victims)    # deletion-vector commit
+    assert out["deleted_rows"] >= 8
+    after_purge = set(eng.read_documents()["doc_id"].to_pylist())
+    assert after_purge == survivors
+
+    # more churn: re-checks may add docs for OTHER resources, but a
+    # tombstoned resource never resurfaces
+    eng.run_continuous(iterations=40, gc_every=10, compact_every=20)
+    final = set(eng.read_documents()["doc_id"].to_pylist())
+    assert final.isdisjoint(victims) and final >= survivors
+
+    # compaction materializes the purge away; gc reclaims sidecars
+    eng.compact_documents()
+    eng.gc()
+    assert eng.documents.deleted_count() == 0
+    del_dir = os.path.join(eng.documents.path, "deletes")
+    assert not os.path.isdir(del_dir) or not os.listdir(del_dir)
+    eng.shutdown()
+
+    # resume sees the purged state
+    eng2 = make_crawl_engine(wd, **kw)
+    got = set(eng2.read_documents()["doc_id"].to_pylist())
+    assert got == final
+    eng2.shutdown()
