@@ -368,6 +368,28 @@ class VersionedTable:
     def added_columns(self, version: int | None = None) -> list[dict]:
         return self._load_manifest(version).get("added_columns") or []
 
+    def schema(self, version: int | None = None) -> pa.Schema:
+        """The table's logical Arrow schema at ``version``: the union of
+        the physical file schemas (first-seen order) plus manifest-added
+        columns — exactly the column set every read path emits. Footer
+        metadata only; no data reads."""
+        m = self._load_manifest(version)
+        if not m["files"]:
+            raise ValueError(f"table {self.path} is empty")
+        added = m.get("added_columns") or []
+        canon, fill_types = self._canonical_layout(m["files"], added, None)
+        added_types = {a["name"]: self._parse_add_type(a["type"]) for a in added}
+        base = pq.ParquetFile(m["files"][0]).schema_arrow
+        fields = []
+        for n in canon:
+            if n in fill_types:
+                fields.append(pa.field(n, fill_types[n]))
+            elif base.get_field_index(n) >= 0:
+                fields.append(base.field(n))
+            else:
+                fields.append(pa.field(n, added_types[n]))
+        return pa.schema(fields)
+
     # -- zone maps (Lance scalar-index analog) -----------------------------
     def file_key_ranges(self, files: list[str], key: str) -> dict[str, tuple | None]:
         """Per-file (min, max) of ``key`` from the Parquet footers'

@@ -741,3 +741,21 @@ def test_store_random_op_sequences_match_dict_oracle(tmp_path_factory, ops):
     want = {k: {"v": r["v"], **{c: r.get(c) for c in cols}} for k, r in model.items()}
     assert got == want
     assert vt.count() == len(model)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_reflects_union_and_evolution(tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(t(["a"], [1]))
+    v1 = vt.latest_version()
+    assert vt.schema().names == ["k", "v"]
+    vt.append(pa.table({"k": ["b"], "v": pa.array([2], pa.int64()), "extra": [1.5]}))
+    vt.add_column("score", "int64", default=0)
+    sch = vt.schema()
+    assert sch.names == ["k", "v", "extra", "score"]
+    assert sch.field("extra").type == pa.float64()
+    assert sch.field("score").type == pa.int64()
+    # matches what reads actually emit
+    assert vt.read_arrow().column_names == sch.names
+    # time travel
+    assert vt.schema(version=v1).names == ["k", "v"]
