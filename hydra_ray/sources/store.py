@@ -143,14 +143,42 @@ class VersionedTable:
         parent: int,
         deletes: dict[str, str] | None = None,
         added: list[dict] | None = None,
+        eq_deletes: list[dict] | None = None,
+        file_versions: dict | None = None,
     ) -> int:
         version = parent + 1
         # deletion vectors only make sense for files the version references
         deletes = {f: d for f, d in (deletes or {}).items() if f in set(files)}
+        prev = None
         if added is None:
             # schema adds are table state: carried forward automatically
             # (readers default-fill files predating each add)
-            added = self._load_manifest(parent).get("added_columns") or []
+            prev = self._load_manifest(parent)
+            added = prev.get("added_columns") or []
+        if eq_deletes is None:
+            # pending equality deletes carry forward too (overwrite/
+            # compact pass [] explicitly — their data already excludes
+            # the matched rows)
+            prev = prev if prev is not None else self._load_manifest(parent)
+            eq_deletes = prev.get("eq_deletes") or []
+        # per-file commit version (the Iceberg sequence number): an
+        # equality delete applies only to files committed strictly
+        # before it, so a later upsert of the same key stays visible
+        prev = prev if prev is not None else self._load_manifest(parent)
+        if file_versions is None:
+            file_versions = {
+                f: v
+                for f, v in (prev.get("file_versions") or {}).items()
+                if f in set(files)
+            }
+        else:
+            file_versions = {f: v for f, v in file_versions.items() if f in set(files)}
+        prev_files = set(prev.get("files") or [])
+        for f in files:
+            if f not in file_versions:
+                # carried from an older (pre-feature) manifest → at least
+                # as old as the parent; genuinely new → this commit
+                file_versions[f] = parent if f in prev_files else version
         manifest = {
             "version": version,
             "parent": parent,
@@ -158,6 +186,8 @@ class VersionedTable:
             "meta": meta or {},
             "deletes": deletes,
             "added_columns": added,
+            "eq_deletes": eq_deletes,
+            "file_versions": file_versions,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -217,7 +247,9 @@ class VersionedTable:
             files = self._write_partitioned(data)
         else:
             files = self._write_data(data)
-        return self._commit(files, meta, parent)
+        # a wholesale rewrite voids pending equality deletes: callers
+        # built `data` from reads that already applied them
+        return self._commit(files, meta, parent, eq_deletes=[])
 
     # -- hash-partitioned layout ------------------------------------------
     _PART_RE = None  # compiled lazily
@@ -476,6 +508,7 @@ class VersionedTable:
         files = self.prune_files(m["files"], key, values)
         deletes = m.get("deletes") or {}
         added = m.get("added_columns") or []
+        eq = m.get("eq_deletes") or []
         value_set = pa.array(sorted(set(values)))
         cols_read = (
             columns if columns is None or key in columns else list(columns) + [key]
@@ -501,8 +534,10 @@ class VersionedTable:
                         pa.field(name, typ), pa.nulls(0, typ)
                     )
             return rd.from_arrow(empty.select(canon))
-        if deletes or added:
-            ds = self._read_files_merged(files, deletes, added, cols_read)
+        if deletes or added or eq:
+            ds = self._read_files_merged(
+                files, deletes, added, cols_read, eq, m.get("file_versions")
+            )
         else:
             ds = rd.read_parquet(files, columns=cols_read)
         return ds.map_batches(only_matching, batch_format="pyarrow")
@@ -528,10 +563,15 @@ class VersionedTable:
         )
         cols_read, fill_types = self._canonical_layout(m["files"], added, want)
         files = self.prune_files(m["files"], key, values)
+        eq = m.get("eq_deletes") or []
+        fv = m.get("file_versions") or {}
         value_set = pa.array(sorted(set(values)))
         parts = []
         for f in files:
-            t = self._load_file_table(f, deletes.get(f), added, cols_read, fill_types)
+            t = self._load_file_table(
+                f, deletes.get(f), added, cols_read, fill_types,
+                self._eq_entries_for(eq, fv.get(f, 0)),
+            )
             parts.append(t.filter(pc.is_in(t[key], value_set=value_set)))
         if not parts:
             base = pq.ParquetFile(m["files"][0]).schema_arrow.empty_table()
@@ -544,6 +584,38 @@ class VersionedTable:
         out = pa.concat_tables(parts, promote_options="default")
         return out.select(columns) if columns is not None else out
 
+    # -- equality deletes (Iceberg-style deferred deletes) -----------------
+    def pending_eq_deletes(self, version: int | None = None) -> list[dict]:
+        return self._load_manifest(version).get("eq_deletes") or []
+
+    @staticmethod
+    def _eq_entries_for(
+        entries: list[dict], file_version: int
+    ) -> list[dict]:
+        """Entries applicable to a file committed at ``file_version`` —
+        strictly older files only (the Iceberg sequence-number rule), so
+        rows upserted AFTER the delete stay visible."""
+        return [e for e in entries if file_version < e["at_version"]]
+
+    @staticmethod
+    def _apply_eq(tbl: pa.Table, entries: list[dict]) -> pa.Table:
+        if not entries:
+            return tbl
+        import pyarrow.compute as pc
+
+        mask = None
+        for e in entries:
+            if e["key"] not in tbl.column_names:
+                continue  # column absent from this projection's source
+            m = pc.is_in(
+                tbl[e["key"]],
+                value_set=pa.array(e["values"]).cast(tbl[e["key"]].type),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        if mask is None:
+            return tbl
+        return tbl.filter(pc.invert(pc.fill_null(mask, False)))
+
     # -- deletion vectors (Lance deletion-file semantics) ------------------
     def delete_where(
         self,
@@ -552,6 +624,7 @@ class VersionedTable:
         *,
         predicate=None,
         predicate_columns: list[str] | None = None,
+        defer: bool = False,
         meta: dict | None = None,
     ) -> int:
         """Merge-on-read row deletes: mark rows for deletion WITHOUT
@@ -569,6 +642,15 @@ class VersionedTable:
         runs as parallel Ray tasks, so delete cost at any table size is
         O(matched files' pruned columns), never O(table rewrite).
 
+        ``defer=True`` (values path only) commits an Iceberg-style
+        EQUALITY delete instead: an O(1) manifest entry, no file probed
+        at delete time. Every reader excludes matching rows from files
+        committed strictly before the entry (per-file commit versions =
+        sequence numbers), so a later upsert of the same key is
+        visible. ``compact()``/``overwrite`` materialize pending
+        entries away; ``count()`` stays exact by resolving applicable
+        entries against zone-map-pruned key columns.
+
         Returns the new version (a version is committed even when
         nothing matched — the delete intent is part of lineage)."""
         import numpy as np
@@ -576,6 +658,28 @@ class VersionedTable:
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         files = prev["files"]
+        if defer:
+            if values is None:
+                raise ValueError("defer=True requires values (equality delete)")
+            if not files:
+                raise ValueError(f"table {self.path} is empty")
+            vals = sorted(set(values))
+            for v in vals:
+                if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                    raise ValueError(
+                        "equality-delete values must be int/float/str "
+                        f"(got {type(v).__name__})"
+                    )
+            entries = list(prev.get("eq_deletes") or [])
+            entries.append({"key": key, "values": vals, "at_version": parent + 1})
+            return self._commit(
+                files,
+                meta or prev.get("meta"),
+                parent,
+                deletes=prev.get("deletes"),
+                added=prev.get("added_columns") or [],
+                eq_deletes=entries,
+            )
         if not files:
             raise ValueError(f"table {self.path} is empty")
         if (values is None) == (predicate is None):
@@ -706,17 +810,23 @@ class VersionedTable:
 
         added_specs = prev.get("added_columns") or []
         fill = self._fill_added
+        eq_all = prev.get("eq_deletes") or []
+        fv = prev.get("file_versions") or {}
+        eq_for = self._eq_entries_for
 
         @ray.remote
-        def process(path: str, del_file: str | None, out_path: str):
+        def process(path: str, del_file: str | None, out_path: str, ents: list):
             import pyarrow.compute as pc
 
             # pruned probe first: unmatched files never read full columns
             avail = set(pq.ParquetFile(path).schema_arrow.names)
+            need = None
+            if cols is not None:
+                need = list(dict.fromkeys(list(cols) + [e["key"] for e in ents]))
             probe = pq.read_table(
-                path, columns=None if cols is None else [c for c in cols if c in avail]
+                path, columns=None if need is None else [c for c in need if c in avail]
             )
-            probe = fill(probe, added_specs, cols)
+            probe = fill(probe, added_specs, need)
             m = match(probe)
             if isinstance(m, (pa.Array, pa.ChunkedArray)):
                 m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
@@ -724,6 +834,17 @@ class VersionedTable:
             if del_file is not None:
                 dead = pq.read_table(del_file)["pos"].to_numpy()
                 m[dead[dead < len(m)]] = False  # never update a deleted row
+            for e in ents:
+                # rows dead under a pending equality delete must not be
+                # resurrected through a replacement part (which, being
+                # newer, escapes the entry's sequence number)
+                if e["key"] not in probe.column_names:
+                    continue
+                em = pc.is_in(
+                    probe[e["key"]],
+                    value_set=pa.array(e["values"]).cast(probe[e["key"]].type),
+                )
+                m &= ~pc.fill_null(em, False).to_numpy(zero_copy_only=False)
             pos = np.flatnonzero(m).astype(np.int64)
             if len(pos) == 0:
                 return None
@@ -755,7 +876,9 @@ class VersionedTable:
         out_paths = [out_name(f) for f in candidates]
         hit_lists = ray.get(
             [
-                process.remote(f, prev_deletes.get(f), out)
+                process.remote(
+                    f, prev_deletes.get(f), out, eq_for(eq_all, fv.get(f, 0))
+                )
                 for f, out in zip(candidates, out_paths)
             ]
         )
@@ -801,6 +924,8 @@ class VersionedTable:
             self.latest_version(),
             deletes=m.get("deletes"),
             added=m.get("added_columns") or [],
+            eq_deletes=m.get("eq_deletes") or [],
+            file_versions=m.get("file_versions") or {},
         )
 
     def deleted_count(self, version: int | None = None) -> int:
@@ -896,15 +1021,24 @@ class VersionedTable:
         added: list[dict],
         canon: list[str],
         fill_types: dict | None = None,
+        eq_entries: list[dict] | None = None,
     ) -> pa.Table:
         """One file → live rows with the canonical columns: prune the
         read to what the file physically has, drop deleted positions,
-        default-fill manifest-added columns, null-fill union columns
-        the file predates, fix the order."""
+        apply this file's equality-delete entries, default-fill
+        manifest-added columns, null-fill union columns the file
+        predates, fix the order."""
         avail = set(pq.ParquetFile(path).schema_arrow.names)
-        t = pq.read_table(path, columns=[c for c in canon if c in avail])
+        want = set(canon)
+        for e in eq_entries or []:
+            want.add(e["key"])  # the filter key must be read even if unprojected
+        read_cols = [c for c in canon if c in avail] + sorted(
+            (want - set(canon)) & avail
+        )
+        t = pq.read_table(path, columns=read_cols)
         t = cls._drop_positions(t, del_file)
-        t = cls._fill_added(t, added, canon)
+        t = cls._fill_added(t, added, sorted(want))
+        t = cls._apply_eq(t, eq_entries or [])
         for name in canon:
             if name not in t.column_names:
                 typ = (fill_types or {})[name]
@@ -917,16 +1051,25 @@ class VersionedTable:
         deletes: dict[str, str],
         added: list[dict],
         columns: list[str] | None,
+        eq_deletes: list[dict] | None = None,
+        file_versions: dict | None = None,
     ) -> "rd.Dataset":
-        """Per-file load tasks that apply each file's deletion vector and
-        schema adds as the rows come off the Parquet reader (one task per
-        file — files are partition-sized by construction)."""
+        """Per-file load tasks that apply each file's deletion vector,
+        equality-delete entries and schema adds as the rows come off the
+        Parquet reader (one task per file — files are partition-sized by
+        construction)."""
         canon, fill_types = self._canonical_layout(files, added, columns)
         load_one = self._load_file_table
+        eq = eq_deletes or []
+        fv = file_versions or {}
+        eq_for = self._eq_entries_for
 
         def load(batch: pa.Table) -> pa.Table:
             out = [
-                load_one(row["file"], row["del_file"], added, canon, fill_types)
+                load_one(
+                    row["file"], row["del_file"], added, canon, fill_types,
+                    eq_for(eq, fv.get(row["file"], 0)),
+                )
                 for row in batch.to_pylist()
             ]
             return pa.concat_tables(out, promote_options="default")
@@ -961,8 +1104,11 @@ class VersionedTable:
             raise ValueError(f"table {self.path} is empty")
         deletes = m.get("deletes") or {}
         added = m.get("added_columns") or []
-        if deletes or added:
-            return self._read_files_merged(files, deletes, added, columns)
+        eq = m.get("eq_deletes") or []
+        if deletes or added or eq:
+            return self._read_files_merged(
+                files, deletes, added, columns, eq, m.get("file_versions")
+            )
         return rd.read_parquet(files, columns=columns, **kwargs)
 
     def read_arrow(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:
@@ -973,15 +1119,20 @@ class VersionedTable:
             raise ValueError(f"table {self.path} is empty")
         deletes = m.get("deletes") or {}
         added = m.get("added_columns") or []
-        if not deletes and not added:
+        eq = m.get("eq_deletes") or []
+        if not deletes and not added and not eq:
             return pa.concat_tables(
                 [pq.read_table(f, columns=columns) for f in files],
                 promote_options="default",
             )
+        fv = m.get("file_versions") or {}
         canon, fill_types = self._canonical_layout(files, added, columns)
         return pa.concat_tables(
             [
-                self._load_file_table(f, deletes.get(f), added, canon, fill_types)
+                self._load_file_table(
+                    f, deletes.get(f), added, canon, fill_types,
+                    self._eq_entries_for(eq, fv.get(f, 0)),
+                )
                 for f in files
             ],
             promote_options="default",
@@ -989,15 +1140,49 @@ class VersionedTable:
 
     def count(self, version: int | None = None) -> int:
         """Live row count: file metadata minus deletion-vector sizes —
-        position deletes keep counts exact with zero data reads.
+        position deletes keep counts exact with zero data reads. With
+        pending equality deletes, the files each entry can touch (zone-
+        map pruned, strictly-older sequence numbers only) resolve their
+        key columns; everything else stays metadata-only — still exact.
         Memoized per version (a committed version never changes)."""
         v = self.latest_version() if version is None else version
         cached = self._count_cache.get(v)
         if cached is not None:
             return cached
-        n = sum(
-            pq.ParquetFile(f).metadata.num_rows for f in self.files(v)
-        ) - self.deleted_count(v)
+        m = self._load_manifest(v)
+        eq = m.get("eq_deletes") or []
+        if not eq:
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in m["files"]
+            ) - self.deleted_count(v)
+        else:
+            deletes = m.get("deletes") or {}
+            added = m.get("added_columns") or []
+            fv = m.get("file_versions") or {}
+            n = 0
+            added_names = {a["name"] for a in added}
+            for f in m["files"]:
+                ents = self._eq_entries_for(eq, fv.get(f, 0))
+                present = set(self._file_schemas([f])[f]) | added_names
+                ents = [
+                    e
+                    for e in ents
+                    # a key absent from the file is NULL → never matches
+                    if e["key"] in present
+                    and self.prune_files([f], e["key"], e["values"])
+                ]
+                if not ents:
+                    rows = pq.ParquetFile(f).metadata.num_rows
+                    d = deletes.get(f)
+                    if d is not None:
+                        rows -= pq.ParquetFile(d).metadata.num_rows
+                    n += rows
+                else:
+                    keys = sorted({e["key"] for e in ents})
+                    _, fill_types = self._canonical_layout([f], added, keys)
+                    n += self._load_file_table(
+                        f, deletes.get(f), added, keys, fill_types, ents
+                    ).num_rows
         self._count_cache[v] = n
         return n
 
@@ -1133,6 +1318,8 @@ class VersionedTable:
         manifest = self._load_manifest()
         all_deletes = manifest.get("deletes") or {}
         added = manifest.get("added_columns") or []
+        eq = manifest.get("eq_deletes") or []
+        fv = manifest.get("file_versions") or {}
         new_files: list[str] = []
         carried_deletes: dict[str, str] = {}
         for p, fs in by_part.items():
@@ -1147,7 +1334,8 @@ class VersionedTable:
                 prev = pa.concat_tables(
                     [
                         self._load_file_table(
-                            f, all_deletes.get(f), added, canon, fill_types
+                            f, all_deletes.get(f), added, canon, fill_types,
+                            self._eq_entries_for(eq, fv.get(f, 0)),
                         )
                         for f in prev_files
                     ],

@@ -759,3 +759,116 @@ def test_schema_reflects_union_and_evolution(tmp_path):
     assert vt.read_arrow().column_names == sch.names
     # time travel
     assert vt.schema(version=v1).names == ["k", "v"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEqualityDeletes:
+    """Iceberg-style deferred equality deletes: an O(1) manifest commit
+    (no file probed), applied by every reader to files committed
+    strictly BEFORE the entry (per-file sequence numbers), so later
+    upserts of the same key stay visible; compaction resolves them."""
+
+    def test_o1_commit_and_all_read_paths(self, tmp_path):
+        import os as _os
+
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.append(t(["d"], [4]))
+        files_before = list(vt.files())
+        vt.delete_where("k", ["b", "d"], defer=True)
+        # nothing probed or written besides the manifest
+        assert vt.files() == files_before
+        assert vt.deleted_count() == 0  # no position sidecars
+        assert not _os.path.isdir(tmp_path / "t" / "deletes")
+        assert len(vt.pending_eq_deletes()) == 1
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "c"]
+        assert sorted(r["k"] for r in vt.read().take_all()) == ["a", "c"]
+        assert vt.count() == 2  # exact under pending entries
+        assert vt.read_where_arrow("k", ["b", "c"])["k"].to_pylist() == ["c"]
+        assert [r["k"] for r in vt.read_where("k", ["b", "c"]).take_all()] == ["c"]
+
+    def test_sequence_rule_later_rows_survive(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.delete_where("k", ["b"], defer=True)
+        vt.append(t(["b"], [20]))  # newer file: entry must not touch it
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "b"]
+        assert got["v"].to_pylist() == [1, 20]
+        assert vt.count() == 2
+
+    def test_upsert_after_eq_delete_visible(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.overwrite(t(["a", "b"], [1, 2]))
+        vt.delete_where("k", ["a"], defer=True)
+        vt.merge_insert(t(["a"], [100]), key="k")
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["a", "b"]
+        assert got["v"].to_pylist() == [100, 2]
+
+    def test_partitioned_upsert_keeps_entries_for_untouched_files(self, tmp_path):
+        def ti(ids, vals):
+            return pa.table(
+                {"k": pa.array(ids, pa.int64()), "v": pa.array(vals, pa.int64())}
+            )
+
+        pt = VersionedTable(
+            str(tmp_path / "p"), partition_key="k", n_parts=4, partition_min_rows=0
+        )
+        pt.overwrite(ti(list(range(20)), list(range(20))))
+        pt.delete_where("k", [3, 7], defer=True)
+        assert pt.count() == 18
+        pt.merge_insert(ti([7], [700]), key="k")  # re-insert one deleted key
+        got = {r["k"]: r["v"] for r in pt.read_arrow().to_pylist()}
+        assert 3 not in got and got[7] == 700 and len(got) == 19
+
+    def test_update_never_resurrects_eq_deleted_rows(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.delete_where("k", ["a"], defer=True)
+        vt.update_where("k", ["a", "b"], set_values={"v": 9})
+        got = vt.read_arrow().sort_by("k")
+        assert got["k"].to_pylist() == ["b"] and got["v"].to_pylist() == [9]
+
+    def test_compact_resolves_pending_entries(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b", "c"], [1, 2, 3]))
+        vt.delete_where("k", ["b"])            # position delete
+        vt.delete_where("k", ["c"], defer=True)  # equality delete
+        assert vt.count() == 1
+        vt.compact()
+        assert vt.pending_eq_deletes() == [] and vt.deleted_count() == 0
+        assert vt.read_arrow()["k"].to_pylist() == ["a"]
+        assert vt.count() == 1
+
+    def test_time_travel_and_restore_around_eq_delete(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        v1 = vt.latest_version()
+        vt.delete_where("k", ["a"], defer=True)
+        assert vt.read_arrow(version=v1).sort_by("k")["k"].to_pylist() == ["a", "b"]
+        assert vt.count(version=v1) == 2
+        vt.restore(v1)
+        assert vt.read_arrow().sort_by("k")["k"].to_pylist() == ["a", "b"]
+        assert vt.pending_eq_deletes() == []
+
+    def test_eq_delete_on_added_column(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.add_column("tag", "string", default="old")
+        vt.delete_where("tag", ["old"], defer=True)
+        vt.append(
+            pa.table({"k": ["c"], "v": pa.array([3], pa.int64()), "tag": ["old"]})
+        )  # newer file: survives despite matching value
+        got = vt.read_arrow()
+        assert got["k"].to_pylist() == ["c"]
+        assert vt.count() == 1
+
+    def test_validation(self, tmp_path):
+        vt = VersionedTable(str(tmp_path / "t"))
+        vt.append(t(["a"], [1]))
+        with pytest.raises(ValueError, match="requires values"):
+            vt.delete_where("k", predicate=lambda tb: None, defer=True)
+        with pytest.raises(ValueError, match="int/float/str"):
+            vt.delete_where("k", [("tuple",)], defer=True)
