@@ -346,10 +346,11 @@ def cmd_purge(args) -> dict:
 def cmd_purge_documents(args) -> dict:
     """reference: cli/purge.py drop-data-of-deleted-resources — here a
     deletion-vector commit on the documents table (no rewrite); the
-    next `purge` (gc) after compaction reclaims the bytes."""
+    next `purge` (gc) after compaction reclaims the bytes. --defer
+    downgrades to an O(1) equality-delete commit (bulk-purge path)."""
     _ray_init()
     eng = _engine(args.workdir)
-    out = eng.purge_documents(args.resource_id)
+    out = eng.purge_documents(args.resource_id, defer=args.defer)
     eng.shutdown()
     return out
 
@@ -416,7 +417,8 @@ def build_parser() -> argparse.ArgumentParser:
         (["--resource-id"], {"default": None}), (["--check-id"], {"default": None}))
     add("purge", cmd_purge, wd, (["--keep-versions"], {"type": int, "default": 2}))
     add("purge-documents", cmd_purge_documents, wd,
-        (["--resource-id"], {"action": "append", "required": True}))
+        (["--resource-id"], {"action": "append", "required": True}),
+        (["--defer"], {"action": "store_true", "default": False}))
     add("status", cmd_status, wd)
     return p
 

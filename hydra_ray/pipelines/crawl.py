@@ -600,7 +600,7 @@ class CrawlEngine:
         )
         return tbl.take(pa.array(np.sort(keep))).drop_columns(["_iter"])
 
-    def purge_documents(self, doc_ids: list[str]) -> dict:
+    def purge_documents(self, doc_ids: list[str], defer: bool = False) -> dict:
         """Remove documents (all their ``_iter`` versions) WITHOUT
         rewriting the append-only table: a deletion-vector commit
         (sources/store.py delete_where — Lance deletion-file
@@ -609,13 +609,22 @@ class CrawlEngine:
         materializes the deletes away and ``gc`` reclaims the sidecars.
         This is the reference purge contract (cli/purge.py: drop data
         of deleted resources) at append-only-log cost: O(matching
-        files' doc_id column), never O(table rewrite)."""
+        files' doc_id column), never O(table rewrite).
+
+        ``defer=True`` downgrades that to an O(1) Iceberg-style
+        equality-delete commit — no file probed at purge time at all
+        (the 10^10-frontier bulk-purge path); readers still exclude
+        the rows immediately and compaction resolves the entries."""
         if not doc_ids or self.documents.is_empty():
             return {"deleted_rows": 0}
+        meta = {"purged_at_iteration": self.iteration}
+        if defer:
+            self.documents.delete_where(
+                "doc_id", list(doc_ids), defer=True, meta=meta
+            )
+            return {"deferred": True, "keys": len(set(doc_ids))}
         before = self.documents.deleted_count()
-        self.documents.delete_where(
-            "doc_id", list(doc_ids), meta={"purged_at_iteration": self.iteration}
-        )
+        self.documents.delete_where("doc_id", list(doc_ids), meta=meta)
         return {"deleted_rows": self.documents.deleted_count() - before}
 
     DOCS_COMPACT_DRIVER_ROWS = 2_000_000

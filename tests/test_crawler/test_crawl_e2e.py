@@ -260,3 +260,37 @@ def test_purge_documents_deletion_vectors(tmp_path, make_crawl_engine):
     assert eng2.read_documents()["doc_id"].to_pylist() == [survivor]
     eng.shutdown()
     eng2.shutdown()
+
+
+def test_purge_documents_deferred_equality_delete(tmp_path, make_crawl_engine):
+    """purge_documents(defer=True): O(1) equality-delete commit — no
+    sidecar written, reads exclude immediately, a RE-CRAWLED doc (newer
+    file) is visible again (Iceberg sequence rule), compaction
+    resolves."""
+    import os
+
+    urls = [URL_OK, "https://site-ok2.example/data.csv"]
+    responses = {
+        ("head", u): {"kind": "ok", "status": 200, "headers": OK_HEADERS} for u in urls
+    }
+    eng = make_engine(make_crawl_engine, str(tmp_path / "wd"), responses, urls)
+    eng.run_iteration()
+    victim, survivor = sorted(eng.read_documents()["doc_id"].to_pylist())
+
+    out = eng.purge_documents([victim], defer=True)
+    assert out == {"deferred": True, "keys": 1}
+    assert not os.path.isdir(os.path.join(eng.documents.path, "deletes"))
+    assert eng.read_documents()["doc_id"].to_pylist() == [survivor]
+
+    # an unchanged re-check does NOT resurrect the purge (change
+    # detection skips re-analysis, so no newer row appears); the
+    # sequence rule for genuinely-new rows is pinned at store level
+    # (TestEqualityDeletes.test_sequence_rule_later_rows_survive)
+    eng.check_resource_now(victim)
+    assert eng.read_documents()["doc_id"].to_pylist() == [survivor]
+    docs = [survivor]
+
+    eng.compact_documents()
+    assert eng.documents.pending_eq_deletes() == []
+    assert sorted(eng.read_documents()["doc_id"].to_pylist()) == docs
+    eng.shutdown()
