@@ -584,6 +584,42 @@ class VersionedTable:
         out = pa.concat_tables(parts, promote_options="default")
         return out.select(columns) if columns is not None else out
 
+    # -- incremental reads (changelog over per-file commit versions) -------
+    def read_appended(
+        self, since_version: int, columns: list[str] | None = None
+    ) -> "rd.Dataset":
+        """Rows appended strictly AFTER ``since_version`` — the
+        append-only changelog read: only files whose commit version
+        exceeds the cursor are touched (O(new files), regardless of
+        table size), with the LATEST manifest's deletion vectors,
+        equality deletes and schema adds applied. An incremental
+        consumer (e.g. dedup of each crawl iteration's new documents
+        against an already-processed corpus) checkpoints
+        ``latest_version()`` and reads forward from there."""
+        m = self._load_manifest(None)
+        if not m["files"]:
+            raise ValueError(f"table {self.path} is empty")
+        fv = m.get("file_versions") or {}
+        files = [f for f in m["files"] if fv.get(f, 0) > since_version]
+        added = m.get("added_columns") or []
+        if not files:
+            canon, fill_types = self._canonical_layout(m["files"], added, columns)
+            base = pq.ParquetFile(m["files"][0]).schema_arrow.empty_table()
+            empty = self._fill_added(base, added, canon)
+            for name in canon:
+                if name not in empty.column_names:
+                    typ = fill_types[name]
+                    empty = empty.append_column(pa.field(name, typ), pa.nulls(0, typ))
+            return rd.from_arrow(empty.select(canon))
+        return self._read_files_merged(
+            files,
+            m.get("deletes") or {},
+            added,
+            columns,
+            m.get("eq_deletes") or [],
+            fv,
+        )
+
     # -- equality deletes (Iceberg-style deferred deletes) -----------------
     def pending_eq_deletes(self, version: int | None = None) -> list[dict]:
         return self._load_manifest(version).get("eq_deletes") or []

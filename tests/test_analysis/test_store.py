@@ -872,3 +872,30 @@ class TestEqualityDeletes:
             vt.delete_where("k", predicate=lambda tb: None, defer=True)
         with pytest.raises(ValueError, match="int/float/str"):
             vt.delete_where("k", [("tuple",)], defer=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_appended_changelog(tmp_path):
+    """read_appended(since): only files committed after the cursor are
+    read (O(new files)), current deletes applied."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(t(["a", "b"], [1, 2]))
+    cursor = vt.latest_version()
+    assert vt.read_appended(cursor).take_all() == []  # nothing new yet
+    vt.append(t(["c", "d"], [3, 4]))
+    vt.append(t(["e"], [5]))
+    got = sorted(r["k"] for r in vt.read_appended(cursor).take_all())
+    assert got == ["c", "d", "e"]
+    # deletes that land after the cursor apply to the changelog too
+    vt.delete_where("k", ["d"])
+    vt.delete_where("k", ["e"], defer=True)
+    got = sorted(r["k"] for r in vt.read_appended(cursor).take_all())
+    assert got == ["c"]
+    # full reads unaffected
+    assert sorted(vt.read_arrow()["k"].to_pylist()) == ["a", "b", "c"]
+    # schema evolution visible in the changelog
+    vt.add_column("score", "int64", default=9)
+    vt.append(t(["f"], [6]))
+    rows = sorted(vt.read_appended(cursor).take_all(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == ["c", "f"]
+    assert [r["score"] for r in rows] == [9, 9]
