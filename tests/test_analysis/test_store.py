@@ -667,7 +667,9 @@ from hypothesis import strategies as st
 
 _OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "update", "delete", "add_col", "compact", "restore"]),
+        st.sampled_from(
+            ["append", "update", "delete", "eq_delete", "add_col", "compact", "restore"]
+        ),
         st.integers(min_value=0, max_value=10**6),
     ),
     min_size=1,
@@ -713,6 +715,10 @@ def test_store_random_op_sequences_match_dict_oracle(tmp_path_factory, ops):
         elif op == "delete":
             k = sorted(model)[seed % len(model)]
             vt.delete_where("k", [k])
+            del model[k]
+        elif op == "eq_delete":
+            k = sorted(model)[seed % len(model)]
+            vt.delete_where("k", [k], defer=True)  # O(1) equality delete
             del model[k]
         elif op == "add_col":
             name = f"c{len(cols)}"
