@@ -580,10 +580,24 @@ class CrawlEngine:
         return n_stuck
 
     # -- documents (merge-on-read) ----------------------------------------
-    def read_documents(self) -> pa.Table:
+    def read_documents(self, since_version: int | None = None) -> pa.Table:
         """Latest span document per doc_id (resolves the append-only
-        ``_iter`` versions last-wins — Lance-style merge-on-read)."""
-        tbl = self.documents.read_arrow()
+        ``_iter`` versions last-wins — Lance-style merge-on-read).
+
+        ``since_version`` switches to the CHANGELOG contract: only
+        files committed after that table version are read
+        (store.read_appended — O(new files) at any corpus size), and
+        the result is the CURRENT state of every document touched
+        since the cursor (``_iter`` is monotone, so the max-_iter row
+        among the new rows IS the document's latest version). An
+        incremental consumer checkpoints
+        ``engine.documents.latest_version()`` between pulls."""
+        if since_version is not None:
+            from hydra_ray.sources.store import _ds_to_arrow
+
+            tbl = _ds_to_arrow(self.documents.read_appended(since_version))
+        else:
+            tbl = self.documents.read_arrow()
         if "_iter" not in tbl.column_names:
             return tbl
         import pandas as pd_

@@ -294,3 +294,39 @@ def test_purge_documents_deferred_equality_delete(tmp_path, make_crawl_engine):
     assert eng.documents.pending_eq_deletes() == []
     assert sorted(eng.read_documents()["doc_id"].to_pylist()) == docs
     eng.shutdown()
+
+
+def test_read_documents_changelog_since_version(tmp_path, make_crawl_engine):
+    """read_documents(since_version=cursor): the incremental-consumer
+    contract — only documents touched after the cursor come back, at
+    their current (max-_iter) state, reading only the new files."""
+    urls = [URL_OK, "https://site-ok2.example/data.csv"]
+    responses = {
+        ("head", u): {"kind": "ok", "status": 200, "headers": OK_HEADERS} for u in urls
+    }
+    eng = make_engine(make_crawl_engine, str(tmp_path / "wd"), responses, urls)
+    eng.run_iteration()
+    all_docs = sorted(eng.read_documents()["doc_id"].to_pylist())
+    assert len(all_docs) == 2
+    cursor = eng.documents.latest_version()
+
+    # nothing new past the cursor
+    assert eng.read_documents(since_version=cursor).num_rows == 0
+
+    # a new priority resource appears → exactly it comes back
+    eng.transport_responses = responses  # (fixture transport is static)
+    new_url = "https://site-ok3.example/data.csv"
+    responses[("head", new_url)] = {"kind": "ok", "status": 200, "headers": OK_HEADERS}
+    import hashlib
+
+    rid = hashlib.md5(new_url.encode()).hexdigest()
+    eng.insert_priority_resource(
+        {"resource_id": rid, "dataset_id": "d", "url": new_url, "format": "csv"}
+    )
+    eng.run_iteration()
+    delta = eng.read_documents(since_version=cursor)
+    assert delta["doc_id"].to_pylist() == [rid]
+    assert "_iter" not in delta.column_names
+    # full read agrees
+    assert sorted(eng.read_documents()["doc_id"].to_pylist()) == sorted(all_docs + [rid])
+    eng.shutdown()
