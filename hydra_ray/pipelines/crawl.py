@@ -134,6 +134,9 @@ class CrawlEngine:
             n_shards=politeness_shards or config.POLITENESS_SHARDS, **(politeness_kwargs or {})
         )
         self.iteration = int(self.catalog.meta().get("iteration", 0))
+        # tombstones already purged this engine lifetime (resume
+        # re-purges once — idempotent, see purge_deleted_resources)
+        self._purged_resource_ids: set[str] = set()
         # driver-side frontier cache: the catalog table stays in driver
         # memory between iterations while it fits (same kernels, no
         # per-iteration Ray execution); the distributed Dataset path is
@@ -393,6 +396,7 @@ class CrawlEngine:
         keep_state: int = 3,
         stop_when_drained: bool = False,
         compact_every: int = 0,
+        purge_deleted_every: int = 0,
     ) -> list[dict]:
         """The streaming driver loop (``run(iterations=∞)``):
         crawl → checkpoint → periodic compaction + GC, forever (or
@@ -403,13 +407,24 @@ class CrawlEngine:
         the append-only documents table to one row per doc_id
         (merge-on-read → merge-on-write), bounding read amplification
         under re-parse churn; a crash mid-compaction is harmless —
-        uncommitted txn part files are invisible and gc()-able."""
+        uncommitted txn part files are invisible and gc()-able.
+
+        ``purge_deleted_every`` is the reference's periodic purge job
+        (cli/purge.py drop-data-of-deleted-resources) inside the loop:
+        every Nth iteration, documents of newly-tombstoned catalog
+        resources are dropped via ONE O(1) equality-delete commit;
+        compaction (``compact_every``, which should be a multiple)
+        resolves the entries, bounding their number. Idempotent across
+        resume: re-purging an already-purged tombstone is harmless
+        (tombstoned resources never re-enter the frontier)."""
         stats: list[dict] = []
         i = 0
         while iterations is None or i < iterations:
             s = self.run_iteration()
             stats.append(s)
             i += 1
+            if purge_deleted_every and i % purge_deleted_every == 0:
+                s["purged"] = self.purge_deleted_resources()
             if compact_every and i % compact_every == 0:
                 self.compact_documents()
             if gc_every and i % gc_every == 0:
@@ -417,6 +432,22 @@ class CrawlEngine:
             if stop_when_drained and s.get("selected", 0) == 0:
                 break
         return stats
+
+    def purge_deleted_resources(self) -> int:
+        """Purge documents of catalog-tombstoned resources not yet
+        purged this engine lifetime (one deferred equality-delete
+        commit for the batch). Returns the number of newly purged
+        resource ids."""
+        if self.catalog.is_empty() or self.documents.is_empty():
+            return 0
+        cat = self.catalog.read_arrow(columns=["resource_id", "deleted"])
+        mask = pc.fill_null(cat["deleted"], False)
+        deleted = set(cat.filter(mask)["resource_id"].to_pylist())
+        todo = sorted(deleted - self._purged_resource_ids)
+        if todo:
+            self.purge_documents(todo, defer=True)
+        self._purged_resource_ids |= deleted
+        return len(todo)
 
     def gc(self, keep_versions: int = 2, keep_state: int = 3) -> dict:
         """Reclaim storage: superseded catalog versions (the only table

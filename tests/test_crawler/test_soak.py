@@ -289,3 +289,35 @@ def test_continuous_soak_with_resource_deletion_and_purge(tmp_path, make_crawl_e
     got = set(eng2.read_documents()["doc_id"].to_pylist())
     assert got == final
     eng2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_continuous_auto_purges_tombstones(tmp_path, make_crawl_engine):
+    """purge_deleted_every: the reference's periodic purge job inside
+    the streaming loop — tombstoned resources' documents disappear via
+    one O(1) equality-delete commit per cycle; compaction resolves the
+    entries; each tombstone is purged once per engine lifetime."""
+    from hydra_ray.pipelines.api import EngineApi
+
+    docs = pa.table({"doc_id": pa.array(np.arange(40), type=pa.int64())})
+    kw = dict(batch_size=40, actor_pools=False,
+              politeness_kwargs={"backoff_nb_req": 10**9})
+    eng = make_crawl_engine(str(tmp_path / "wd"), **kw)
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run_continuous(iterations=4)
+    live = sorted(eng.read_documents()["doc_id"].to_pylist())
+    assert len(live) >= 4
+    victims = live[:3]
+    api = EngineApi(eng)
+    for rid in victims:
+        api.delete_resource(rid)
+
+    stats = eng.run_continuous(iterations=8, purge_deleted_every=2, compact_every=8)
+    purged_counts = [s.get("purged") for s in stats if "purged" in s]
+    assert purged_counts and purged_counts[0] >= 3  # first cycle purges the batch
+    assert sum(purged_counts[1:]) == 0              # never re-purged after
+    final = set(eng.read_documents()["doc_id"].to_pylist())
+    assert final.isdisjoint(victims)
+    # compaction resolved the pending entries
+    assert eng.documents.pending_eq_deletes() == []
+    eng.shutdown()
