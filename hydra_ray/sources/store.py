@@ -584,6 +584,50 @@ class VersionedTable:
         out = pa.concat_tables(parts, promote_options="default")
         return out.select(columns) if columns is not None else out
 
+    # -- tags (named refs, Lance-style) ------------------------------------
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs.json")
+
+    def _load_refs(self) -> dict[str, int]:
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _save_refs(self, refs: dict[str, int]) -> None:
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self._refs_path())
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a version under a name (Lance tags): ``read(version=
+        vt.version_of(name))`` keeps working after any number of later
+        commits, because ``gc()`` retains every tagged version's files
+        until the tag is deleted."""
+        v = self.latest_version() if version is None else version
+        if v < 1 or not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"no committed version {v} in {self.path}")
+        refs = self._load_refs()
+        refs[name] = v
+        self._save_refs(refs)
+        return v
+
+    def version_of(self, name: str) -> int:
+        refs = self._load_refs()
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on {self.path}")
+        return refs[name]
+
+    def tags(self) -> dict[str, int]:
+        return self._load_refs()
+
+    def delete_tag(self, name: str) -> None:
+        refs = self._load_refs()
+        refs.pop(name, None)
+        self._save_refs(refs)
+
     # -- incremental reads (changelog over per-file commit versions) -------
     def read_appended(
         self, since_version: int, columns: list[str] | None = None
@@ -1229,8 +1273,12 @@ class VersionedTable:
         versions + superseded deletion vectors). Returns the number of
         files removed."""
         latest = self.latest_version()
+        versions = set(range(max(1, latest - keep_versions + 1), latest + 1))
+        versions.update(self._load_refs().values())  # tagged versions stay readable
         keep = set()
-        for v in range(max(1, latest - keep_versions + 1), latest + 1):
+        for v in versions:
+            if not os.path.exists(self._manifest_path(v)):
+                continue
             m = self._load_manifest(v)
             keep.update(m["files"])
             keep.update((m.get("deletes") or {}).values())
@@ -1270,12 +1318,13 @@ class VersionedTable:
         (long-soak bound on _versions/ growth; data files referenced
         only by pruned manifests become gc()-able)."""
         latest = self.latest_version()
+        tagged = set(self._load_refs().values())
         removed = 0
         for f in os.listdir(self.versions_dir):
             if not f.endswith(".json"):
                 continue
             v = int(f[1:].split(".")[0])
-            if v <= latest - keep:
+            if v <= latest - keep and v not in tagged:
                 os.remove(os.path.join(self.versions_dir, f))
                 removed += 1
         return removed

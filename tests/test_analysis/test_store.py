@@ -905,3 +905,34 @@ def test_read_appended_changelog(tmp_path):
     rows = sorted(vt.read_appended(cursor).take_all(), key=lambda r: r["k"])
     assert [r["k"] for r in rows] == ["c", "f"]
     assert [r["score"] for r in rows] == [9, 9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tags_pin_versions_against_gc(tmp_path):
+    """Lance-style tags: a named ref keeps its version readable across
+    later commits, gc and manifest pruning; deleting the tag frees it."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.overwrite(t(["a"], [1]))
+    v_pub = vt.tag("published")
+    assert vt.version_of("published") == v_pub == vt.latest_version()
+    for i in range(6):
+        vt.overwrite(t([f"x{i}"], [i]))
+    vt.gc(keep_versions=1)
+    vt.prune_manifests(keep=2)
+    # tagged version still fully readable
+    assert vt.read_arrow(version=vt.version_of("published"))["k"].to_pylist() == ["a"]
+    assert vt.tags() == {"published": v_pub}
+    # restore from the tag works (files retained)
+    vt.restore(vt.version_of("published"))
+    assert vt.read_arrow()["k"].to_pylist() == ["a"]
+    # deleting the tag frees the old version for gc
+    vt.delete_tag("published")
+    vt.overwrite(t(["z"], [9]))
+    vt.gc(keep_versions=1)
+    with pytest.raises(ValueError, match="not restorable"):
+        vt.restore(v_pub)
+    with pytest.raises(KeyError):
+        vt.version_of("published")
+    # unknown version refuses
+    with pytest.raises(ValueError):
+        vt.tag("nope", version=99999)
