@@ -60,23 +60,26 @@ def cmd_check_resource(args) -> dict:
     return out
 
 
+def _insert_url(eng, url: str, resource_id: str | None, dataset_id: str, fmt: str | None) -> str:
+    """Shared by crawl-url / insert-url-into-catalog: derive rid/format
+    and register the URL as a priority resource. Returns the rid."""
+    import hashlib
+
+    rid = resource_id or hashlib.md5(url.encode()).hexdigest()
+    if not fmt:
+        fmt = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else ""
+    eng.insert_priority_resource(
+        {"resource_id": rid, "dataset_id": dataset_id, "url": url, "format": fmt}
+    )
+    return rid
+
+
 def cmd_crawl_url(args) -> dict:
     """reference: cli/crawl.py crawl_url + catalog.py insert_url_into_catalog:
     insert the URL as a priority resource, then check it immediately."""
-    import hashlib
-
     _ray_init()
     eng = _engine(args.workdir)
-    rid = args.resource_id or hashlib.md5(args.url.encode()).hexdigest()
-    fmt = args.url.rsplit(".", 1)[-1].lower() if "." in args.url.rsplit("/", 1)[-1] else ""
-    eng.insert_priority_resource(
-        {
-            "resource_id": rid,
-            "dataset_id": args.dataset_id,
-            "url": args.url,
-            "format": fmt,
-        }
-    )
+    rid = _insert_url(eng, args.url, args.resource_id, args.dataset_id, None)
     out = eng.check_resource_now(rid)
     eng.shutdown()
     return out
@@ -235,19 +238,11 @@ def cmd_insert_url(args) -> dict:
     rid = args.resource_id or hashlib.md5(args.url.encode()).hexdigest()
     existed = False
     if not eng.catalog.is_empty():
-        existing = eng.catalog.read_arrow(columns=["resource_id"])["resource_id"]
-        existed = rid in set(existing.to_pylist())
-    fmt = args.format or (
-        args.url.rsplit(".", 1)[-1].lower() if "." in args.url.rsplit("/", 1)[-1] else ""
-    )
-    eng.insert_priority_resource(
-        {
-            "resource_id": rid,
-            "dataset_id": args.dataset_id,
-            "url": args.url,
-            "format": fmt,
-        }
-    )
+        # zone-map point lookup — O(matching files), not O(catalog)
+        existed = (
+            eng.catalog.read_where_arrow("resource_id", [rid]).num_rows > 0
+        )
+    _insert_url(eng, args.url, rid, args.dataset_id, args.format)
     eng.shutdown()
     return {"resource_id": rid, "url": args.url, "action": "update" if existed else "insert"}
 
@@ -282,7 +277,7 @@ def cmd_analyse_ogc(args) -> dict:
     bare URLs analysed directly, same fallback order as the reference)."""
     _ray_init()
     from hydra_ray.config import config
-    from hydra_ray.pipelines.api import EngineApi, NotFound
+    from hydra_ray.pipelines.api import EngineApi, Gone, NotFound
     from hydra_ray.stages.fetcher import make_transport
     from hydra_ray.stages.ogc import analyse_ogc
 
@@ -292,24 +287,20 @@ def cmd_analyse_ogc(args) -> dict:
     was_enabled = config.OGC_ANALYSIS_ENABLED
     config.override(OGC_ANALYSIS_ENABLED=True)
     eng = _engine(args.workdir)
-    check = None
-    if args.check_id is not None or args.resource_id is not None or args.url:
-        try:
-            api = EngineApi(eng)
-            if args.check_id is not None:
-                rows = [
-                    r
-                    for r in api.get_all_checks(
-                        url=args.url, resource_id=args.resource_id
-                    )
-                    if str(r.get("id")) == str(args.check_id)
-                ] if (args.url or args.resource_id) else []
-                check = rows[0] if rows else None
-            if check is None and (args.url or args.resource_id):
-                check = api.get_latest_check(url=args.url, resource_id=args.resource_id)
-        except (NotFound, ValueError):
-            check = None
     try:
+        check = None
+        try:
+            if args.check_id is not None and not eng.checks.is_empty():
+                # zone-map point lookup straight on the checks table —
+                # works with a bare --check-id
+                t = eng.checks.read_where_arrow("id", [int(args.check_id)])
+                check = t.to_pylist()[0] if t.num_rows else None
+            if check is None and (args.url or args.resource_id):
+                check = EngineApi(eng).get_latest_check(
+                    url=args.url, resource_id=args.resource_id
+                )
+        except (NotFound, Gone, ValueError):
+            check = None
         if check is None and args.url:
             check = {"id": None, "url": args.url, "resource_id": None}
         if check is None:

@@ -440,9 +440,25 @@ class CrawlEngine:
         resource ids."""
         if self.catalog.is_empty() or self.documents.is_empty():
             return 0
-        cat = self.catalog.read_arrow(columns=["resource_id", "deleted"])
-        mask = pc.fill_null(cat["deleted"], False)
-        deleted = set(cat.filter(mask)["resource_id"].to_pylist())
+        if self.catalog.count() <= self.CACHE_MAX_ROWS:
+            cat = self.catalog.read_arrow(columns=["resource_id", "deleted"])
+            mask = pc.fill_null(cat["deleted"], False)
+            deleted = set(cat.filter(mask)["resource_id"].to_pylist())
+        else:
+            # 10^10-frontier path: stream the scan, pull only tombstones
+            from hydra_ray.sources.store import _ds_to_arrow
+
+            def only_deleted(t: pa.Table) -> pa.Table:
+                return t.filter(pc.fill_null(t["deleted"], False)).select(
+                    ["resource_id"]
+                )
+
+            tomb = _ds_to_arrow(
+                self.catalog.read(columns=["resource_id", "deleted"]).map_batches(
+                    only_deleted, batch_format="pyarrow"
+                )
+            )
+            deleted = set(tomb["resource_id"].to_pylist())
         todo = sorted(deleted - self._purged_resource_ids)
         if todo:
             self.purge_documents(todo, defer=True)
@@ -559,6 +575,14 @@ class CrawlEngine:
             "next_check_at": result["next_check_at"][0].as_py(),
         }
         return check
+
+    def invalidate_frontier_cache(self) -> None:
+        """MUST be called by any out-of-band catalog writer (e.g. the
+        serving API's DELETE tombstone): the next ``_finish_iteration``
+        checkpoint writes the driver-held cache back to disk, so a
+        catalog edit the cache doesn't know about would be silently
+        reverted."""
+        self._frontier_cache = None
 
     def insert_priority_resource(self, row: "pa.Table | dict") -> None:
         """S2 parity (reference: on-demand resource registration gets

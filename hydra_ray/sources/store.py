@@ -147,24 +147,22 @@ class VersionedTable:
         file_versions: dict | None = None,
     ) -> int:
         version = parent + 1
+        # the parent manifest is always needed (file_versions fallback)
+        prev = self._load_manifest(parent)
         # deletion vectors only make sense for files the version references
         deletes = {f: d for f, d in (deletes or {}).items() if f in set(files)}
-        prev = None
         if added is None:
             # schema adds are table state: carried forward automatically
             # (readers default-fill files predating each add)
-            prev = self._load_manifest(parent)
             added = prev.get("added_columns") or []
         if eq_deletes is None:
             # pending equality deletes carry forward too (overwrite/
             # compact pass [] explicitly — their data already excludes
             # the matched rows)
-            prev = prev if prev is not None else self._load_manifest(parent)
             eq_deletes = prev.get("eq_deletes") or []
         # per-file commit version (the Iceberg sequence number): an
         # equality delete applies only to files committed strictly
         # before it, so a later upsert of the same key stays visible
-        prev = prev if prev is not None else self._load_manifest(parent)
         if file_versions is None:
             file_versions = {
                 f: v
@@ -644,7 +642,13 @@ class VersionedTable:
         if not m["files"]:
             raise ValueError(f"table {self.path} is empty")
         fv = m.get("file_versions") or {}
-        files = [f for f in m["files"] if fv.get(f, 0) > since_version]
+        # unknown commit version (pre-feature manifest) → treat as NEW:
+        # a changelog must over-deliver, never silently skip rows (the
+        # opposite default from _eq_entries_for, where unknown = oldest
+        # keeps deletes conservative)
+        files = [
+            f for f in m["files"] if fv.get(f, since_version + 1) > since_version
+        ]
         added = m.get("added_columns") or []
         if not files:
             canon, fill_types = self._canonical_layout(m["files"], added, columns)
@@ -750,6 +754,30 @@ class VersionedTable:
                         "equality-delete values must be int/float/str "
                         f"(got {type(v).__name__})"
                     )
+            # a mistyped entry would poison EVERY later read (the safe
+            # cast in _apply_eq raises) — validate against the key's
+            # logical type NOW and store the values post-cast
+            sch = self.schema()
+            if key not in sch.names:
+                raise KeyError(f"unknown column {key!r} in {self.path}")
+            ktype = sch.field(key).type
+            if not (
+                pa.types.is_integer(ktype)
+                or pa.types.is_floating(ktype)
+                or pa.types.is_string(ktype)
+                or pa.types.is_large_string(ktype)
+            ):
+                raise ValueError(
+                    f"equality deletes support int/float/string keys, not "
+                    f"{ktype} — use an eager delete_where for this column"
+                )
+            try:
+                vals = sorted(pa.array(vals).cast(ktype).to_pylist())
+            except Exception as exc:
+                raise ValueError(
+                    f"equality-delete values do not fit column {key!r} "
+                    f"({ktype}): {exc}"
+                ) from None
             entries = list(prev.get("eq_deletes") or [])
             entries.append({"key": key, "values": vals, "at_version": parent + 1})
             return self._commit(
@@ -1241,15 +1269,31 @@ class VersionedTable:
             fv = m.get("file_versions") or {}
             n = 0
             added_names = {a["name"] for a in added}
+            # hoist the _stats cache loads out of the per-file loop:
+            # one schemas read + one zone-map read per distinct entry key
+            schemas = self._file_schemas(m["files"])
+            ranges_by_key = {
+                k: self.file_key_ranges(m["files"], k)
+                for k in sorted({e["key"] for e in eq})
+            }
+            import bisect as _bisect
+
+            def range_may_match(e, f):
+                r = ranges_by_key[e["key"]].get(f)
+                if r is None:
+                    return True
+                vals = e["values"]  # stored sorted at commit
+                i = _bisect.bisect_left(vals, r[0])
+                return i < len(vals) and vals[i] <= r[1]
+
             for f in m["files"]:
                 ents = self._eq_entries_for(eq, fv.get(f, 0))
-                present = set(self._file_schemas([f])[f]) | added_names
+                present = set(schemas[f]) | added_names
                 ents = [
                     e
                     for e in ents
                     # a key absent from the file is NULL → never matches
-                    if e["key"] in present
-                    and self.prune_files([f], e["key"], e["values"])
+                    if e["key"] in present and range_may_match(e, f)
                 ]
                 if not ents:
                     rows = pq.ParquetFile(f).metadata.num_rows

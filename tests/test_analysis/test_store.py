@@ -936,3 +936,50 @@ def test_tags_pin_versions_against_gc(tmp_path):
     # unknown version refuses
     with pytest.raises(ValueError):
         vt.tag("nope", version=99999)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_eq_delete_value_type_validated_at_commit(tmp_path):
+    """A mistyped deferred delete must fail AT DELETE TIME, not poison
+    every later read."""
+    def ti(ids, vals):
+        return pa.table(
+            {"k": pa.array(ids, pa.int64()), "v": pa.array(vals, pa.int64())}
+        )
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(ti([1, 2], [10, 20]))
+    with pytest.raises(ValueError, match="do not fit"):
+        vt.delete_where("k", [2.5], defer=True)  # lossy float → int64
+    with pytest.raises(KeyError, match="unknown column"):
+        vt.delete_where("nope", [1], defer=True)
+    # int-typed value against an int column is fine; whole-float too
+    vt.delete_where("k", [2.0], defer=True)
+    assert vt.read_arrow()["k"].to_pylist() == [1]
+    # temporal keys are eager-only
+    from datetime import datetime
+
+    vt2 = VersionedTable(str(tmp_path / "t2"))
+    vt2.append(pa.table({"ts": pa.array([datetime(2024, 1, 1)], pa.timestamp("us")), "v": [1]}))
+    with pytest.raises(ValueError, match="eager"):
+        vt2.delete_where("ts", ["2024-01-01"], defer=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_appended_legacy_manifest_over_delivers(tmp_path):
+    """A manifest written before file_versions existed must make
+    read_appended return ALL rows (changelogs over-deliver, never
+    silently skip)."""
+    import json as _json
+    import os as _os
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(t(["a", "b"], [1, 2]))
+    # simulate a pre-feature manifest
+    mp = vt._manifest_path(vt.latest_version())
+    m = _json.loads(open(mp).read())
+    m.pop("file_versions", None)
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    got = sorted(r["k"] for r in vt.read_appended(0).take_all())
+    assert got == ["a", "b"]

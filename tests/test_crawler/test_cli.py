@@ -119,3 +119,37 @@ def test_cli_analyse_resource_alias(tmp_path, capsys, ray_session):
     _run(capsys, "load-catalog", "--workdir", wd, "--csv", str(cat))
     out = _run(capsys, "analyse-resource", "--workdir", wd, "--resource-id", "r1")
     assert out.get("resource_id") == "r1" and out.get("status") is not None
+
+
+def test_cli_analyse_ogc_by_check_id_and_tombstone(tmp_path, capsys, ray_session):
+    """--check-id alone resolves the check; a tombstoned resource (Gone)
+    degrades to the no-check JSON error instead of a traceback, and the
+    temporary OGC enable is restored either way."""
+    from hydra_ray.config import config
+
+    cat = tmp_path / "catalog.csv"
+    cat.write_text(
+        "dataset.id;id;url;type;format;title;dataset.archived;harvest.modified_at\n"
+        "d1;r1;https://geo.example/geoserver/wfs;main;wfs;svc;False;\n"
+    )
+    wd = str(tmp_path / "wd")
+    _run(capsys, "load-catalog", "--workdir", wd, "--csv", str(cat))
+    _run(capsys, "crawl", "--workdir", wd, "--iterations", "1")
+
+    was = config.OGC_ANALYSIS_ENABLED
+    out = _run(capsys, "find-check", "--workdir", wd, "--resource-id", "r1")
+    check_id = out["checks"][0]["id"]
+    out = _run(capsys, "analyse-ogc", "--workdir", wd, "--check-id", str(check_id))
+    assert out["result"] is not None and "layers" in out["result"]
+    assert config.OGC_ANALYSIS_ENABLED == was  # restored
+
+    # tombstone → Gone path degrades gracefully
+    import hydra_ray.cli as cli_mod
+    from hydra_ray.pipelines.api import EngineApi
+
+    eng = cli_mod._engine(wd)
+    EngineApi(eng).delete_resource("r1")
+    eng.shutdown()
+    out = _run(capsys, "analyse-ogc", "--workdir", wd, "--resource-id", "r1")
+    assert out["result"] is None and "error" in out
+    assert config.OGC_ANALYSIS_ENABLED == was

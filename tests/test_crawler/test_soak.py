@@ -321,3 +321,40 @@ def test_run_continuous_auto_purges_tombstones(tmp_path, make_crawl_engine):
     # compaction resolved the pending entries
     assert eng.documents.pending_eq_deletes() == []
     eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tombstone_survives_active_checkpoints(tmp_path, make_crawl_engine):
+    """An API tombstone must survive subsequent crawl checkpoints that
+    rewrite the catalog from the driver frontier cache (the cache is
+    invalidated by delete_resource) — and the purged documents must
+    stay gone under an ACTIVE frontier."""
+    from hydra_ray.pipelines.api import EngineApi
+
+    docs = pa.table({"doc_id": pa.array(np.arange(30), type=pa.int64())})
+    eng = make_crawl_engine(
+        str(tmp_path / "wd"), batch_size=30, actor_pools=False,
+        politeness_kwargs={"backoff_nb_req": 10**9},
+    )
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run(2)  # warm cache, everything checked
+    live = sorted(eng.read_documents()["doc_id"].to_pylist())
+    victims = live[:2]
+    api = EngineApi(eng)
+    for rid in victims:
+        api.delete_resource(rid)
+
+    # force re-selection of the surviving frontier (12h of virtual time)
+    # so the next iterations UPDATE rows and overwrite the checkpoint
+    eng.iteration += 12 * 60
+    stats = eng.run_continuous(iterations=3, purge_deleted_every=1, compact_every=3)
+    assert any(s.get("selected", 0) > 0 for s in stats)  # frontier was active
+
+    cat = eng.catalog.read_arrow(columns=["resource_id", "deleted"])
+    tombs = {
+        r for r, d in zip(cat["resource_id"].to_pylist(), cat["deleted"].to_pylist()) if d
+    }
+    assert set(victims) <= tombs  # checkpoint did NOT resurrect
+    final = set(eng.read_documents()["doc_id"].to_pylist())
+    assert final.isdisjoint(victims)
+    eng.shutdown()
