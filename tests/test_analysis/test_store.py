@@ -983,3 +983,20 @@ def test_read_appended_legacy_manifest_over_delivers(tmp_path):
         _json.dump(m, fh)
     got = sorted(r["k"] for r in vt.read_appended(0).take_all())
     assert got == ["a", "b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_eq_deletes_survive_fresh_handle(tmp_path):
+    """Pending equality deletes are manifest state: a fresh handle
+    (crash/resume) applies them identically and compaction from the
+    new handle resolves them."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(t(["a", "b"], [1, 2]))
+    vt.delete_where("k", ["a"], defer=True)
+    vt2 = VersionedTable(str(tmp_path / "t"))
+    assert vt2.read_arrow()["k"].to_pylist() == ["b"]
+    assert vt2.count() == 1
+    assert len(vt2.pending_eq_deletes()) == 1
+    vt2.compact()
+    assert vt2.pending_eq_deletes() == []
+    assert vt2.read_arrow()["k"].to_pylist() == ["b"]
