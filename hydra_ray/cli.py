@@ -238,9 +238,12 @@ def cmd_insert_url(args) -> dict:
     rid = args.resource_id or hashlib.md5(args.url.encode()).hexdigest()
     existed = False
     if not eng.catalog.is_empty():
-        # zone-map point lookup — O(matching files), not O(catalog)
+        # zone-map point lookup — O(matching files' key column)
         existed = (
-            eng.catalog.read_where_arrow("resource_id", [rid]).num_rows > 0
+            eng.catalog.read_where_arrow(
+                "resource_id", [rid], columns=["resource_id"]
+            ).num_rows
+            > 0
         )
     _insert_url(eng, args.url, rid, args.dataset_id, args.format)
     eng.shutdown()
@@ -292,9 +295,22 @@ def cmd_analyse_ogc(args) -> dict:
         try:
             if args.check_id is not None and not eng.checks.is_empty():
                 # zone-map point lookup straight on the checks table —
-                # works with a bare --check-id
+                # works with a bare --check-id; --url/--resource-id
+                # still scope it (a mismatched id is treated as absent)
                 t = eng.checks.read_where_arrow("id", [int(args.check_id)])
                 check = t.to_pylist()[0] if t.num_rows else None
+                if check is not None and (
+                    (args.resource_id and check.get("resource_id") != args.resource_id)
+                    or (args.url and check.get("url") != args.url)
+                ):
+                    check = None
+                if check is not None and check.get("resource_id"):
+                    # reference parity: a tombstoned resource is Gone
+                    cat = eng.catalog.read_where_arrow(
+                        "resource_id", [check["resource_id"]], columns=["deleted"]
+                    )
+                    if cat.num_rows and bool(cat["deleted"][0].as_py() or False):
+                        check = None
             if check is None and (args.url or args.resource_id):
                 check = EngineApi(eng).get_latest_check(
                     url=args.url, resource_id=args.resource_id

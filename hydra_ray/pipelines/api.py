@@ -111,10 +111,13 @@ class EngineApi:
         return out
 
     def create_check(self, resource_id: str) -> dict:
-        """POST /api/checks: immediate synchronous check + commit."""
+        """POST /api/checks: immediate synchronous check + commit.
+        A tombstoned resource is Gone (410), never re-checked."""
         try:
             return self.engine.check_resource_now(resource_id)
         except KeyError as err:
+            if "is deleted" in str(err):
+                raise Gone(resource_id) from err
             raise NotFound(resource_id) from err
 
     # -- resources ---------------------------------------------------------

@@ -440,7 +440,17 @@ class CrawlEngine:
         resource ids."""
         if self.catalog.is_empty() or self.documents.is_empty():
             return 0
-        if self.catalog.count() <= self.CACHE_MAX_ROWS:
+        # resume bound: tombstones already covered by a pending entry
+        # need no new entry (entries clear at compaction, after which
+        # their rows are physically gone — see the liveness skip below)
+        for e in self.documents.pending_eq_deletes():
+            if e["key"] == "doc_id":
+                self._purged_resource_ids.update(str(v) for v in e["values"])
+        if self._frontier_cache is not None:
+            cat = self._frontier_cache
+            mask = pc.fill_null(cat["deleted"], False)
+            deleted = set(cat.filter(mask)["resource_id"].to_pylist())
+        elif self.catalog.count() <= self.CACHE_MAX_ROWS:
             cat = self.catalog.read_arrow(columns=["resource_id", "deleted"])
             mask = pc.fill_null(cat["deleted"], False)
             deleted = set(cat.filter(mask)["resource_id"].to_pylist())
@@ -461,7 +471,23 @@ class CrawlEngine:
             deleted = set(tomb["resource_id"].to_pylist())
         todo = sorted(deleted - self._purged_resource_ids)
         if todo:
-            self.purge_documents(todo, defer=True)
+            # zone-map liveness skip: tombstones whose doc_id can't sit
+            # in ANY live file (typically purged-then-compacted before a
+            # restart) need no entry — bounds per-restart entry growth
+            ranges = list(
+                self.documents.file_key_ranges(
+                    self.documents.files(), "doc_id"
+                ).values()
+            )
+            spans = [r for r in ranges if r is not None]
+            unknown = len(spans) < len(ranges)
+            live = [
+                rid
+                for rid in todo
+                if unknown or any(r[0] <= rid <= r[1] for r in spans)
+            ]
+            if live:
+                self.purge_documents(live, defer=True)
         self._purged_resource_ids |= deleted
         return len(todo)
 
@@ -528,6 +554,13 @@ class CrawlEngine:
             row = frontier.filter(pc.equal(frontier["resource_id"], resource_id))
         if row.num_rows == 0:
             raise KeyError(f"resource {resource_id!r} not in catalog")
+        if "deleted" in row.column_names and bool(
+            pc.fill_null(row["deleted"], False)[0].as_py()
+        ):
+            # reference routes/checks.py: a deleted resource is Gone —
+            # checking it would recreate documents that escape the
+            # already-committed purge entries (sequence rule)
+            raise KeyError(f"resource {resource_id!r} is deleted")
         it = self.iteration
         now = self.now_dt(it)
         fetch_kwargs = {

@@ -519,19 +519,9 @@ class VersionedTable:
         if not files:
             # empty result with the right shape: no file can match
             # (schema from the footer — never read data for an empty result)
-            src = m["files"]
-            if not src:
+            if not m["files"]:
                 raise ValueError(f"table {self.path} is empty")
-            canon, fill_types = self._canonical_layout(src, added, columns)
-            base = pq.ParquetFile(src[0]).schema_arrow.empty_table()
-            empty = self._fill_added(base, added, canon)
-            for name in canon:
-                if name not in empty.column_names:
-                    typ = fill_types[name]
-                    empty = empty.append_column(
-                        pa.field(name, typ), pa.nulls(0, typ)
-                    )
-            return rd.from_arrow(empty.select(canon))
+            return rd.from_arrow(self._empty_canonical_table(m, columns))
         if deletes or added or eq:
             ds = self._read_files_merged(
                 files, deletes, added, cols_read, eq, m.get("file_versions")
@@ -572,15 +562,25 @@ class VersionedTable:
             )
             parts.append(t.filter(pc.is_in(t[key], value_set=value_set)))
         if not parts:
-            base = pq.ParquetFile(m["files"][0]).schema_arrow.empty_table()
-            t = self._fill_added(base, added, cols_read)
-            for name in cols_read:
-                if name not in t.column_names:
-                    typ = fill_types[name]
-                    t = t.append_column(pa.field(name, typ), pa.nulls(0, typ))
-            parts = [t.select(cols_read)]
+            parts = [self._empty_canonical_table(m, cols_read)]
         out = pa.concat_tables(parts, promote_options="default")
         return out.select(columns) if columns is not None else out
+
+    def _empty_canonical_table(
+        self, m: dict, columns: list[str] | None
+    ) -> pa.Table:
+        """Zero-row table with the manifest's canonical output schema
+        (shared by every empty-result path — schema from footers only,
+        no data reads)."""
+        added = m.get("added_columns") or []
+        canon, fill_types = self._canonical_layout(m["files"], added, columns)
+        base = pq.ParquetFile(m["files"][0]).schema_arrow.empty_table()
+        empty = self._fill_added(base, added, canon)
+        for name in canon:
+            if name not in empty.column_names:
+                typ = fill_types[name]
+                empty = empty.append_column(pa.field(name, typ), pa.nulls(0, typ))
+        return empty.select(canon)
 
     # -- tags (named refs, Lance-style) ------------------------------------
     def _refs_path(self) -> str:
@@ -651,14 +651,7 @@ class VersionedTable:
         ]
         added = m.get("added_columns") or []
         if not files:
-            canon, fill_types = self._canonical_layout(m["files"], added, columns)
-            base = pq.ParquetFile(m["files"][0]).schema_arrow.empty_table()
-            empty = self._fill_added(base, added, canon)
-            for name in canon:
-                if name not in empty.column_names:
-                    typ = fill_types[name]
-                    empty = empty.append_column(pa.field(name, typ), pa.nulls(0, typ))
-            return rd.from_arrow(empty.select(canon))
+            return rd.from_arrow(self._empty_canonical_table(m, columns))
         return self._read_files_merged(
             files,
             m.get("deletes") or {},
@@ -666,6 +659,7 @@ class VersionedTable:
             columns,
             m.get("eq_deletes") or [],
             fv,
+            layout_files=m["files"],  # table schema, not the new subset's
         )
 
     # -- equality deletes (Iceberg-style deferred deletes) -----------------
@@ -1161,12 +1155,17 @@ class VersionedTable:
         columns: list[str] | None,
         eq_deletes: list[dict] | None = None,
         file_versions: dict | None = None,
+        layout_files: list[str] | None = None,
     ) -> "rd.Dataset":
         """Per-file load tasks that apply each file's deletion vector,
         equality-delete entries and schema adds as the rows come off the
         Parquet reader (one task per file — files are partition-sized by
-        construction)."""
-        canon, fill_types = self._canonical_layout(files, added, columns)
+        construction). ``layout_files`` fixes the canonical layout to a
+        larger file set than is being read (changelog reads must emit
+        the TABLE's schema, not the new-files subset's)."""
+        canon, fill_types = self._canonical_layout(
+            layout_files if layout_files is not None else files, added, columns
+        )
         load_one = self._load_file_table
         eq = eq_deletes or []
         fv = file_versions or {}

@@ -1000,3 +1000,21 @@ def test_eq_deletes_survive_fresh_handle(tmp_path):
     vt2.compact()
     assert vt2.pending_eq_deletes() == []
     assert vt2.read_arrow()["k"].to_pylist() == ["b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_appended_schema_stable_across_heterogeneous_files(tmp_path):
+    """The changelog's schema is the TABLE's canonical schema even when
+    the new files lack a union column older files carry."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(
+        pa.table({"k": ["a"], "v": pa.array([1], pa.int64()), "extra": ["x"]})
+    )
+    cursor = vt.latest_version()
+    vt.append(t(["b"], [2]))  # no 'extra'
+    rows = vt.read_appended(cursor).take_all()
+    assert rows == [{"k": "b", "v": 2, "extra": None}]
+    # empty-delta path agrees with the non-empty one
+    empty = vt.read_appended(vt.latest_version())
+    assert empty.take_all() == []
+    assert set(empty.schema().names) == {"k", "v", "extra"}

@@ -250,3 +250,15 @@ class TestDistributedLookupPath:
         assert api.get_all_checks(url=url) == want_url
         with pytest.raises(NotFound):
             api.get_all_checks(resource_id="nope")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deleted_resource_cannot_be_rechecked(api):
+    """A tombstoned resource is Gone for POST /api/checks — re-checking
+    it would recreate documents that escape committed purge entries."""
+    rid = api.engine.checks.read_arrow()["resource_id"][0].as_py()
+    api.delete_resource(rid)
+    with pytest.raises(Gone):
+        api.create_check(rid)
+    with pytest.raises(KeyError, match="is deleted"):
+        api.engine.check_resource_now(rid)
