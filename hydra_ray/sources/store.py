@@ -35,7 +35,15 @@ available in this environment, so this module provides the same
   scalar-index analog;
 - ``add_column`` records schema evolution in the manifest: readers
   default-fill the column merge-on-read for files predating the add,
-  time travel and restore keep the pre-add schema.
+  time travel and restore keep the pre-add schema;
+- ``delete_where(defer=True)`` is an Iceberg-style EQUALITY delete:
+  an O(1) manifest entry applied by readers only to files committed
+  strictly before it (per-file commit versions = sequence numbers), so
+  later upserts of the same key stay visible; ``count()`` stays exact;
+- ``read_appended(since_version)`` reads the append-only changelog —
+  O(new files) at any table size, table-canonical schema;
+- ``tag(name)`` pins a version as a named ref: ``gc`` and
+  ``prune_manifests`` retain it until ``delete_tag``.
 
 Swapping the physical layer for real Lance on a cluster is a local
 change confined to this module.
@@ -250,8 +258,6 @@ class VersionedTable:
         return self._commit(files, meta, parent, eq_deletes=[])
 
     # -- hash-partitioned layout ------------------------------------------
-    _PART_RE = None  # compiled lazily
-
     def _part_ids(self, tbl: pa.Table):
         import numpy as np
         import pandas as pd
