@@ -113,11 +113,13 @@ class EngineApi:
     def create_check(self, resource_id: str) -> dict:
         """POST /api/checks: immediate synchronous check + commit.
         A tombstoned resource is Gone (410), never re-checked."""
+        from hydra_ray.pipelines.crawl import ResourceDeleted
+
         try:
             return self.engine.check_resource_now(resource_id)
+        except ResourceDeleted as err:
+            raise Gone(resource_id) from err
         except KeyError as err:
-            if "is deleted" in str(err):
-                raise Gone(resource_id) from err
             raise NotFound(resource_id) from err
 
     # -- resources ---------------------------------------------------------

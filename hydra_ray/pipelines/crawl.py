@@ -51,6 +51,12 @@ from hydra_ray.state.urlseen import UrlSeenPool
 
 VIRTUAL_T0 = datetime(2026, 1, 1, 0, 0, 0)  # virtual clock origin (naive UTC)
 
+
+class ResourceDeleted(KeyError):
+    """Raised for on-demand checks of tombstoned resources (the API maps
+    it to 410 Gone). A dedicated type — classifying by exception text
+    would misfire on a resource id that happens to contain the text."""
+
 _CHECK_COLS = [
     "check_id",
     "resource_id",
@@ -224,6 +230,14 @@ class CrawlEngine:
             tbl = tbl.filter(keep)
             self.catalog.merge_insert(tbl, key="resource_id", meta={"iteration": self.iteration})
             self._frontier_cache = None
+        if self._purged_resource_ids:
+            # a re-registered resource is live again: it must escape the
+            # purge lifetime skip, or documents it re-creates (in files
+            # NEWER than the old equality-delete entry) leak past every
+            # later purge until a restart
+            self._purged_resource_ids.difference_update(
+                tbl["resource_id"].to_pylist()
+            )
         self._save_state()
         return self.catalog.count()
 
@@ -440,12 +454,19 @@ class CrawlEngine:
         resource ids."""
         if self.catalog.is_empty() or self.documents.is_empty():
             return 0
-        # resume bound: tombstones already covered by a pending entry
-        # need no new entry (entries clear at compaction, after which
-        # their rows are physically gone — see the liveness skip below)
+        # pending-entry coverage, VERSION-AWARE (doc_id → newest entry
+        # version): an entry only deletes rows in files strictly older
+        # than it (sequence rule), so "already purged" must mean "no
+        # live file at-or-after the entry may contain the doc" — a
+        # resource re-registered live writes NEWER files that escape
+        # the old entry and needs a fresh one when re-tombstoned.
+        covered: dict[str, int] = {}
         for e in self.documents.pending_eq_deletes():
             if e["key"] == "doc_id":
-                self._purged_resource_ids.update(str(v) for v in e["values"])
+                for v in e["values"]:
+                    s = str(v)
+                    if e["at_version"] > covered.get(s, -1):
+                        covered[s] = e["at_version"]
         if self._frontier_cache is not None:
             cat = self._frontier_cache
             mask = pc.fill_null(cat["deleted"], False)
@@ -469,27 +490,39 @@ class CrawlEngine:
                 )
             )
             deleted = set(tomb["resource_id"].to_pylist())
+        # a resource observed live again (re-registered after a purge)
+        # must escape the lifetime skip: documents it re-creates postdate
+        # the old entry and would otherwise leak past every later purge
+        self._purged_resource_ids &= deleted
         todo = sorted(deleted - self._purged_resource_ids)
+        n_live = 0
         if todo:
-            # zone-map liveness skip: tombstones whose doc_id can't sit
-            # in ANY live file (typically purged-then-compacted before a
-            # restart) need no entry — bounds per-restart entry growth
-            ranges = list(
-                self.documents.file_key_ranges(
-                    self.documents.files(), "doc_id"
-                ).values()
-            )
-            spans = [r for r in ranges if r is not None]
-            unknown = len(spans) < len(ranges)
-            live = [
-                rid
-                for rid in todo
-                if unknown or any(r[0] <= rid <= r[1] for r in spans)
-            ]
+            # per-tombstone liveness: an entry is needed iff some live
+            # file (a) may contain the doc_id (zone-map containment) and
+            # (b) is NOT covered by a pending entry — i.e. its commit
+            # version is at/after the entry (unknown version = oldest =
+            # covered, matching _eq_entries_for). Bounds entry growth
+            # across restarts AND re-admits re-tombstoned resurrections.
+            files = self.documents.files()
+            ranges = self.documents.file_key_ranges(files, "doc_id")
+            fv = self.documents._load_manifest().get("file_versions") or {}
+            live = []
+            for rid in todo:
+                v_cov = covered.get(rid)
+                for f in files:
+                    r = ranges[f]
+                    if r is not None and not (r[0] <= rid <= r[1]):
+                        continue  # file can't contain the doc
+                    fver = fv.get(f)
+                    if v_cov is not None and (fver is None or fver < v_cov):
+                        continue  # covered by the pending entry
+                    live.append(rid)
+                    break
             if live:
                 self.purge_documents(live, defer=True)
+            n_live = len(live)
         self._purged_resource_ids |= deleted
-        return len(todo)
+        return n_live
 
     def gc(self, keep_versions: int = 2, keep_state: int = 3) -> dict:
         """Reclaim storage: superseded catalog versions (the only table
@@ -560,7 +593,7 @@ class CrawlEngine:
             # reference routes/checks.py: a deleted resource is Gone —
             # checking it would recreate documents that escape the
             # already-committed purge entries (sequence rule)
-            raise KeyError(f"resource {resource_id!r} is deleted")
+            raise ResourceDeleted(f"resource {resource_id!r} is deleted")
         it = self.iteration
         now = self.now_dt(it)
         fetch_kwargs = {

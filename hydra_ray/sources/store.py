@@ -797,8 +797,14 @@ class VersionedTable:
             value_set = pa.array(sorted(set(values)))
 
             def match(tbl: pa.Table):
+                import numpy as _np
                 import pyarrow.compute as pc
 
+                if key not in tbl.column_names:
+                    # heterogeneous appends: a file that physically lacks
+                    # the key (and it isn't manifest-added) simply has no
+                    # matching rows — mirror _apply_eq's absent-column skip
+                    return _np.zeros(tbl.num_rows, dtype=bool)
                 return pc.is_in(tbl[key], value_set=value_set)
 
         else:
@@ -890,8 +896,13 @@ class VersionedTable:
             value_set = pa.array(sorted(set(values)))
 
             def match(tbl: pa.Table):
+                import numpy as _np
                 import pyarrow.compute as pc
 
+                if key not in tbl.column_names:
+                    # absent key (file lacks it, not manifest-added) =
+                    # NULL = no match, same as _apply_eq
+                    return _np.zeros(tbl.num_rows, dtype=bool)
                 return pc.is_in(tbl[key], value_set=value_set)
 
         else:

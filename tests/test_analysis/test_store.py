@@ -1018,3 +1018,58 @@ def test_read_appended_schema_stable_across_heterogeneous_files(tmp_path):
     empty = vt.read_appended(vt.latest_version())
     assert empty.take_all() == []
     assert set(empty.schema().names) == {"k", "v", "extra"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_eager_delete_update_with_absent_key_column(tmp_path):
+    """ADVICE r4: eager delete_where/update_where (values path) on a
+    union column some files physically lack must treat the absent key
+    as NULL = no match (like _apply_eq), not crash in the Ray task."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(pa.table({"k": ["a", "b"], "extra": [1, 2]}))
+    vt.append(pa.table({"k": ["c", "d"]}))  # this file lacks "extra"
+    vt.delete_where("extra", [2])
+    assert sorted(vt.read_arrow()["k"].to_pylist()) == ["a", "c", "d"]
+    vt.update_where("extra", [1], set_values={"k": "z"})
+    assert sorted(vt.read_arrow()["k"].to_pylist()) == ["c", "d", "z"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_string_zone_maps_serving_keys(tmp_path):
+    """VERDICT r4 #7: lexicographic string zone maps on the serving
+    path's actual key types (url_md5/resource_id-shaped 32-char hex) —
+    point lookups prune files, pruned reads equal unpruned ones, and
+    long (>64B) string keys stay containment-safe."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    # three files with disjoint sorted md5-key ranges
+    keys = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in range(90))
+    for part in range(3):
+        chunk = keys[part * 30 : (part + 1) * 30]
+        vt.append(pa.table({"url_md5": chunk, "v": list(range(len(chunk)))}))
+    files = vt.files()
+    probe = keys[5]  # inside file 0's range only
+    pruned = vt.prune_files(files, "url_md5", [probe])
+    assert len(pruned) == 1
+    # path equality: pruned point read == full-scan filter
+    got = vt.read_where_arrow("url_md5", [probe])
+    full = vt.read_arrow()
+    want = full.filter(pc.equal(full["url_md5"], probe))
+    assert got.sort_by("url_md5").to_pylist() == want.sort_by("url_md5").to_pylist()
+    # a key in the gap between file ranges prunes everything
+    gap_probe = keys[29] + "0"  # > file0 max, < file1 min
+    assert vt.prune_files(files, "url_md5", [gap_probe]) == []
+    assert vt.read_where_arrow("url_md5", [gap_probe]).num_rows == 0
+
+    # long string keys (beyond any footer truncation length): pruning
+    # must stay containment-correct or disable itself — never drop rows
+    vt2 = VersionedTable(str(tmp_path / "t2"))
+    long_keys = [c * 200 for c in "abc"]
+    vt2.append(pa.table({"k": long_keys[:2]}))
+    vt2.append(pa.table({"k": long_keys[2:]}))
+    for k in long_keys:
+        got = vt2.read_where_arrow("k", [k])
+        assert got["k"].to_pylist() == [k]

@@ -358,3 +358,70 @@ def test_tombstone_survives_active_checkpoints(tmp_path, make_crawl_engine):
     final = set(eng.read_documents()["doc_id"].to_pylist())
     assert final.isdisjoint(victims)
     eng.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retombstoned_resurrection_is_repurged(tmp_path, make_crawl_engine):
+    """Regression (ADVICE r4): tombstone → purge → re-register live →
+    re-tombstone within one engine lifetime. The old lifetime-set skip
+    never re-purged the resource, so documents it re-created (in files
+    NEWER than the pending equality-delete entry, which only covers
+    strictly-older files) leaked past every later purge."""
+    from hydra_ray.pipelines.api import EngineApi
+
+    docs = pa.table({"doc_id": pa.array(np.arange(30), type=pa.int64())})
+    eng = make_crawl_engine(
+        str(tmp_path / "wd"), batch_size=30, actor_pools=False,
+        politeness_kwargs={"backoff_nb_req": 10**9},
+    )
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run(2)
+    live_docs = set(eng.read_documents()["doc_id"].to_pylist())
+    cat = eng.catalog.read_arrow()
+    victim = next(
+        r for r in cat.to_pylist()
+        if r["format"] == "csv" and r["resource_id"] in live_docs
+    )
+    rid = victim["resource_id"]
+    api = EngineApi(eng)
+    api.delete_resource(rid)
+    assert eng.purge_deleted_resources() == 1
+    assert rid not in set(eng.read_documents()["doc_id"].to_pylist())
+
+    # resurrect: same resource re-registered live, re-checked, re-parsed
+    eng.insert_priority_resource(
+        {
+            "resource_id": rid,
+            "dataset_id": victim["dataset_id"],
+            "url": victim["url"],
+            "format": "csv",
+        }
+    )
+    eng.run(1)
+    # its documents re-appear: the new file postdates the old entry
+    assert rid in set(eng.read_documents()["doc_id"].to_pylist())
+
+    # re-tombstone: the purge must NOT skip it this lifetime
+    api.delete_resource(rid)
+    assert eng.purge_deleted_resources() == 1
+    assert rid not in set(eng.read_documents()["doc_id"].to_pylist())
+    # untouched tombstones stay purged-once (no duplicate entries)
+    assert eng.purge_deleted_resources() == 0
+    # ...and the purge survives compaction + a fresh engine
+    eng.compact_documents()
+    eng.gc()
+    assert rid not in set(eng.read_documents()["doc_id"].to_pylist())
+    eng.shutdown()
+
+    eng2 = make_crawl_engine(
+        str(tmp_path / "wd"), batch_size=30, actor_pools=False,
+        politeness_kwargs={"backoff_nb_req": 10**9},
+    )
+    assert rid not in set(eng2.read_documents()["doc_id"].to_pylist())
+    # resume: at most one conservative entry (zone-map ranges may still
+    # span the long-gone id), then the lifetime skip holds
+    assert eng2.purge_deleted_resources() <= 1
+    assert eng2.purge_deleted_resources() == 0
+    assert len(eng2.documents.pending_eq_deletes()) <= 1
+    assert rid not in set(eng2.read_documents()["doc_id"].to_pylist())
+    eng2.shutdown()
