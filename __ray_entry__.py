@@ -47,7 +47,7 @@ _PRIORITY = [
     "jaccard_join_salted", "orders_lineitem_join", "c4_filter",
     "media_decode", "pagerank", "triangle_count", "webp_roundtrip",
     "flac_roundtrip", "minhash_near_dups", "dedup_exact",
-    "paragraph_dedup", "duplicated_passages", "exact_substr_dedup",
+    "paragraph_dedup", "duplicated_passages",
     "decontaminate", "knn_pq",
     "tdigest_quantiles", "gopher_quality", "pack_sequences",
     "bloom_semi_join",
@@ -63,6 +63,13 @@ _PRIORITY = [
     # crawler_status_triptych, purge_orphans, xlsx_inspect and
     # knn_pq+knn_hnsw (all remain gated via check_correctness.py)
     "span_dedup", "interleave_pack", "interleaved_shards", "span_near_dup",
+    # round-5 (VERDICT r4 #1): the parse/export lifecycle on check rows —
+    # parsing_error "step:cause", parsing timestamps, parquet/geojson/
+    # pmtiles artifact URLs+sizes, ogc_metadata. Displaces
+    # exact_substr_dedup, whose substring-dedup family stays in-window
+    # via sa_dup_spans + duplicated_passages (still fully gated via
+    # tools/check_correctness.py).
+    "parse_lifecycle",
 ]
 
 

@@ -261,7 +261,7 @@ def cmd_download_resource(args) -> dict:
 
     eng = _engine(args.workdir)
     res = EngineApi(eng).get_resource(args.resource_id)
-    url = res["url"]
+    url = res["document"]["url"]  # reference ResourceSchema wire format
     transport = make_transport(eng.transport)
     data = transport.body(url, max_bytes=args.max_bytes)
     ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else "bin"
@@ -312,9 +312,12 @@ def cmd_analyse_ogc(args) -> dict:
                     if cat.num_rows and bool(cat["deleted"][0].as_py() or False):
                         check = None
             if check is None and (args.url or args.resource_id):
-                check = EngineApi(eng).get_latest_check(
+                wire = EngineApi(eng).get_latest_check(
                     url=args.url, resource_id=args.resource_id
                 )
+                # the API speaks the reference wire format (check_url);
+                # analyse_ogc consumes internal check rows (url)
+                check = dict(wire) | {"url": wire["check_url"]}
         except (NotFound, Gone, ValueError):
             check = None
         if check is None and args.url:

@@ -77,6 +77,10 @@ class Config:
     OGC_ANALYSIS_ENABLED: bool = False
     OGC_FORMATS: list[str] = field(default_factory=lambda: ["wfs", "wms"])
     WEBHOOK_ENABLED: bool = True
+    # public URL base recorded on check rows for exported artifacts
+    # (reference: the S3/MinIO URL returned by send_file and written to
+    # check.{parquet,geojson,pmtiles}_url — analysis/exports.py:38-46)
+    EXPORTS_BASE_URL: str = "https://object-store.example/hydra-exports"
 
     # reserved PG column budget (reference config_default.toml:17)
     NAMEDATALEN: int = 64

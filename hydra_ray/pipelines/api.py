@@ -69,26 +69,90 @@ class EngineApi:
         t = checks.read_arrow()
         return t.filter(pc.equal(t[key], val))
 
+    # reference wire format (schemas/check.py CheckSchema): marshmallow
+    # data_key renames check_id→"id" / check_status→"status", headers
+    # parsed to a dict (empty when null), cors_headers parsed or None,
+    # datetimes ISO-serialized, plus the catalog-join fields
+    # (catalog_id/catalog_url/deleted — Check.get_latest, db/check.py:62-70)
+    # and the parse/export lifecycle columns.
+    @staticmethod
+    def _check_wire(row: dict, cat_row: dict | None) -> dict:
+        import json as _json
+
+        def iso(v):
+            return v.isoformat() if v is not None else None
+
+        cat_row = cat_row or {}
+        return {
+            "id": row["id"],
+            # the engine's stable per-URL integer (url_key) stands in for
+            # the reference's serial catalog.id
+            "catalog_id": cat_row.get("url_key"),
+            "catalog_url": cat_row.get("url"),
+            "check_url": row["url"],
+            "domain": row["domain"],
+            "created_at": iso(row["created_at"]),
+            "status": row["status"],
+            "headers": _json.loads(row["headers"]) if row.get("headers") else {},
+            "cors_headers": (
+                _json.loads(row["cors_headers"]) if row.get("cors_headers") else None
+            ),
+            "timeout": row["timeout"],
+            "response_time": row["response_time"],
+            "error": row["error"],
+            "dataset_id": row["dataset_id"],
+            "resource_id": row["resource_id"],
+            "next_check_at": iso(row["next_check_at"]),
+            "deleted": bool(cat_row.get("deleted") or False),
+            "parsing_started_at": iso(row.get("parsing_started_at")),
+            "parsing_finished_at": iso(row.get("parsing_finished_at")),
+            "parsing_error": row.get("parsing_error"),
+            "parsing_table": row.get("parsing_table"),
+            "parquet_url": row.get("parquet_url"),
+            "parquet_size": row.get("parquet_size"),
+            "pmtiles_url": row.get("pmtiles_url"),
+            "pmtiles_size": row.get("pmtiles_size"),
+            "geojson_url": row.get("geojson_url"),
+            "geojson_size": row.get("geojson_size"),
+        }
+
+    def _catalog_row(self, resource_id: str) -> dict | None:
+        cat = self.engine.catalog
+        if cat.is_empty():
+            return None
+        if cat.count() > self.DRIVER_LOOKUP_MAX_ROWS:
+            t = cat.read_where_arrow("resource_id", [resource_id])
+        else:
+            t = cat.read_arrow()
+            t = t.filter(pc.equal(t["resource_id"], resource_id))
+        if t.num_rows == 0:
+            return None
+        return {c: t[c][0].as_py() for c in t.column_names}
+
     def get_latest_check(self, url: str | None = None, resource_id: str | None = None) -> dict:
         t = self._checks_filtered(url, resource_id)
         if t.num_rows == 0:
             raise NotFound(url or resource_id)
         idx = pc.index(t["id"], pc.max(t["id"]).as_py()).as_py()
         row = {c: t[c][idx].as_py() for c in t.column_names}
-        cat = self.engine.catalog.read_arrow(columns=["resource_id", "deleted"])
-        dmask = pc.and_(
-            pc.equal(cat["resource_id"], row["resource_id"]), pc.equal(cat["deleted"], True)
-        )
-        if pc.any(dmask).as_py():
+        cat_row = self._catalog_row(row["resource_id"])
+        if cat_row is not None and bool(cat_row.get("deleted") or False):
             raise Gone(row["resource_id"])
-        return row
+        return self._check_wire(row, cat_row)
 
     def get_all_checks(self, url: str | None = None, resource_id: str | None = None) -> list[dict]:
         t = self._checks_filtered(url, resource_id)
         if t.num_rows == 0:
             raise NotFound(url or resource_id)
         t = t.sort_by([("created_at", "descending"), ("id", "descending")])
-        return t.to_pylist()
+        cat_cache: dict[str, dict | None] = {}
+        out = []
+        for row in t.to_pylist():
+            rid = row["resource_id"]
+            if rid not in cat_cache:
+                cat_cache[rid] = self._catalog_row(rid)
+            out.append(self._check_wire(row, cat_cache[rid]))
+        return out
 
     def get_checks_aggregate(self, created_at: "str | date", group_by: str) -> list[dict]:
         """Counts per ``group_by`` value for checks created on a date
@@ -124,11 +188,41 @@ class EngineApi:
 
     # -- resources ---------------------------------------------------------
     def get_resource(self, resource_id: str) -> dict:
-        cat = self.engine.catalog.read_arrow()
-        t = cat.filter(pc.equal(cat["resource_id"], resource_id))
-        if t.num_rows == 0:
+        """Reference wire format (schemas/resource.py ResourceSchema:
+        dataset_id/resource_id/status/status_since + the nested
+        ResourceDocumentSchema document — fields the engine does not
+        track are None, like optional marshmallow fields)."""
+        row = self._catalog_row(resource_id)
+        if row is None:
             raise NotFound(resource_id)
-        return {c: t[c][0].as_py() for c in t.column_names}
+
+        def iso(v):
+            return v.isoformat() if v is not None else None
+
+        return {
+            "dataset_id": row["dataset_id"],
+            "resource_id": row["resource_id"],
+            "status": row.get("status"),
+            "status_since": iso(row.get("status_since")),
+            "document": {
+                "id": row["resource_id"],
+                "url": row["url"],
+                "format": row.get("format"),
+                "title": row.get("title"),
+                "schema": None,
+                "description": None,
+                "filetype": "file",
+                "type": row.get("type"),
+                "mime": row.get("last_mime_type"),
+                "filesize": row.get("last_filesize"),
+                "checksum_type": "sha1" if row.get("last_checksum") else None,
+                "checksum_value": row.get("last_checksum"),
+                "created_at": iso(row.get("harvest_modified_at")),
+                "last_modified": iso(row.get("detected_last_modified_at")),
+                "extras": {},
+                "harvest": {},
+            },
+        }
 
     def get_resources_status_counts(self) -> dict:
         cat = self.engine.catalog.read_arrow(columns=["status"])

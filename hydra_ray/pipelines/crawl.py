@@ -98,6 +98,7 @@ class CrawlEngine:
         robots: bool = False,
         catalog_parts: int = 16,
         catalog_partition_min_rows: int = 50_000,
+        analysis_config: dict | None = None,
     ):
         # robots.txt gate in the fetch stage (north-rule component)
         self.robots = robots
@@ -106,6 +107,10 @@ class CrawlEngine:
         # multi-node layout (connection reuse per partition, skew bounded)
         self.partition_by_domain = partition_by_domain
         self.analysis_content_rows = analysis_content_rows
+        # config-flag overrides (DB_TO_PARQUET, OGC_ANALYSIS_ENABLED, …)
+        # shipped to the analyse workers via fn_constructor_kwargs —
+        # driver-side config_override is invisible in Ray workers
+        self.analysis_config = analysis_config or {}
         # per-resource overrides (size-cap exemptions), J3 broadcast side
         self.resource_exceptions = resource_exceptions or set()
         # actor_pools=False runs fetch/analyse as stateless tasks — faster
@@ -338,6 +343,8 @@ class CrawlEngine:
                 "transport": self.transport,
                 "content_rows": self.analysis_content_rows,
                 "exceptions": self.resource_exceptions,
+                "exports_dir": os.path.join(self.workdir, "exports"),
+                "config_overrides": self.analysis_config,
             }
             if self.actor_pools:
                 ds = ds.map_batches(
@@ -605,6 +612,8 @@ class CrawlEngine:
             "transport": self.transport,
             "content_rows": self.analysis_content_rows,
             "exceptions": self.resource_exceptions,
+            "exports_dir": os.path.join(self.workdir, "exports"),
+            "config_overrides": self.analysis_config,
         }
         b = Fetcher(**fetch_kwargs)(row)
         b = build_checks_batch(b, iteration=it, now=now.replace(tzinfo=timezone.utc))

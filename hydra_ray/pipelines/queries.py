@@ -5783,3 +5783,194 @@ def _oracle_span_near_dup(threshold: float = 0.5) -> str:
 
 QUERIES["span_near_dup"] = q_span_near_dup
 ORACLES["span_near_dup"] = _oracle_span_near_dup()
+
+
+def q_parse_lifecycle(sf_dir: str):
+    """VERDICT r4 #1: the parse/export lifecycle recorded on check rows —
+    parsing_started_at/finished_at + "step:cause" parsing_error
+    (reference utils/errors.py:113-135, csv_like/__init__.py:84-117),
+    parquet/geojson/pmtiles artifact URL+size (analysis/exports.py:20-128)
+    and ogc_metadata (ogc/__init__.py:80-248) — over a catalog that
+    exercises every route: geo CSVs (geojson+pmtiles exports), ragged
+    CSVs (copy-step parse failure), WFS endpoints (OGC capabilities) and
+    plain CSVs (parquet export above MIN_LINES_FOR_PARQUET).
+
+    Artifact byte sizes are not SQL-expressible; the oracle pins the
+    ``*_ok`` booleans TRUE for every row whose export must exist (the
+    knn/tdigest accuracy-gate pattern) and the URLs exactly."""
+    import hashlib as _hl
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from hydra_ray.pipelines.crawl import CrawlEngine
+
+    doc_ids = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy(zero_copy_only=False)
+    urls, fmts = [], []
+    for d in doc_ids:
+        d = int(d)
+        host = f"host{d % 20:02d}.data.example"
+        r = d % 4
+        if r == 0:
+            urls.append(f"https://{host}/geo/{d}.csv")
+            fmts.append("csv")
+        elif r == 1:
+            urls.append(f"https://{host}/ragged/{d}.csv")
+            fmts.append("csv")
+        elif r == 2:
+            urls.append(
+                f"https://geo{d % 7}.data.example/geoserver/{d}/wfs?service=wfs&typeName=ns:layer_{d % 13}"
+            )
+            fmts.append("wfs")
+        else:
+            urls.append(f"https://{host}/plain/{d}.csv")
+            fmts.append("csv")
+    n = len(urls)
+    cat = pa.table(
+        {
+            "dataset_id": pa.array([f"ds-{int(d) % 50}" for d in doc_ids]),
+            "resource_id": pa.array([_hl.md5(u.encode()).hexdigest() for u in urls]),
+            "url": pa.array(urls),
+            "type": pa.array(["main"] * n),
+            "format": pa.array(fmts),
+            "title": pa.array(["t"] * n),
+            "deleted": pa.array([False] * n),
+            "priority": pa.array([False] * n),
+        }
+    )
+    workdir = tempfile.mkdtemp(prefix="hydra_ray_q_")
+    eng = CrawlEngine(
+        workdir,
+        batch_size=n,
+        actor_pools=False,
+        politeness_kwargs={"backoff_nb_req": 10**9},
+        analysis_config={
+            "DB_TO_PARQUET": True,
+            "MIN_LINES_FOR_PARQUET": 100,
+            "DB_TO_GEOJSON": True,
+            "GEOJSON_TO_PMTILES": True,
+            "OGC_ANALYSIS_ENABLED": True,
+        },
+    )
+    eng.load_catalog(cat)
+    eng.run(1)
+    t = eng.checks.read_arrow(
+        columns=[
+            "url",
+            "parsing_error",
+            "parsing_table",
+            "parsing_started_at",
+            "parsing_finished_at",
+            "parquet_url",
+            "parquet_size",
+            "geojson_url",
+            "geojson_size",
+            "pmtiles_url",
+            "pmtiles_size",
+            "ogc_metadata",
+        ]
+    )
+    eng.shutdown()
+    t = t.filter(pc.is_valid(t["parsing_started_at"])).sort_by([("url", "ascending")])
+
+    def ok(url_col: str, size_col: str):
+        return pc.and_(
+            pc.is_valid(t[url_col]), pc.greater(pc.fill_null(t[size_col], 0), 0)
+        )
+
+    return pa.table(
+        {
+            "url": t["url"],
+            "parsing_error": t["parsing_error"],
+            "parsing_table": t["parsing_table"],
+            "parsing_started_at": t["parsing_started_at"],
+            "parsing_finished_at": t["parsing_finished_at"],
+            "parquet_url": t["parquet_url"],
+            "parquet_ok": ok("parquet_url", "parquet_size"),
+            "geojson_url": t["geojson_url"],
+            "geojson_ok": ok("geojson_url", "geojson_size"),
+            "pmtiles_url": t["pmtiles_url"],
+            "pmtiles_ok": ok("pmtiles_url", "pmtiles_size"),
+            "ogc_metadata": t["ogc_metadata"],
+        }
+    )
+
+
+ORACLE_PARSE_LIFECYCLE = """
+WITH cat AS (
+  SELECT doc_id, doc_id % 4 AS route,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://host' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0')
+                  || '.data.example/geo/' || CAST(doc_id AS VARCHAR) || '.csv'
+      WHEN 1 THEN 'https://host' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0')
+                  || '.data.example/ragged/' || CAST(doc_id AS VARCHAR) || '.csv'
+      WHEN 2 THEN 'https://geo' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.data.example/geoserver/' || CAST(doc_id AS VARCHAR)
+                  || '/wfs?service=wfs&typeName=ns:layer_'
+                  || CAST(doc_id % 13 AS VARCHAR)
+      ELSE 'https://host' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0')
+           || '.data.example/plain/' || CAST(doc_id AS VARCHAR) || '.csv'
+    END AS url
+  -- DISTINCT: the engine's URL-seen set drops duplicate doc_id rows
+  FROM (SELECT DISTINCT doc_id FROM documents)
+), props AS (
+  SELECT url, route, doc_id,
+    CAST(('0x' || substr(md5(url), 1, 4)) AS INT) % 100 AS cls,
+    5 + (CAST(('0x' || substr(md5(url || '#0'), 1, 4)) AS INT) % 200) AS nrows
+  FROM cat
+), ok AS (
+  -- fetch outcome classes (synth.synthetic_response): 200 OK below 84,
+  -- bad-HEAD-then-GET-OK at 98-99; everything else never reaches analysis
+  SELECT * FROM props WHERE cls < 84 OR cls >= 98
+), ogc AS (
+  SELECT url,
+    '{"crs": ["EPSG:4326"' || CASE WHEN n_crs = 2 THEN ', "EPSG:3857"' ELSE '' END || '], ' ||
+    '"detected_layer": "ns:layer_' || lyr || '", ' ||
+    '"layers": ["ns:layer_' || lbase || '_0"' ||
+       CASE WHEN n_layers >= 2 THEN ', "ns:layer_' || lbase || '_1"' ELSE '' END ||
+       CASE WHEN n_layers >= 3 THEN ', "ns:layer_' || lbase || '_2"' ELSE '' END ||
+       CASE WHEN n_layers >= 4 THEN ', "ns:layer_' || lbase || '_3"' ELSE '' END ||
+       CASE WHEN n_layers >= 5 THEN ', "ns:layer_' || lbase || '_4"' ELSE '' END ||
+    '], "output_formats": ["application/json"' || CASE WHEN n_fmt = 2 THEN ', "GML2"' ELSE '' END || '], ' ||
+    '"service_type": "wfs", "version": "' ||
+    CASE vidx WHEN 0 THEN '2.0.0' WHEN 1 THEN '1.1.0' ELSE '1.0.0' END || '"}' AS meta
+  FROM (
+    SELECT url,
+      1 + (CAST(('0x'||substr(h,1,2)) AS INT) % 5) AS n_layers,
+      CAST(CAST(('0x'||substr(h,3,2)) AS INT) % 97 AS VARCHAR) AS lbase,
+      CAST(('0x'||substr(h,5,2)) AS INT) % 3 AS vidx,
+      1 + (CAST(('0x'||substr(h,7,2)) AS INT) % 2) AS n_crs,
+      1 + (CAST(('0x'||substr(h,9,2)) AS INT) % 2) AS n_fmt,
+      CAST(doc_id % 13 AS VARCHAR) AS lyr
+    FROM (SELECT url, doc_id, md5('wfs:' || url) AS h FROM ok WHERE route = 2)
+  )
+)
+SELECT
+  o.url,
+  CASE WHEN o.route = 1 THEN 'copy_records_to_table:row 3 has 4 cells, expected 3' END
+      AS parsing_error,
+  CASE WHEN o.route IN (0, 3) THEN md5(o.url) END AS parsing_table,
+  TIMESTAMP '2026-01-01 00:00:00' AS parsing_started_at,
+  TIMESTAMP '2026-01-01 00:00:00' AS parsing_finished_at,
+  CASE WHEN o.route IN (0, 3) AND o.nrows >= 100
+       THEN 'https://object-store.example/hydra-exports/' || md5(o.url) || '.parquet' END
+      AS parquet_url,
+  (o.route IN (0, 3) AND o.nrows >= 100) AS parquet_ok,
+  CASE WHEN o.route = 0
+       THEN 'https://object-store.example/hydra-exports/' || md5(o.url) || '.geojson' END
+      AS geojson_url,
+  (o.route = 0) AS geojson_ok,
+  CASE WHEN o.route = 0
+       THEN 'https://object-store.example/hydra-exports/' || md5(o.url) || '.pmtiles' END
+      AS pmtiles_url,
+  (o.route = 0) AS pmtiles_ok,
+  g.meta AS ogc_metadata
+FROM ok o LEFT JOIN ogc g USING (url)
+ORDER BY o.url
+"""
+
+
+QUERIES["parse_lifecycle"] = q_parse_lifecycle
+ORACLES["parse_lifecycle"] = ORACLE_PARSE_LIFECYCLE

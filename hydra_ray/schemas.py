@@ -69,8 +69,20 @@ CHECKS_SCHEMA = pa.schema(
         ("mime_type", pa.string()),
         ("analysis_error", pa.string()),
         ("detected_last_modified_at", TS),
+        # parse/export lifecycle (reference migrations: 20221205 initial
+        # parsing_* columns; 20241021 parquet; 20250130 pmtiles;
+        # 20250615 geojson; 20260202 wfs/ogc metadata)
         ("parsing_error", pa.string()),
         ("parsing_table", pa.string()),
+        ("parsing_started_at", TS),
+        ("parsing_finished_at", TS),
+        ("ogc_metadata", pa.string()),  # JSON
+        ("parquet_url", pa.string()),
+        ("parquet_size", pa.int64()),
+        ("geojson_url", pa.string()),
+        ("geojson_size", pa.int64()),
+        ("pmtiles_url", pa.string()),
+        ("pmtiles_size", pa.int64()),
         ("next_check_at", TS),
     ]
 )

@@ -358,16 +358,15 @@ def _split_to_leaves(entries: list[tuple[int, int, int, int]]) -> tuple[bytes, b
         leaf_n *= 2
 
 
-def write_pmtiles(
+def build_pmtiles_bytes(
     tiles: dict[tuple[int, int, int], bytes],
-    out_path: str,
     bounds: tuple[float, float, float, float] = (-180.0, -85.0511, 180.0, 85.0511),
     metadata: dict | None = None,
-) -> str:
-    """(z,x,y)→MVT bytes → a v3 archive. Small archives get a root-only
-    directory; once the root would exceed the spec's 16 KB budget the
-    entries spill into leaf directories (run_length=0 root pointers),
-    so archive size is unbounded."""
+) -> bytes:
+    """(z,x,y)→MVT bytes → a v3 archive as bytes. Small archives get a
+    root-only directory; once the root would exceed the spec's 16 KB
+    budget the entries spill into leaf directories (run_length=0 root
+    pointers), so archive size is unbounded."""
     if not tiles:
         raise ValueError("no tiles to write")
     by_id = sorted((hilbert_tile_id(z, x, y), blob) for (z, x, y), blob in tiles.items())
@@ -390,9 +389,19 @@ def write_pmtiles(
         min(zs), max(zs), bounds,
         leaf_off=leaf_off if leaves else 0, leaf_len=len(leaves),
     )
+    return header + root + meta + leaves + bytes(data)
+
+
+def write_pmtiles(
+    tiles: dict[tuple[int, int, int], bytes],
+    out_path: str,
+    bounds: tuple[float, float, float, float] = (-180.0, -85.0511, 180.0, 85.0511),
+    metadata: dict | None = None,
+) -> str:
+    blob = build_pmtiles_bytes(tiles, bounds, metadata)
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(header + root + meta + leaves + data)
+        f.write(blob)
     import os
 
     os.replace(tmp, out_path)

@@ -36,6 +36,7 @@ from hydra_ray.functions.checks import (
 )
 from hydra_ray.functions.detect import detect_format
 from hydra_ray.functions.payload import flatten_payload
+from hydra_ray.stages.exports import _EXPORT_KEYS, export_artifacts
 from hydra_ray.stages.fetcher import make_transport
 
 # MIME from downloaded bytes (M15): the reference shells into libmagic;
@@ -72,6 +73,8 @@ class Analyser:
         parse_content: bool = True,
         content_rows: int = 200,
         exceptions: set | None = None,
+        exports_dir: str | None = None,
+        config_overrides: dict | None = None,
     ):
         self.transport = make_transport(transport or {"kind": "synthetic"})
         self.force = force_analysis
@@ -84,8 +87,22 @@ class Analyser:
         # inspection/cast/span cost; bench raises it to approximate real
         # file sizes
         self.content_rows = content_rows
+        # artifact sink for the export jobs (engine workdir/exports)
+        self.exports_dir = exports_dir
+        # driver-side config_override is invisible in Ray workers —
+        # feature flags (DB_TO_PARQUET, OGC_ANALYSIS_ENABLED, ...) must
+        # ride fn_constructor_kwargs and re-apply inside the worker
+        self.config_overrides = config_overrides or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.config_overrides:
+            from hydra_ray.config import config_override
+
+            with config_override(**self.config_overrides):
+                return self._analyse(batch)
+        return self._analyse(batch)
+
+    def _analyse(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         urls = batch["url"].to_pylist()
         rids = batch["resource_id"].to_pylist() if "resource_id" in batch.column_names else [None] * n
@@ -109,6 +126,7 @@ class Analyser:
 
         out_change, out_checksum, out_filesize, out_mime = [], [], [], []
         out_err, out_dlma, out_next, out_fmt, out_payload, out_parse = [], [], [], [], [], []
+        out_run: list[bool] = []  # run_further per row (feeds OGC analysis)
 
         outcomes = batch["outcome"].to_pylist() if "outcome" in batch.column_names else ["ok"] * n
 
@@ -126,6 +144,7 @@ class Analyser:
                 out_fmt.append(None)
                 out_payload.append(None)
                 out_parse.append(False)
+                out_run.append(False)
                 continue
             headers = json.loads(headers_js[j]) if headers_js[j] else {}
             now = created_at[j].replace(tzinfo=timezone.utc)
@@ -211,6 +230,7 @@ class Analyser:
             is_first = not has_last[j]
             run_further = change == Change.HAS_CHANGED or is_first or self.force
             out_parse.append(bool(run_further and fmt in PARSEABLE_FORMATS))
+            out_run.append(bool(run_further))
             if run_further:
                 analysis_results = {"analysis:check_id": int(check_ids[j])} | dl | (payload or {})
                 out_payload.append(json.dumps(flatten_payload(analysis_results), sort_keys=True, default=str))
@@ -222,8 +242,72 @@ class Analyser:
         spans_col = None
         parsing_tables: list[str | None] = [None] * n
         self._last_inspections = [None] * n
+        self._last_parse_errors: list[str | None] = [None] * n
+        self._last_exports = {k: [None] * n for k in _EXPORT_KEYS}
         if self.parse_content:
             spans_col, parsing_tables = self._parse_contents(batch, out_parse)
+
+        # OGC capabilities analysis for service-format resources
+        # (reference data_formats/ogc/__init__.py:80-248: parse
+        # GetCapabilities, store the JSONB on the check row between
+        # parsing_started_at / parsing_finished_at)
+        out_ogc: list[str | None] = [None] * n
+        if config.OGC_ANALYSIS_ENABLED:
+            from hydra_ray.stages.ogc import analyse_ogc
+
+            for j in range(n):
+                if not out_run[j] or out_fmt[j] not in config.OGC_FORMATS:
+                    continue
+                try:
+                    meta = analyse_ogc(
+                        {"url": urls[j], "format": formats[j]}, transport=self.transport
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    self._last_parse_errors[j] = f"ogc_service_parsing:{exc}"
+                    continue
+                if meta is not None:
+                    out_ogc[j] = json.dumps(meta, sort_keys=True)
+
+        # parsing lifecycle timestamps (csv_like/__init__.py:84-117 sets
+        # started_at before inspection; utils/errors.py:130 sets
+        # finished_at on BOTH success and parse failure). The virtual
+        # clock has no sub-iteration resolution, so both are the check's
+        # created_at — deterministic and oracle-reproducible.
+        parse_attempted = [
+            bool(
+                out_parse[j]
+                or out_ogc[j] is not None
+                or self._last_parse_errors[j] is not None
+            )
+            for j in range(n)
+        ]
+        ts_col = pa.array(
+            [created_at[j] if parse_attempted[j] else None for j in range(n)],
+            type=pa.timestamp("us"),
+        )
+
+        # udata notification for the parse/export lifecycle (reference
+        # analysis/helpers.py:71-100 notify_udata: analysis:parsing:*
+        # document, sent after every parse attempt — success or failure)
+        out_ppayload: list[str | None] = [None] * n
+        for j in range(n):
+            if not parse_attempted[j]:
+                continue
+            iso = created_at[j].replace(tzinfo=timezone.utc).isoformat()
+            d: dict = {
+                "analysis:parsing:error": self._last_parse_errors[j],
+                "analysis:parsing:started_at": iso,
+                "analysis:parsing:finished_at": iso,
+            }
+            if parsing_tables[j] is not None:
+                d["analysis:parsing:parsing_table"] = parsing_tables[j]
+            for k in _EXPORT_KEYS:
+                v = self._last_exports[k][j]
+                if v is not None:
+                    d[f"analysis:parsing:{k}"] = v
+            if out_ogc[j] is not None:
+                d["analysis:parsing:ogc_metadata"] = out_ogc[j]
+            out_ppayload[j] = json.dumps(flatten_payload(d), sort_keys=True, default=str)
 
         out = batch
         for name, arr in (
@@ -237,6 +321,18 @@ class Analyser:
             ("data_format", pa.array(out_fmt, type=pa.string())),
             ("analysis_payload", pa.array(out_payload, type=pa.string())),
             ("do_parse", pa.array(out_parse, type=pa.bool_())),
+            ("parsing_table", pa.array(parsing_tables, type=pa.string())),
+            ("parsing_error", pa.array(self._last_parse_errors, type=pa.string())),
+            ("parsing_payload", pa.array(out_ppayload, type=pa.string())),
+            ("parsing_started_at", ts_col),
+            ("parsing_finished_at", ts_col),
+            ("ogc_metadata", pa.array(out_ogc, type=pa.string())),
+            ("parquet_url", pa.array(self._last_exports["parquet_url"], type=pa.string())),
+            ("parquet_size", pa.array(self._last_exports["parquet_size"], type=pa.int64())),
+            ("geojson_url", pa.array(self._last_exports["geojson_url"], type=pa.string())),
+            ("geojson_size", pa.array(self._last_exports["geojson_size"], type=pa.int64())),
+            ("pmtiles_url", pa.array(self._last_exports["pmtiles_url"], type=pa.string())),
+            ("pmtiles_size", pa.array(self._last_exports["pmtiles_size"], type=pa.int64())),
         ):
             if name in out.column_names:
                 out = out.drop_columns([name])
@@ -252,9 +348,17 @@ class Analyser:
 
     def _parse_contents(self, batch: pa.Table, do_parse: list[bool]):
         """Inspect + cast + span-build for parse-routed rows; returns the
-        spans list<struct> column (nulls elsewhere) and parsing-table names."""
+        spans list<struct> column (nulls elsewhere) and parsing-table
+        names. Parse failures are captured per resource into
+        ``self._last_parse_errors`` with the reference's ``step:cause``
+        contract (utils/errors.py:113-135); successfully cast tables feed
+        the enabled export jobs (``self._last_exports``)."""
         from hydra_ray.schemas import SPAN_STRUCT
-        from hydra_ray.stages.inspection import csv_texts_to_tables, inspect_csv_texts_batch
+        from hydra_ray.stages.inspection import (
+            csv_texts_to_tables,
+            find_ragged_row,
+            inspect_csv_texts_batch,
+        )
         from hydra_ray.stages.spans import build_spans_batch
 
         urls = batch["url"].to_pylist()
@@ -267,6 +371,8 @@ class Analyser:
         fmts = batch["format"].to_pylist() if "format" in batch.column_names else [None] * len(urls)
         sub_ids, sub_texts, sub_rows = [], [], []
         inspections: list[str | None] = [None] * len(urls)
+        insp_dicts: dict[int, dict] = {}
+        typed_tables: dict[int, pa.Table] = {}
         csv_rows: list[int] = []  # batched CSV route (vectorized across rows)
         csv_texts: list[str] = []
         for j, parse in enumerate(do_parse):
@@ -279,9 +385,6 @@ class Analyser:
                 # per-resource Python cell loops)
                 csv_rows.append(j)
                 csv_texts.append(text)
-                sub_ids.append(rids[j])
-                sub_texts.append(text)
-                sub_rows.append(j)
                 continue
             if fmts[j] in ("xls", "xlsx", "ods"):
                 # Workbook route (S4): the synthetic download is
@@ -296,51 +399,88 @@ class Analyser:
                 # benchmark; full-depth casting is measured on the CSV
                 # path, and a real deployment parses downloaded bytes once
                 wb_cells = [line.split(",") for line in text.splitlines()[:65]]
-                if fmts[j] == "xls":
-                    from hydra_ray.sources.xls import (
-                        inspect_xls,
-                        read_xls_rows,
-                        write_xls,
-                        xls_to_table,
-                    )
+                try:
+                    if fmts[j] == "xls":
+                        from hydra_ray.sources.xls import (
+                            inspect_xls,
+                            read_xls_rows,
+                            write_xls,
+                            xls_to_table,
+                        )
 
-                    blob = write_xls(wb_cells)
-                    wb_rows = read_xls_rows(blob)  # parse the BIFF once
-                    insp = inspect_xls(blob, rows=wb_rows)
-                    xls_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
-                elif fmts[j] == "ods":
-                    from hydra_ray.sources.ods import (
-                        inspect_ods,
-                        ods_to_table,
-                        read_ods_rows,
-                        write_ods,
-                    )
+                        blob = write_xls(wb_cells)
+                        wb_rows = read_xls_rows(blob)  # parse the BIFF once
+                        insp = inspect_xls(blob, rows=wb_rows)
+                        tbl = xls_to_table(blob, insp, rows=wb_rows)
+                    elif fmts[j] == "ods":
+                        from hydra_ray.sources.ods import (
+                            inspect_ods,
+                            ods_to_table,
+                            read_ods_rows,
+                            write_ods,
+                        )
 
-                    blob = write_ods(wb_cells)
-                    wb_rows = read_ods_rows(blob)  # parse the XML once
-                    insp = inspect_ods(blob, rows=wb_rows)
-                    ods_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
-                else:
-                    from hydra_ray.sources.xlsx import (
-                        inspect_xlsx,
-                        read_xlsx_rows,
-                        write_xlsx,
-                        xlsx_to_table,
-                    )
+                        blob = write_ods(wb_cells)
+                        wb_rows = read_ods_rows(blob)  # parse the XML once
+                        insp = inspect_ods(blob, rows=wb_rows)
+                        tbl = ods_to_table(blob, insp, rows=wb_rows)
+                    else:
+                        from hydra_ray.sources.xlsx import (
+                            inspect_xlsx,
+                            read_xlsx_rows,
+                            write_xlsx,
+                            xlsx_to_table,
+                        )
 
-                    blob = write_xlsx(wb_cells)
-                    wb_rows = read_xlsx_rows(blob)  # parse the XML once
-                    insp = inspect_xlsx(blob, rows=wb_rows)
-                    xlsx_to_table(blob, insp, rows=wb_rows)  # the typed-cast cost
+                        blob = write_xlsx(wb_cells)
+                        wb_rows = read_xlsx_rows(blob)  # parse the XML once
+                        insp = inspect_xlsx(blob, rows=wb_rows)
+                        tbl = xlsx_to_table(blob, insp, rows=wb_rows)
+                except Exception as exc:  # noqa: BLE001
+                    # reference ParseException step contract
+                    # (csv_like/__init__.py:93 — inspection failures)
+                    self._last_parse_errors[j] = f"csv_detective:{exc}"
+                    continue
             inspections[j] = json.dumps(insp, sort_keys=True)
+            insp_dicts[j] = insp
+            typed_tables[j] = tbl
             sub_ids.append(rids[j])
             sub_texts.append(text)
             sub_rows.append(j)
         if csv_rows:
             insps = inspect_csv_texts_batch(csv_texts)
-            csv_texts_to_tables(csv_texts, insps)  # typed-cast cost (feeds parsed-table sinks)
-            for j, insp in zip(csv_rows, insps):
+            # strictness gate: a ragged body is the failure the reference
+            # hits when copying records into the parsing table
+            # (ParseException step="copy_records_to_table", to_db.py:95)
+            good_rows, good_texts, good_insps = [], [], []
+            for j, text, insp in zip(csv_rows, csv_texts, insps):
+                n_cols = len(insp["header"])
+                bad = find_ragged_row(text, insp["separator"], n_cols)
+                if bad is not None:
+                    self._last_parse_errors[j] = (
+                        f"copy_records_to_table:row {bad[0]} has {bad[1]} "
+                        f"cells, expected {n_cols}"
+                    )
+                    continue
+                good_rows.append(j)
+                good_texts.append(text)
+                good_insps.append(insp)
+            tables = csv_texts_to_tables(good_texts, good_insps)
+            for pos, (j, insp) in enumerate(zip(good_rows, good_insps)):
                 inspections[j] = json.dumps(insp, sort_keys=True)
+                insp_dicts[j] = insp
+                typed_tables[j] = tables[pos]
+                sub_ids.append(rids[j])
+                sub_texts.append(good_texts[pos])
+                sub_rows.append(j)
+
+        # export jobs over the successfully cast tables (worker-side:
+        # the artifact bytes never leave this actor)
+        if typed_tables and (config.DB_TO_PARQUET or config.DB_TO_GEOJSON):
+            for j, tbl in typed_tables.items():
+                art = export_artifacts(tbl, insp_dicts[j], md5s[j], self.exports_dir)
+                for k, v in art.items():
+                    self._last_exports[k][j] = v
 
         parsing_tables: list[str | None] = [None] * len(urls)
         for j in sub_rows:

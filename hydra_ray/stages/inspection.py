@@ -370,6 +370,23 @@ def inspect_csv_text(text: str, sample_rows: int = 100, output_profile: bool = F
     return _csv_report(lines, sep, header, body, types, output_profile)
 
 
+def find_ragged_row(text: str, sep: str, n_cols: int) -> tuple[int, int] | None:
+    """First body row whose cell count differs from the header's —
+    ``(1-based line number, cell count)`` or None. This is the failure
+    the reference hits at the copy-to-DB step (ParseException
+    step="copy_records_to_table", data_formats/csv_like/to_db.py:95).
+    Quoted texts are skipped: the per-cell fallback parser handles them
+    tolerantly, like the reference's csv module."""
+    if '"' in text:
+        return None
+    lines = [line for line in text.splitlines() if line.strip()]
+    for idx, line in enumerate(lines[1:], start=2):
+        c = line.count(sep) + 1
+        if c != n_cols:
+            return idx, c
+    return None
+
+
 def inspect_csv_texts_batch(texts: list[str], sample_rows: int = 100) -> list[dict]:
     """inspect_csv_text over MANY resources with ONE vectorized
     type-vote pass (detect_types_many) — the crawl analyse stage's

@@ -23,7 +23,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-HEAVY_COLS = ("spans", "payload", "analysis_payload", "inspection", "do_parse")
+HEAVY_COLS = (
+    "spans",
+    "payload",
+    "analysis_payload",
+    "parsing_payload",
+    "inspection",
+    "do_parse",
+)
+
+# parse/export lifecycle columns recorded verbatim on the check row
+# (reference migrations 20241021/20250130/20250615/20260202 + utils/
+# errors.py handle_parse_exception). parsing_table is null unless the
+# parse COMPLETED — the reference drops the table on failure.
+_LIFECYCLE_COLS = (
+    ("parsing_error", pa.string()),
+    ("parsing_table", pa.string()),
+    ("parsing_started_at", pa.timestamp("us")),
+    ("parsing_finished_at", pa.timestamp("us")),
+    ("ogc_metadata", pa.string()),
+    ("parquet_url", pa.string()),
+    ("parquet_size", pa.int64()),
+    ("geojson_url", pa.string()),
+    ("geojson_size", pa.int64()),
+    ("pmtiles_url", pa.string()),
+    ("pmtiles_size", pa.int64()),
+)
 
 
 def to_checks_table(result: pa.Table) -> pa.Table:
@@ -46,12 +71,18 @@ def to_checks_table(result: pa.Table) -> pa.Table:
         "mime_type": result["mime_type"],
         "analysis_error": result["analysis_error"],
         "detected_last_modified_at": result["detected_last_modified_at_new"],
-        "parsing_error": pa.nulls(result.num_rows, pa.string()),
-        "parsing_table": pc.if_else(
-            result["do_parse"], result["url_md5"], pa.nulls(result.num_rows, pa.string())
-        ),
-        "next_check_at": result["next_check_at"],
     }
+    for name, typ in _LIFECYCLE_COLS:
+        if name in result.column_names:
+            cols[name] = result[name]
+        elif name == "parsing_table" and "do_parse" in result.column_names:
+            # legacy path (no Analyser lifecycle columns)
+            cols[name] = pc.if_else(
+                result["do_parse"], result["url_md5"], pa.nulls(result.num_rows, pa.string())
+            )
+        else:
+            cols[name] = pa.nulls(result.num_rows, typ)
+    cols["next_check_at"] = result["next_check_at"]
     return pa.table(
         {k: (v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v) for k, v in cols.items()}
     )
@@ -60,7 +91,13 @@ def to_checks_table(result: pa.Table) -> pa.Table:
 def payload_rows(result: pa.Table, iteration: int) -> pa.Table:
     """Non-null check/analysis payloads → webhook-notification rows."""
     parts = []
-    for kind, col in (("check", "payload"), ("analysis", "analysis_payload")):
+    for kind, col in (
+        ("check", "payload"),
+        ("analysis", "analysis_payload"),
+        ("parsing", "parsing_payload"),
+    ):
+        if col not in result.column_names:
+            continue
         sub = result.filter(pc.is_valid(result[col]))
         if sub.num_rows:
             parts.append(
@@ -88,8 +125,11 @@ def payload_rows(result: pa.Table, iteration: int) -> pa.Table:
 
 
 def docs_table(result: pa.Table, iteration: int) -> pa.Table:
-    """Parsed rows → (doc_id, spans, _iter) span documents."""
-    parse_rows = result.filter(pc.equal(result["do_parse"], True))
+    """Parsed rows → (doc_id, spans, _iter) span documents. Rows routed
+    to parse that FAILED (parsing_error set, spans null) emit no doc."""
+    parse_rows = result.filter(
+        pc.and_(pc.equal(result["do_parse"], True), pc.is_valid(result["spans"]))
+    )
     spans = parse_rows["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -105,8 +145,13 @@ def docs_table(result: pa.Table, iteration: int) -> pa.Table:
 def tables_index_rows(result: pa.Table, iteration: int) -> pa.Table:
     """Parsed rows → tables_index registry rows (reference
     analysis/tables_index.py:39-61: parsing_table, inspection,
-    resource/dataset/url, created_at)."""
-    parsed = result.filter(pc.equal(result["do_parse"], True))
+    resource/dataset/url, created_at). Failed parses register no row —
+    the reference drops the table + tables_index entry on failure
+    (utils/errors.py:118-121)."""
+    mask = pc.equal(result["do_parse"], True)
+    if "parsing_table" in result.column_names:
+        mask = pc.and_(mask, pc.is_valid(result["parsing_table"]))
+    parsed = result.filter(mask)
     n = parsed.num_rows
     return pa.table(
         {

@@ -81,6 +81,11 @@ _CT_BY_FORMAT = {
     "parquet": "application/vnd.apache.parquet",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pdf": "application/pdf",
+    # OGC services answer GetCapabilities with XML, not octet-stream —
+    # octet-stream would (mis)route them into the reference's Csvgz
+    # detector (same precedence as data_formats/detect.py)
+    "wfs": "application/xml",
+    "wms": "application/xml",
 }
 
 
@@ -102,6 +107,14 @@ def synthetic_response(url: str, method: str = "head", epoch: int = 0) -> dict:
     h0 = digest[0] * 256 + digest[1]
     cls = h0 % 100
     fmt = url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else "bin"
+    if fmt == "bin":
+        # extension-less OGC endpoints (…/geoserver/wfs?service=wfs)
+        low = url.lower()
+        path = low.split("?", 1)[0].rstrip("/")
+        for ogc in ("wfs", "wms"):
+            if path.endswith(f"/{ogc}") or f"service={ogc}" in low:
+                fmt = ogc
+                break
     content_type = _CT_BY_FORMAT.get(fmt, "application/octet-stream")
     base_len = 1000 + (h0 % 100000)
     changes_this_epoch = (digest[2] % 10) == (epoch % 10)  # ~10% change per epoch
@@ -161,14 +174,35 @@ def synthetic_robots(domain: str) -> str:
 
 def synthetic_text(url: str, epoch: int = 0, max_rows: int = 40) -> str:
     """Deterministic pseudo-CSV text content for a resource (the stand-in
-    for a downloaded tabular file in the sandbox)."""
+    for a downloaded tabular file in the sandbox).
+
+    Two opt-in URL routes extend the world WITHOUT touching the bytes of
+    any existing ``/res/`` URL (the crawl_checks oracle depends on those):
+      - ``/geo/``    → a lat/lon table (drives the GeoJSON/PMTiles export
+                       lifecycle, reference analysis/exports.py)
+      - ``/ragged/`` → body row 2 carries an extra cell (drives the
+                       parsing_error "step:cause" contract, reference
+                       utils/errors.py:113-135); the bad row's position
+                       and width are FIXED so the error string is a
+                       closed-form function of the URL
+    """
     digest = hashlib.md5(f"{url}#{epoch}".encode()).digest()
     nrows = 5 + (digest[0] * 256 + digest[1]) % max_rows
-    lines = ["id,name,value"]
     acc = int.from_bytes(digest[:8], "big")
+    if "/geo/" in url:
+        lines = ["id,name,latitude,longitude"]
+        for i in range(nrows):
+            acc = (acc * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            lat = (acc % 12000) / 100.0 - 60.0
+            lon = ((acc >> 16) % 30000) / 100.0 - 150.0
+            lines.append(f"{i},item-{acc % 9973},{lat:.2f},{lon:.2f}")
+        return "\n".join(lines)
+    lines = ["id,name,value"]
     for i in range(nrows):
         acc = (acc * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         lines.append(f"{i},item-{acc % 9973},{(acc >> 32) % 100000}")
+    if "/ragged/" in url and len(lines) > 2:
+        lines[2] = lines[2] + ",surprise"
     return "\n".join(lines)
 
 
