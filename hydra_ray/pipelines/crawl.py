@@ -372,11 +372,14 @@ class CrawlEngine:
 
             # commit the part files written by the sink stage + record
             # per-partition lineage (file, row-count) into metrics
+            # skip_existing_basenames: part names are content-derived, so
+            # a crash between this commit and the catalog meta advance
+            # reruns the iteration idempotently instead of duplicating rows
             checks_files = _txn_files(checks_txn)
-            self.checks.register_files(checks_files)
-            self.payloads.register_files(_txn_files(payloads_txn))
-            self.documents.register_files(_txn_files(docs_txn))
-            self.tables_index.register_files(_txn_files(tables_txn))
+            self.checks.register_files(checks_files, skip_existing_basenames=True)
+            self.payloads.register_files(_txn_files(payloads_txn), skip_existing_basenames=True)
+            self.documents.register_files(_txn_files(docs_txn), skip_existing_basenames=True)
+            self.tables_index.register_files(_txn_files(tables_txn), skip_existing_basenames=True)
             self._record_lineage(it, checks_files, now)
             mark("register")
 
@@ -623,10 +626,10 @@ class CrawlEngine:
         docs_txn = self.documents.new_txn_dir()
         tables_txn = self.tables_index.new_txn_dir()
         result = IterationSink(checks_txn, payloads_txn, docs_txn, it, tables_dir=tables_txn)(b)
-        self.checks.register_files(_txn_files(checks_txn))
-        self.payloads.register_files(_txn_files(payloads_txn))
-        self.documents.register_files(_txn_files(docs_txn))
-        self.tables_index.register_files(_txn_files(tables_txn))
+        self.checks.register_files(_txn_files(checks_txn), skip_existing_basenames=True)
+        self.payloads.register_files(_txn_files(payloads_txn), skip_existing_basenames=True)
+        self.documents.register_files(_txn_files(docs_txn), skip_existing_basenames=True)
+        self.tables_index.register_files(_txn_files(tables_txn), skip_existing_basenames=True)
         self.politeness.record_agg(_politeness_records(result), self.now_epoch(it))
         upd = _frontier_update_fetched(result, now)
         cache = self._frontier_cache

@@ -221,14 +221,31 @@ class VersionedTable:
         os.makedirs(path, exist_ok=True)
         return path
 
-    def register_files(self, files: list[str], meta: dict | None = None) -> int:
+    def register_files(
+        self,
+        files: list[str],
+        meta: dict | None = None,
+        skip_existing_basenames: bool = False,
+    ) -> int:
         """Commit externally written part files as a new version (the
         write-tasks-then-commit-manifest pattern: files not registered
         are invisible; a crashed run leaves only garbage, never a
-        partial version)."""
+        partial version).
+
+        ``skip_existing_basenames=True`` makes re-registration after a
+        crash IDEMPOTENT for sinks whose part names are content-derived
+        (IterationSink: ``part-<min check_id>.parquet``): a crash
+        between a register_files commit and the iteration's catalog
+        meta advance reruns the iteration, whose re-written blocks land
+        in a NEW txn dir — without the basename skip they would commit
+        twice and duplicate every check row (found by
+        test_actor_chaos)."""
         files = [f for f in files if os.path.exists(f)]
         parent = self.latest_version()
         prev = self._load_manifest(parent)
+        if skip_existing_basenames:
+            have = {os.path.basename(f) for f in prev["files"]}
+            files = [f for f in files if os.path.basename(f) not in have]
         return self._commit(
             prev["files"] + sorted(files), meta, parent,
             deletes=prev.get("deletes"), added=prev.get("added_columns") or [],

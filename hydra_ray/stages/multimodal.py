@@ -175,6 +175,7 @@ def audio_features_batch(
     n_frames: int = 4,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    decoder=None,
 ) -> pa.Table:
     """Frame-level audio features from decoded PCM: per equal-length
     frame the RMS energy (micro-rounded — sqrt is IEEE correctly
@@ -188,7 +189,7 @@ def audio_features_batch(
     zcr_out: list[int] = []
     ids = batch[id_col].to_pylist()
     for did, payload in zip(ids, batch[payload_col].to_pylist()):
-        samples, _ = decode_audio(payload)
+        samples, _ = decode_audio(payload, decoder=decoder)
         x = samples[:, 0].astype(np.float64)
         flen = len(x) // n_frames
         for f in range(n_frames):
@@ -265,6 +266,7 @@ def frame_sample_batch(
     n_samples: int = 3,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    decoder=None,
 ) -> pa.Table:
     """Uniform frame sampling over animated payloads (the video
     analogue): decode all frames, keep sample j at frame ``j*F//n``
@@ -279,7 +281,7 @@ def frame_sample_batch(
     nf_o: list[int] = []
     sum_o: list[int] = []
     for did, payload in zip(batch[id_col].to_pylist(), batch[payload_col].to_pylist()):
-        frames = decode_video_frames(payload).astype(np.int64)
+        frames = decode_video_frames(payload, decoder=decoder).astype(np.int64)
         nf = frames.shape[0]
         if frames.ndim == 3:  # grayscale (n,h,w): same 299+587+114 total
             lsum = (1000 * frames).sum(axis=(1, 2))

@@ -1,0 +1,118 @@
+"""Actor-failure chaos (VERDICT r4 #5): ray.kill a state-pool actor
+mid-iteration and assert the engine either fails cleanly at the
+iteration boundary (nothing partially committed) or resumes
+byte-identical from the last checkpoint — the north rule's
+resumability beyond the driver kill+resume covered by test_soak.
+
+Two actor classes exercised: PolitenessShard (killed between the sink
+stage and the politeness commit — the worst window: txn part files are
+already on disk but unregistered) and UrlSeenShard (killed before the
+state checkpoint write).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from hydra_ray.synth import catalog_from_documents
+
+KW = dict(batch_size=40, actor_pools=False, politeness_kwargs={"backoff_nb_req": 10**9})
+N_DOCS = 120
+N_ITER = 4
+
+
+def _checks_fingerprint(eng) -> list[str]:
+    t = eng.checks.read_arrow(columns=["id", "url", "status", "timeout", "created_at"])
+    rows = sorted(
+        f"{i}|{u}|{s}|{to}|{c}"
+        for i, u, s, to, c in zip(
+            t["id"].to_pylist(),
+            t["url"].to_pylist(),
+            t["status"].to_pylist(),
+            t["timeout"].to_pylist(),
+            t["created_at"].to_pylist(),
+        )
+    )
+    return rows
+
+
+def _reference_run(tmp_path, make_crawl_engine):
+    docs = pa.table({"doc_id": pa.array(np.arange(N_DOCS), type=pa.int64())})
+    ref = make_crawl_engine(str(tmp_path / "ref"), **KW)
+    ref.load_catalog(catalog_from_documents(docs))
+    ref.run(N_ITER)
+    fp = _checks_fingerprint(ref)
+    ref.shutdown()
+    return docs, fp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_politeness_shard_killed_mid_iteration(tmp_path, make_crawl_engine):
+    docs, want = _reference_run(tmp_path, make_crawl_engine)
+    eng = make_crawl_engine(str(tmp_path / "wd"), **KW)
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run(2)
+    committed_iter = eng.iteration
+    checks_before = eng.checks.count()
+
+    # kill shard 0 right before the politeness commit: the sink stage
+    # has already written its txn part files, nothing is registered yet
+    orig = eng.politeness.record_agg
+
+    def sabotage(records, now):
+        ray.kill(eng.politeness.shards[0], no_restart=True)
+        return orig(records, now)
+
+    eng.politeness.record_agg = sabotage
+    with pytest.raises(ray.exceptions.RayActorError):
+        eng.run_iteration()
+
+    # failure at the iteration boundary: the catalog cursor did not
+    # advance (the sink's part files may already be registered — that
+    # window is exactly what the idempotent rerun below must absorb)
+    assert eng.iteration == committed_iter
+    assert int(eng.catalog.meta().get("iteration", 0)) == committed_iter
+    assert eng.checks.count() >= checks_before
+    eng.shutdown()
+
+    # resume from checkpoint with fresh actors → byte-identical end
+    # state: the rerun re-registers content-named part files, which the
+    # basename-idempotent commit absorbs instead of duplicating rows
+    eng2 = make_crawl_engine(str(tmp_path / "wd"), **KW)
+    assert eng2.iteration == committed_iter
+    eng2.run(N_ITER - committed_iter)
+    got = _checks_fingerprint(eng2)
+    assert len(got) == len(set(got))  # no duplicated check rows
+    assert got == want
+    eng2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_urlseen_shard_killed_before_checkpoint(tmp_path, make_crawl_engine):
+    docs, want = _reference_run(tmp_path, make_crawl_engine)
+    eng = make_crawl_engine(str(tmp_path / "wd"), **KW)
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run(1)
+    committed_iter = eng.iteration
+
+    # the URL-seen shard dies mid-crawl; the failure surfaces when the
+    # iteration checkpoint tries to persist shard state — BEFORE the
+    # catalog manifest advances (crash-window ordering, crawl.py
+    # _finish_iteration)
+    ray.kill(eng.urlseen.shards[1], no_restart=True)
+    with pytest.raises(ray.exceptions.RayActorError):
+        eng.run_iteration()
+    assert int(eng.catalog.meta().get("iteration", 0)) == committed_iter
+    eng.shutdown()
+
+    eng2 = make_crawl_engine(str(tmp_path / "wd"), **KW)
+    assert eng2.iteration == committed_iter
+    eng2.run(N_ITER - committed_iter)
+    assert _checks_fingerprint(eng2) == want
+    # the restored URL-seen state still dedups: reloading the same seed
+    # catalog must not create duplicate rows
+    n_before = eng2.catalog.count()
+    eng2.load_catalog(catalog_from_documents(docs))
+    assert eng2.catalog.count() == n_before
+    eng2.shutdown()
