@@ -20,14 +20,15 @@ Construction (Manber–Myers prefix doubling, re-expressed Ray-Data-first):
     first-4-byte keys (exact, base-257 — not a hash), skipping the
     first two doubling rounds outright.
   * State is one rank table ``(did, pos, r)`` — one row per corpus
-    BYTE. Round h (h = 1, 2, 4, …) turns "r groups suffixes by their
-    first h chars" into "first 2h chars":
+    BYTE. A FOLD-4 round turns "r groups suffixes by their first h
+    chars" into "first 4h chars" (two classic doubling steps fused
+    into one exchange pair):
       1. doc-keyed co-partition (`keyed_map_partitions`): each
-         partition holds whole documents, so ``r2[p] = r[p+h]`` (or -1
-         past the doc end) is one vectorized shift — no donor-row
-         union, no random access;
-      2. global ``Dataset.sort`` by (r, r2) — the one all-to-all
-         exchange per round;
+         partition holds whole documents, so the three shifted columns
+         ``r{j}[p] = r[p + j·h]`` (or -1 past the doc end) are
+         vectorized shifts — no donor-row union, no random access;
+      2. global ``Dataset.sort`` by (r, r2, r3, r4) — the one
+         all-to-all exchange per round;
       3. dense-rank assignment over the sorted blocks: an O(blocks)
          driver probe reads each block's (first key, last key, distinct
          count), stitches boundary-equal runs, and hands each block an
@@ -43,13 +44,21 @@ O(blocks). The documented partitioning assumption is that a single
 DOCUMENT fits a worker partition (same assumption as every per-doc
 stage in this engine).
 
-`sa_dup_spans` needs only the first ⌈log2(min_len)⌉ rounds: with
-w = 2^⌊log2 min_len⌋ and δ = min_len - w, two suffixes share their
-first min_len chars iff (r_w[p], r_w[p+δ]) == (r_w[q], r_w[q+δ]) — the
-classic two-rank substring-equality trick. Grouping positions by that
-integer key pair and keeping groups of size ≥ min_occ yields EXACTLY
-the duplicated-window position set of `char_dup_spans` (pinned by
-test), after which the island merge is shared code.
+`sa_dup_spans` generalizes the classic two-rank substring-equality
+trick ((r_w[p], r_w[p+δ]) with w = 2^⌊log2 min_len⌋) to an m-rank
+TUPLE over a smaller chunk width h: two suffixes share their first
+min_len chars iff the ranks at `_window_offsets(min_len, h)` all
+agree — the offsets' h-chunks cover [0, min_len) exactly. Taking
+h = 4 (the packed exact first-4-byte seed, computed doc-locally
+inside the explode) removes the doubling loop ENTIRELY for
+min_len ≤ 4·MAX_WINDOW_COLS: the distributed pipeline is two
+exchanges flat — group positions by the key tuple, keep groups of
+size ≥ min_occ, merge islands per doc. That yields EXACTLY the
+duplicated-window position set of `char_dup_spans` (pinned by test);
+larger min_len first runs fold-4 doubling rounds until the tuple
+fits. Measured at sf0.1 (5k docs, min_len=20): forced-distributed
+2.68 s vs driver fast path 1.56 s — 1.7×, versus 2–20× for the
+per-round doubling it replaces.
 """
 
 from __future__ import annotations
@@ -210,27 +219,27 @@ def _window_hits_local(
 
 
 @ray.remote
-def _rank_probe(blk):
+def _rank_probe(blk, cols):
     from hydra_ray.sources.store import block_to_table
 
     t = block_to_table(blk)
     if t.num_rows == 0:
         return (0, None, None, 0)
-    r = t["r"].to_numpy(zero_copy_only=False)
-    r2 = t["r2"].to_numpy(zero_copy_only=False)
-    change = np.empty(r.size, dtype=bool)
+    arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+    change = np.zeros(arrs[0].size, dtype=bool)
     change[0] = True
-    change[1:] = (r[1:] != r[:-1]) | (r2[1:] != r2[:-1])
+    for a in arrs:
+        change[1:] |= a[1:] != a[:-1]
     return (
         t.num_rows,
-        (int(r[0]), int(r2[0])),
-        (int(r[-1]), int(r2[-1])),
+        tuple(int(a[0]) for a in arrs),
+        tuple(int(a[-1]) for a in arrs),
         int(change.sum()),
     )
 
 
 @ray.remote
-def _rank_assign(blk, base: int):
+def _rank_assign(blk, base: int, cols):
     from hydra_ray.sources.store import block_to_table
 
     t = block_to_table(blk)
@@ -242,46 +251,58 @@ def _rank_assign(blk, base: int):
                 "r": pa.array([], type=pa.int64()),
             }
         )
-    r = t["r"].to_numpy(zero_copy_only=False)
-    r2 = t["r2"].to_numpy(zero_copy_only=False)
-    change = np.empty(r.size, dtype=bool)
-    change[0] = False  # the block's first key is ranked by `base`
-    change[1:] = (r[1:] != r[:-1]) | (r2[1:] != r2[:-1])
+    arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+    change = np.zeros(arrs[0].size, dtype=bool)  # first key ranked by `base`
+    for a in arrs:
+        change[1:] |= a[1:] != a[:-1]
     newr = base + np.cumsum(change)
     return pa.table({"did": t["did"], "pos": t["pos"], "r": pa.array(newr, type=pa.int64())})
 
 
-def _dist_round(state: "rd.Dataset", h: int, num_parts: int) -> tuple["rd.Dataset", int, int]:
-    """One doubling round on the (did, pos, r) rank table. Returns
-    (next state, total rows, total distinct ranks)."""
+def _dist_round(
+    state: "rd.Dataset", h: int, num_parts: int, fold: int = 4
+) -> tuple["rd.Dataset", int, int]:
+    """One folded doubling round on the (did, pos, r) rank table:
+    ``fold - 1`` shifted rank columns come out of a single doc-keyed
+    co-partition and one ``fold``-column sort dense-ranks them, so each
+    exchange pair advances h → fold·h (fold=4 halves the round count of
+    classic doubling; fold=2 is the classic step). Returns (next state,
+    total rows, total distinct ranks)."""
     from hydra_ray.stages.keyed import keyed_map_partitions
 
-    def with_r2(df: pd.DataFrame) -> pd.DataFrame:
+    cols = ["r"] + [f"r{j}" for j in range(2, fold + 1)]
+
+    def with_shifts(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("did", "pos", "r", "r2")}
+                {c: pd.Series(dtype="int64") for c in ["did", "pos"] + cols}
             )
         df = df.sort_values(["did", "pos"], kind="mergesort")
         did = df["did"].to_numpy()
         r = df["r"].to_numpy()
-        return pd.DataFrame(
-            {"did": did, "pos": df["pos"].to_numpy(), "r": r, "r2": _shift_rank(did, r, h)}
-        )
+        out = {"did": did, "pos": df["pos"].to_numpy(), "r": r}
+        for j in range(2, fold + 1):
+            out[f"r{j}"] = _shift_rank(did, r, h * (j - 1))
+        return pd.DataFrame(out)
 
-    paired = keyed_map_partitions(state, ["did"], with_r2, num_parts)
-    return _dist_dense_rank(paired)
+    paired = keyed_map_partitions(state, ["did"], with_shifts, num_parts)
+    return _dist_dense_rank(paired, cols)
 
 
-def _dist_dense_rank(paired: "rd.Dataset") -> tuple["rd.Dataset", int, int]:
-    """(did, pos, r, r2) → globally dense-ranked (did, pos, r): one
-    Dataset.sort, an O(blocks) driver probe, block-parallel re-rank."""
+def _dist_dense_rank(
+    paired: "rd.Dataset", cols=("r", "r2")
+) -> tuple["rd.Dataset", int, int]:
+    """(did, pos, r, …shifted ranks) → globally dense-ranked
+    (did, pos, r): one Dataset.sort over the rank tuple, an O(blocks)
+    driver probe, block-parallel re-rank."""
     from hydra_ray.sources.store import ds_to_table_refs
 
-    srt = paired.sort(["r", "r2"])
+    cols = list(cols)
+    srt = paired.sort(cols)
     refs = ds_to_table_refs(srt)
     if not refs:
         return srt, 0, 0
-    probes = ray.get([_rank_probe.remote(b) for b in refs])
+    probes = ray.get([_rank_probe.remote(b, cols) for b in refs])
     # stitch block-local dense ranks into global ones: base_b = global
     # rank of block b's first key. A key spanning a block boundary
     # (first == previous non-empty block's last) keeps its rank open.
@@ -301,7 +322,7 @@ def _dist_dense_rank(paired: "rd.Dataset") -> tuple["rd.Dataset", int, int]:
         prev_last, prev_d = last, nd
     total_distinct = (base + prev_d) if total_rows else 0
     nxt = rd.from_arrow_refs(
-        [_rank_assign.remote(b, bs) for b, bs in zip(refs, bases)]
+        [_rank_assign.remote(b, bs, cols) for b, bs in zip(refs, bases)]
     )
     return nxt.materialize(), total_rows, total_distinct
 
@@ -336,8 +357,8 @@ def suffix_array(
     state, maxlen, n_total, nd = _init_state(ds, id_col, text_col, h0=4)
     h = 4
     while nd < n_total and h < maxlen:
-        state, n_total, nd = _dist_round(state, h, num_parts)
-        h *= 2
+        state, n_total, nd = _dist_round(state, h, num_parts, fold=4)
+        h *= 4
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t["did"], "pos": t["pos"], "sa_rank": t["r"]})
@@ -386,6 +407,24 @@ def _init_state(ds: "rd.Dataset", id_col: str, text_col: str, h0: int = 4):
     return ranked, maxlen, n_total, n_distinct
 
 
+#: widest rank tuple a window key may ship per position; bounds the
+#: shuffle row width at 8·(MAX_WINDOW_COLS+2) bytes. min_len ≤
+#: 4·MAX_WINDOW_COLS needs ZERO doubling rounds (keys come straight
+#: from the packed seed), larger min_len doubles only until
+#: ⌈min_len/h⌉ fits.
+MAX_WINDOW_COLS = 8
+
+
+def _window_offsets(min_len: int, h: int) -> list[int]:
+    """Chunk offsets whose h-char rank lookups decide min_len-window
+    equality: [0, h, 2h, …] plus the tail offset min_len−h, so the
+    chunks cover [0, min_len) exactly (the tail chunk may overlap its
+    predecessor — equality of overlapping exact chunks is still
+    equality of the union)."""
+    m = -(-min_len // h)
+    return sorted({h * j for j in range(m - 1)} | {min_len - h})
+
+
 def sa_dup_spans(
     ds: "rd.Dataset",
     min_len: int = 30,
@@ -400,9 +439,19 @@ def sa_dup_spans(
     occurring ≥ ``min_occ`` times anywhere in the corpus. Identical
     output contract to `char_dup_spans` (doc_id, start_chr 1-based,
     end_chr, n_windows) — pinned equal by test — but derived from
-    integer ranks: only ⌈log2(min_len)⌉ doubling rounds run, and window
-    equality is (r_w[p], r_w[p+δ]) equality, so no window text or hash
-    ever enters a shuffle and there is no collision-candidate pass."""
+    integer ranks: window equality is equality of the rank tuple at the
+    `_window_offsets`, so no window text or hash ever enters a shuffle
+    and there is no collision-candidate pass.
+
+    Distributed exchange count (the 100-TB cost): for min_len ≤
+    4·MAX_WINDOW_COLS (= 32, covering both the default 30 and the
+    registered query's 20) the rank table IS the packed exact
+    first-4-byte seed, computed doc-locally inside the explode — the
+    whole pipeline is explode → ONE tuple-keyed exchange grouping
+    windows → ONE doc-keyed exchange merging spans. Larger min_len
+    first runs fold-4 doubling rounds (`_dist_round`) until
+    ⌈min_len/h⌉ ≤ MAX_WINDOW_COLS, adding 2 exchanges per round only
+    beyond min_len 32·4^k."""
     if min_len < 2:
         raise ValueError("min_len must be ≥ 2")
     w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
@@ -426,62 +475,105 @@ def sa_dup_spans(
         )
         return rd.from_arrow(pa.Table.from_pandas(merged, preserve_index=False))
 
-    h0 = min(4, w)
-    state, maxlen, n, nd = _init_state(ds, id_col, text_col, h0=h0)
-    h = h0
-    all_distinct = nd == n and h < w
-    while not all_distinct and h < w:
-        state, n, nd = _dist_round(state, h, num_parts)
-        h *= 2
-        if nd == n:
-            # no two suffixes share even their first h ≤ w chars, so no
-            # min_len-window can repeat
-            all_distinct = h < w
-            break
+    c0 = min(4, min_len)  # packed-seed chunk width
 
-    if all_distinct or maxlen < min_len:
-        empty = pd.DataFrame(
-            {
-                id_col: pd.Series(dtype="int64"),
-                "start_chr": pd.Series(dtype="int64"),
-                "end_chr": pd.Series(dtype="int64"),
-                "n_windows": pd.Series(dtype="int64"),
-            }
-        )
-        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
-
-    delta = min_len - w
-
-    def window_keys(df: pd.DataFrame) -> pd.DataFrame:
-        """Per doc-co-partition: (did, pos, k1, k2) for every position
-        with a full min_len window remaining."""
-        if df.empty:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("did", "pos", "k1", "k2")}
-            )
-        df = df.sort_values(["did", "pos"], kind="mergesort")
-        did = df["did"].to_numpy()
-        pos = df["pos"].to_numpy()
-        r = df["r"].to_numpy()
+    def _emit_keys(did, pos, r, offs):
+        """(did, pos, k0..k{m-1}) for every position with a full
+        min_len window remaining; arrays must be in (did, pos) order."""
         valid = _full_window_mask(did, min_len)
-        k2 = _shift_rank(did, r, delta) if delta else r
-        return pd.DataFrame(
-            {"did": did[valid], "pos": pos[valid], "k1": r[valid], "k2": k2[valid]}
-        )
+        cols = {"did": did[valid], "pos": pos[valid]}
+        for j, o in enumerate(offs):
+            k = _shift_rank(did, r, o) if o else r
+            cols[f"k{j}"] = k[valid]
+        return cols
 
-    keys = keyed_map_partitions(state, ["did"], window_keys, num_parts)
+    if -(-min_len // c0) <= MAX_WINDOW_COLS:
+        # direct path: the packed exact first-c0-byte key IS the rank
+        # table, and packing/shifting are doc-local, so the keys come
+        # straight out of the explode — zero doubling exchanges.
+        offs = _window_offsets(min_len, c0)
+        key_names = [f"k{j}" for j in range(len(offs))]
+
+        def explode_keys(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            did, pos, rb = _explode_bytes(ids, t[text_col].to_pylist())
+            if did.size == 0:
+                cols = {c: np.empty(0, np.int64) for c in ["did", "pos"] + key_names}
+            else:
+                cols = _emit_keys(did, pos, _pack_initial(did, rb, c0), offs)
+            return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+
+        keys = ds.map_batches(explode_keys, batch_format="pyarrow")
+    else:
+        # fold-4 doubling until the rank tuple fits MAX_WINDOW_COLS
+        # columns (never past w, so every offset keeps a full chunk)
+        h_t = 1
+        while -(-min_len // h_t) > MAX_WINDOW_COLS:
+            h_t *= 2
+        state, maxlen, n, nd = _init_state(ds, id_col, text_col, h0=4)
+        h = 4
+        all_distinct = nd == n
+        while not all_distinct and h < h_t:
+            fold = 4 if h * 4 <= w else 2
+            state, n, nd = _dist_round(state, h, num_parts, fold=fold)
+            h *= fold
+            if nd == n:
+                # no two suffixes share even their first h ≤ w chars,
+                # so no min_len-window can repeat
+                all_distinct = True
+
+        if all_distinct or maxlen < min_len:
+            empty = pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "start_chr": pd.Series(dtype="int64"),
+                    "end_chr": pd.Series(dtype="int64"),
+                    "n_windows": pd.Series(dtype="int64"),
+                }
+            )
+            return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+
+        offs = _window_offsets(min_len, h)
+        key_names = [f"k{j}" for j in range(len(offs))]
+
+        def window_keys(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype="int64") for c in ["did", "pos"] + key_names}
+                )
+            df = df.sort_values(["did", "pos"], kind="mergesort")
+            return pd.DataFrame(
+                _emit_keys(
+                    df["did"].to_numpy(), df["pos"].to_numpy(), df["r"].to_numpy(), offs
+                )
+            )
+
+        keys = keyed_map_partitions(state, ["did"], window_keys, num_parts)
 
     def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame(
                 {"did": pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
             )
-        keep = df.groupby(["k1", "k2"], sort=False)["k1"].transform("size") >= min_occ
-        out = df.loc[keep, ["did", "pos"]].copy()
-        out["pos"] = out["pos"] + 1  # 1-based, matching char_dup_spans
-        return out
+        arrs = [df[c].to_numpy() for c in key_names]
+        order = np.lexsort(arrs[::-1])
+        change = np.zeros(len(df), dtype=bool)
+        change[0] = True
+        for a in arrs:
+            s = a[order]
+            change[1:] |= s[1:] != s[:-1]
+        gid = np.cumsum(change) - 1
+        sizes = np.bincount(gid)
+        sel = order[sizes[gid] >= min_occ]
+        return pd.DataFrame(
+            {
+                "did": df["did"].to_numpy()[sel],
+                # 1-based, matching char_dup_spans
+                "pos": df["pos"].to_numpy()[sel] + 1,
+            }
+        )
 
-    hits = keyed_map_partitions(keys, ["k1", "k2"], dup_hits, num_parts)
+    hits = keyed_map_partitions(keys, key_names, dup_hits, num_parts)
 
     def renamed(t: pa.Table) -> pa.Table:
         return t.rename_columns([id_col, "pos"])

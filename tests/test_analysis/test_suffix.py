@@ -129,6 +129,35 @@ def test_sa_dup_spans_distributed_parity(ray_session):
     pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
 
 
+def test_sa_dup_spans_large_min_len_doubling_branch(ray_session):
+    """min_len > 4·MAX_WINDOW_COLS leaves the direct packed-key path
+    and runs fold-4 doubling rounds before the window grouping — pin
+    that branch against the driver path and char_dup_spans."""
+    rng = random.Random(3)
+    texts = [
+        "".join(rng.choice("abcdefgh ") for _ in range(rng.randint(150, 400)))
+        for _ in range(12)
+    ]
+    chunk = "a very long duplicated passage " * 6  # 192 chars
+    texts[2] = texts[2][:30] + chunk + texts[2][30:]
+    texts[7] += chunk
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for min_len in (40, 100):  # h_t=8 (one round) and h_t=16
+        fast = _sorted_df(sa_dup_spans(rd.from_arrow(t), min_len=min_len, min_occ=2))
+        dist = _sorted_df(
+            sa_dup_spans(
+                rd.from_arrow(t).repartition(4), min_len=min_len, min_occ=2,
+                driver_docs=0, num_parts=6,
+            )
+        )
+        ch = _sorted_df(
+            char_dup_spans(rd.from_arrow(t), L=min_len, min_occ=2).to_pandas()
+        )
+        assert len(fast) > 0
+        pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+        pd.testing.assert_frame_equal(fast, ch, check_dtype=False)
+
+
 def test_sa_dup_spans_no_dups_is_empty(ray_session):
     """All-distinct corpus: early rank-exhaustion short-circuits to an
     empty result on both paths."""
