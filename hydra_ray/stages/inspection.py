@@ -61,10 +61,21 @@ def db_col_name(name: str) -> str:
 
 def detect_separator(lines: list[str]) -> str:
     """The separator with the highest consistent per-line count > 0."""
+    nz = [line for line in lines if line.strip()]
+    return _detect_separator_nz(nz)
+
+
+def _detect_separator_nz(nz: list[str]) -> str:
+    """detect_separator over pre-filtered non-blank lines (the analyse
+    hot path strips once and shares the list with the body parse)."""
     best, best_score = ",", -1.0
     for sep in SEPARATORS:
-        counts = [line.count(sep) for line in lines if line.strip()]
-        if not counts or min(counts) == 0:
+        # a separator absent from the first non-blank line always has
+        # min(counts) == 0 and is skipped — gate before the full scan
+        if not nz or sep not in nz[0]:
+            continue
+        counts = [line.count(sep) for line in nz]
+        if min(counts) == 0:
             continue
         consistency = 1.0 if len(set(counts)) == 1 else 1.0 / len(set(counts))
         score = consistency * (counts[0] + 1)
@@ -305,11 +316,15 @@ def _parse_csv_line(line: str, sep: str) -> list[str]:
 def _csv_prepare(text: str, sample_rows: int) -> tuple[list[str], str, list[str], list[list[str]]]:
     """(lines, separator, header, sampled body rows) for CSV text."""
     lines = text.splitlines()
-    sep = detect_separator(lines[: sample_rows + 1])
+    sample = lines[: sample_rows + 1]
+    # one strip pass shared by separator detection and the body parse
+    nz = [line for line in sample if line.strip()]
+    sep = _detect_separator_nz(nz)
     if not lines:
         return lines, sep, [], []
     header = [h.strip() for h in _parse_csv_line(lines[0], sep)]
-    body = [_parse_csv_line(line, sep) for line in lines[1 : sample_rows + 1] if line.strip()]
+    body_nz = nz[1:] if (nz and nz[0] is lines[0]) else [ln for ln in sample[1:] if ln.strip()]
+    body = [_parse_csv_line(line, sep) for line in body_nz]
     return lines, sep, header, body
 
 
@@ -488,14 +503,19 @@ def _refine_geo_formats(rows: list[list[str]], header: list[str], columns: dict)
             m = _LATLON_CELL_RE.match(v)
             if m and abs(float(m.group(1))) <= 90 and abs(float(m.group(2))) <= 180:
                 latlon_hits += 1
-                continue
-            if v.lstrip().startswith("{"):
+            elif v.lstrip().startswith("{"):
                 try:
                     obj = json.loads(v)
                     if isinstance(obj, dict) and obj.get("type") in _GEOM_TYPES:
                         geojson_hits += 1
+                    else:
+                        break  # miss: neither count can reach len(values)
                 except ValueError:
-                    pass
+                    break
+            else:
+                break  # miss: neither count can reach len(values)
+            if latlon_hits and geojson_hits:
+                break  # mixed: neither count can reach len(values)
         if geojson_hits == len(values):
             meta["format"] = "geojson"
         elif latlon_hits == len(values):
