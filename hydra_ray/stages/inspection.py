@@ -403,16 +403,116 @@ def find_ragged_row(text: str, sep: str, n_cols: int) -> tuple[int, int] | None:
 
 
 def inspect_csv_texts_batch(texts: list[str], sample_rows: int = 100) -> list[dict]:
-    """inspect_csv_text over MANY resources with ONE vectorized
-    type-vote pass (detect_types_many) — the crawl analyse stage's
-    entry point, where per-resource kernel dispatch would otherwise
-    dominate (round-3 verdict item 1)."""
-    prepared = [_csv_prepare(t, sample_rows) for t in texts]
-    votes = detect_types_many([(body, len(header)) for _, _, header, body in prepared])
-    return [
-        _csv_report(lines, sep, header, body, types, False)
-        for (lines, sep, header, body), types in zip(prepared, votes)
-    ]
+    """inspect_csv_text over MANY resources in ONE Arrow pass — the
+    crawl analyse stage's entry point. Unquoted texts (the common case)
+    never split rows in Python: sampled body lines are flattened per
+    separator group, cell-split with one ``split_pattern`` kernel,
+    classified once (`_classify_cells`), and votes fold with one global
+    bincount; geo-format refinement touches only columns whose every
+    non-empty cell passes a vectorized candidate gate. Quoted texts take
+    the per-resource `inspect_csv_text` path with identical semantics."""
+    out: list[dict | None] = [None] * len(texts)
+    metas = []  # (out index, lines, sep, header, sampled body lines)
+    for i, text in enumerate(texts):
+        if '"' in text:
+            out[i] = inspect_csv_text(text, sample_rows)
+            continue
+        lines = text.splitlines()
+        sample = lines[: sample_rows + 1]
+        nz = [ln for ln in sample if ln.strip()]
+        sep = _detect_separator_nz(nz)
+        if not lines:
+            out[i] = _csv_report(lines, sep, [], [], [], False)
+            continue
+        header = [h.strip() for h in lines[0].split(sep)]
+        body_lines = (
+            nz[1:] if (nz and nz[0] is lines[0]) else [ln for ln in sample[1:] if ln.strip()]
+        )
+        metas.append((i, lines, sep, header, body_lines))
+    _inspect_metas_arrow(metas, out)
+    return out
+
+
+# RE2 twins of the geo-refinement predicates (_LATLON_CELL_RE and
+# ``v.lstrip().startswith("{")``); cells outside printable ASCII pass
+# the gate conservatively and are re-judged by the exact Python loop,
+# so unicode-whitespace semantics stay bit-identical.
+_LATLON_RE2 = (
+    r"^\s*\[?\s*[+-]?[0-9]+(\.[0-9]+)?\s*,\s*[+-]?[0-9]+(\.[0-9]+)?\s*\]?\s*$"
+)
+_CURLY_RE2 = r"^\s*\{"
+
+
+def _inspect_metas_arrow(metas: list, out: list) -> None:
+    """The vectorized body of `inspect_csv_texts_batch`: one
+    split/classify/bincount sweep per separator group, then per-resource
+    reports with gate-targeted geo refinement."""
+    by_sep: dict[str, list[int]] = {}
+    for k, m in enumerate(metas):
+        by_sep.setdefault(m[2], []).append(k)
+    for sep, ks in by_sep.items():
+        all_lines: list[str] = []
+        rows_per: list[int] = []
+        ncols_per: list[int] = []
+        for k in ks:
+            _i, _lines, _sep, header, body_lines = metas[k]
+            all_lines.extend(body_lines)
+            rows_per.append(len(body_lines))
+            ncols_per.append(len(header))
+        ncols_np = np.asarray(ncols_per, dtype=np.int64)
+        bases = np.concatenate([[0], np.cumsum(ncols_np)[:-1]]) if ncols_per else ncols_np
+        base_total = int(ncols_np.sum())
+        if not all_lines or base_total == 0:
+            for k, nc in zip(ks, ncols_per):
+                i, lines, sep_, header, _b = metas[k]
+                out[i] = _csv_report(lines, sep_, header, [], [("string", 0.0)] * nc, False)
+            continue
+        arr = pa.array(all_lines, type=pa.string())
+        cells_list = pc.split_pattern(arr, sep)
+        flat = pc.list_flatten(cells_list)
+        lens = pc.list_value_length(cells_list).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_per_np = np.asarray(rows_per, dtype=np.int64)
+        # per-cell (resource-column) slot, clipped to the header width
+        # exactly like detect_types_many's r[:m]
+        row_base = np.repeat(np.repeat(bases, rows_per_np), lens)
+        starts = np.cumsum(lens) - lens
+        col_idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        valid = col_idx < np.repeat(np.repeat(ncols_np, rows_per_np), lens)
+        slots = row_base + col_idx
+        codes = _classify_cells(flat)
+        ne = (codes != _T_EMPTY) & valid
+        counts = np.bincount(
+            slots[ne] * 8 + codes[ne], minlength=base_total * 8
+        ).reshape(base_total, 8)
+        nonempty = counts.sum(axis=1)
+        geo_cand: np.ndarray | None = None  # lazy: per-slot candidate counts
+        for k, b in zip(ks, bases):
+            i, lines, sep_, header, _b = metas[k]
+            b = int(b)
+            types = [_fold_column(counts[b + c]) for c in range(len(header))]
+            report = _csv_report(lines, sep_, header, [], types, False)
+            columns = report["columns"]
+            for c, name in enumerate(header):
+                meta_col = columns.get(db_col_name(name))
+                if not meta_col or meta_col["python_type"] not in ("string", "json"):
+                    continue
+                slot = b + c
+                if not nonempty[slot]:
+                    continue
+                if geo_cand is None:
+                    cand = (
+                        pc.match_substring_regex(flat, _LATLON_RE2).to_numpy(zero_copy_only=False)
+                        | pc.match_substring_regex(flat, _CURLY_RE2).to_numpy(zero_copy_only=False)
+                        | ~pc.match_substring_regex(flat, _ASCII_RE2).to_numpy(zero_copy_only=False)
+                    )
+                    geo_cand = np.bincount(slots[ne & cand], minlength=base_total)
+                if geo_cand[slot] != nonempty[slot]:
+                    continue  # some cell hits neither predicate: no format
+                idxs = np.nonzero(ne & (slots == slot))[0]
+                fmt = _geo_format_of(flat.take(pa.array(idxs)).to_pylist())
+                if fmt is not None:
+                    meta_col["format"] = fmt
+            out[i] = report
 
 
 def column_profile(values: list, ptype: str) -> dict:
@@ -498,28 +598,37 @@ def _refine_geo_formats(rows: list[list[str]], header: list[str], columns: dict)
         values = [row[c] for row in rows if c < len(row) and row[c].strip()]
         if not values:
             continue
-        latlon_hits = geojson_hits = 0
-        for v in values:
-            m = _LATLON_CELL_RE.match(v)
-            if m and abs(float(m.group(1))) <= 90 and abs(float(m.group(2))) <= 180:
-                latlon_hits += 1
-            elif v.lstrip().startswith("{"):
-                try:
-                    obj = json.loads(v)
-                    if isinstance(obj, dict) and obj.get("type") in _GEOM_TYPES:
-                        geojson_hits += 1
-                    else:
-                        break  # miss: neither count can reach len(values)
-                except ValueError:
-                    break
-            else:
-                break  # miss: neither count can reach len(values)
-            if latlon_hits and geojson_hits:
-                break  # mixed: neither count can reach len(values)
-        if geojson_hits == len(values):
-            meta["format"] = "geojson"
-        elif latlon_hits == len(values):
-            meta["format"] = "latlon"
+        fmt = _geo_format_of(values)
+        if fmt is not None:
+            meta["format"] = fmt
+
+
+def _geo_format_of(values: list[str]) -> str | None:
+    """'geojson' when every value is an embedded geometry object,
+    'latlon' when every value is a '[lat, lon]' pair, else None."""
+    latlon_hits = geojson_hits = 0
+    for v in values:
+        m = _LATLON_CELL_RE.match(v)
+        if m and abs(float(m.group(1))) <= 90 and abs(float(m.group(2))) <= 180:
+            latlon_hits += 1
+        elif v.lstrip().startswith("{"):
+            try:
+                obj = json.loads(v)
+                if isinstance(obj, dict) and obj.get("type") in _GEOM_TYPES:
+                    geojson_hits += 1
+                else:
+                    return None  # miss: neither count can reach len(values)
+            except ValueError:
+                return None
+        else:
+            return None  # miss: neither count can reach len(values)
+        if latlon_hits and geojson_hits:
+            return None  # mixed: neither count can reach len(values)
+    if geojson_hits == len(values):
+        return "geojson"
+    if latlon_hits == len(values):
+        return "latlon"
+    return None
 
 
 def smart_cast(python_type: str, value: str | None):
