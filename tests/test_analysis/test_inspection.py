@@ -267,3 +267,66 @@ def test_vectorized_cast_parity():
         assert got.schema == want.schema and got.equals(want)
         single = csv_text_to_table(text, insp)
         assert single.equals(want)
+
+
+def test_batched_inspection_fuzz_parity():
+    """The Arrow-sweep batched inspection (separator-group split +
+    global bincount vote + gated geo refinement) equals the
+    per-resource inspect_csv_text path on an adversarial corpus: all
+    four separators, quoted cells, ragged rows, blank lines, empty
+    bodies, latlon / geojson columns, non-ASCII cells."""
+    import json
+    import random
+
+    from hydra_ray.stages.inspection import inspect_csv_text, inspect_csv_texts_batch
+
+    rng = random.Random(7)
+
+    def mk():
+        sep = rng.choice([",", ";", "\t", "|"])
+        cols = rng.randint(1, 6)
+        hdr = sep.join(f"col{c}" for c in range(cols))
+        rows = []
+        for _ in range(rng.randint(0, 120)):
+            cells = []
+            for _c in range(cols):
+                t = rng.random()
+                if t < 0.2:
+                    cells.append(str(rng.randint(-5000, 5000)))
+                elif t < 0.35:
+                    cells.append(f"{rng.uniform(-10, 10):.3f}")
+                elif t < 0.45:
+                    cells.append(rng.choice(["true", "false", "oui", "non"]))
+                elif t < 0.55:
+                    cells.append("2024-05-0%d" % rng.randint(1, 9))
+                elif t < 0.6:
+                    cells.append(
+                        "[%.2f, %.2f]" % (rng.uniform(-90, 90), rng.uniform(-180, 180))
+                    )
+                elif t < 0.65:
+                    cells.append('{"type": "Point", "coordinates": [1, 2]}')
+                elif t < 0.7:
+                    cells.append("")
+                elif t < 0.75 and rng.random() < 0.5:
+                    cells.append('"quoted%s cell"' % sep)
+                elif t < 0.78:
+                    cells.append("café- %d" % rng.randint(0, 99))
+                else:
+                    cells.append("item-%d" % rng.randint(0, 999))
+            if rng.random() < 0.1:
+                cells = cells[: max(1, cols - 1)]
+            if rng.random() < 0.05:
+                cells = cells + ["extra"]
+            rows.append(sep.join(cells))
+        lines = [hdr] + rows
+        if rng.random() < 0.3:
+            lines.insert(min(2, len(lines)), "")
+        return "\n".join(lines)
+
+    texts = [mk() for _ in range(200)]
+    batch = inspect_csv_texts_batch(texts)
+    single = [inspect_csv_text(t) for t in texts]
+    for a, b in zip(batch, single):
+        assert json.dumps(a, sort_keys=True, default=str) == json.dumps(
+            b, sort_keys=True, default=str
+        )
