@@ -269,7 +269,13 @@ def main() -> None:
                 "urls_per_sec_lo",
                 "urls_per_sec_hi",
                 "scaling_efficiency",
+                # raw samples make a steal-depressed window diagnosable
+                # against BASELINE.md's clean references (lo ~2,033-2,647,
+                # hi ~9,120) straight from the artifact
+                "samples_lo",
+                "samples_hi",
             )
+            if k in s
         }
     line = json.dumps(compact)
     if len(line) > 1800:  # never outgrow the driver's tail window
