@@ -359,10 +359,11 @@ class CrawlEngine:
             # per-block distributed sinks: checks / payloads / span docs are
             # written by the workers; only slim frontier columns reach the
             # driver (the heavy spans + payload strings never move)
-            checks_txn = self.checks.new_txn_dir()
-            payloads_txn = self.payloads.new_txn_dir()
-            docs_txn = self.documents.new_txn_dir()
-            tables_txn = self.tables_index.new_txn_dir()
+            tag = f"iter{it}"
+            checks_txn = self.checks.new_txn_dir(tag=tag)
+            payloads_txn = self.payloads.new_txn_dir(tag=tag)
+            docs_txn = self.documents.new_txn_dir(tag=tag)
+            tables_txn = self.tables_index.new_txn_dir(tag=tag)
             ds = ds.map_batches(
                 IterationSink(checks_txn, payloads_txn, docs_txn, it, tables_dir=tables_txn),
                 batch_format="pyarrow",
@@ -371,15 +372,19 @@ class CrawlEngine:
             mark("pipeline")
 
             # commit the part files written by the sink stage + record
-            # per-partition lineage (file, row-count) into metrics
-            # skip_existing_basenames: part names are content-derived, so
-            # a crash between this commit and the catalog meta advance
-            # reruns the iteration idempotently instead of duplicating rows
+            # per-partition lineage (file, row-count) into metrics.
+            # replace_tag: a crash between this commit and the catalog
+            # meta advance reruns the iteration; the rerun regenerates
+            # the complete deterministic row set, so its files SUPERSEDE
+            # every file the crashed attempt registered under this
+            # iteration's tag — exact even when ray's dynamic block
+            # splitting cuts the rerun at different block boundaries
+            # (a basename skip would duplicate boundary-straddling rows)
             checks_files = _txn_files(checks_txn)
-            self.checks.register_files(checks_files, skip_existing_basenames=True)
-            self.payloads.register_files(_txn_files(payloads_txn), skip_existing_basenames=True)
-            self.documents.register_files(_txn_files(docs_txn), skip_existing_basenames=True)
-            self.tables_index.register_files(_txn_files(tables_txn), skip_existing_basenames=True)
+            self.checks.register_files(checks_files, replace_tag=tag)
+            self.payloads.register_files(_txn_files(payloads_txn), replace_tag=tag)
+            self.documents.register_files(_txn_files(docs_txn), replace_tag=tag)
+            self.tables_index.register_files(_txn_files(tables_txn), replace_tag=tag)
             self._record_lineage(it, checks_files, now)
             mark("register")
 

@@ -214,10 +214,13 @@ class VersionedTable:
             os.path.join(txn_dir, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
         )
 
-    def new_txn_dir(self) -> str:
+    def new_txn_dir(self, tag: str | None = None) -> str:
         """Directory for externally written part files (distributed sinks
-        write here; ``register_files`` commits them atomically)."""
-        path = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
+        write here; ``register_files`` commits them atomically). A
+        ``tag`` marks the dir as belonging to a named attempt group so a
+        rerun can supersede it wholesale (``replace_tag``)."""
+        prefix = f"txn-{tag}-" if tag else "txn-"
+        path = os.path.join(self.data_dir, f"{prefix}{uuid.uuid4().hex[:12]}")
         os.makedirs(path, exist_ok=True)
         return path
 
@@ -226,28 +229,46 @@ class VersionedTable:
         files: list[str],
         meta: dict | None = None,
         skip_existing_basenames: bool = False,
+        replace_tag: str | None = None,
     ) -> int:
         """Commit externally written part files as a new version (the
         write-tasks-then-commit-manifest pattern: files not registered
         are invisible; a crashed run leaves only garbage, never a
         partial version).
 
-        ``skip_existing_basenames=True`` makes re-registration after a
-        crash IDEMPOTENT for sinks whose part names are content-derived
-        (IterationSink: ``part-<min check_id>.parquet``): a crash
-        between a register_files commit and the iteration's catalog
-        meta advance reruns the iteration, whose re-written blocks land
-        in a NEW txn dir — without the basename skip they would commit
-        twice and duplicate every check row (found by
-        test_actor_chaos)."""
+        ``replace_tag="iter3"`` DROPS every previously registered file
+        living under a ``txn-iter3-*`` dir before adding ``files`` —
+        exact crash-rerun idempotency for sinks whose rerun regenerates
+        the complete row set (IterationSink: check ids are
+        mix64(url_key, iteration), parallelism-invariant). A basename
+        skip alone is NOT enough there: ray 2.49 dynamic block
+        splitting may cut the rerun's map output at different
+        boundaries, so a rerun block can share its ``part-<min
+        check_id>`` name with a crashed-attempt file that also covered
+        rows now landing in a DIFFERENT rerun part — skipped + committed
+        = duplicated rows. Replacement is boundary-oblivious. Old
+        versions keep referencing the superseded files (time travel
+        stays consistent); gc reclaims them once their versions age out.
+
+        ``skip_existing_basenames=True`` keeps the lighter file-level
+        skip for single-block writers (check_resource_now: one batch →
+        one content-named part per table, no splitting hazard)."""
         files = [f for f in files if os.path.exists(f)]
         parent = self.latest_version()
         prev = self._load_manifest(parent)
-        if skip_existing_basenames:
-            have = {os.path.basename(f) for f in prev["files"]}
+        prev_files = prev["files"]
+        if replace_tag is not None:
+            marker = f"txn-{replace_tag}-"
+            prev_files = [
+                f
+                for f in prev_files
+                if not os.path.basename(os.path.dirname(f)).startswith(marker)
+            ]
+        elif skip_existing_basenames:
+            have = {os.path.basename(f) for f in prev_files}
             files = [f for f in files if os.path.basename(f) not in have]
         return self._commit(
-            prev["files"] + sorted(files), meta, parent,
+            prev_files + sorted(files), meta, parent,
             deletes=prev.get("deletes"), added=prev.get("added_columns") or [],
         )
 

@@ -1073,3 +1073,56 @@ def test_string_zone_maps_serving_keys(tmp_path):
     for k in long_keys:
         got = vt2.read_where_arrow("k", [k])
         assert got["k"].to_pylist() == [k]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_register_replace_tag_absorbs_shifted_block_boundaries(tmp_path):
+    """Crash-rerun idempotency must be boundary-oblivious: a rerun whose
+    dynamic block splitting cuts the same deterministic row set at
+    DIFFERENT boundaries (ray 2.49 re-cuts map outputs) supersedes the
+    crashed attempt's files instead of basename-matching them — the
+    skip-by-basename scheme duplicates rows that straddle a boundary
+    shift (old merged part kept, new split part committed)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def write(d, name, ids):
+        p = os.path.join(d, f"part-{name}.parquet")
+        pq.write_table(pa.table({"id": pa.array(ids, type=pa.int64())}), p)
+        return p
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    # a completed earlier iteration + an untagged (on-demand) part:
+    # both must survive every later replace
+    d_prev = vt.new_txn_dir(tag="iter2")
+    vt.register_files([write(d_prev, "0000", [1, 2])], replace_tag="iter2")
+    d_odd = vt.new_txn_dir()
+    vt.register_files([write(d_odd, "odd", [99])], skip_existing_basenames=True)
+
+    # crashed attempt of iter3: ONE merged block covering ids 5..9,
+    # content-named after its min id
+    d1 = vt.new_txn_dir(tag="iter3")
+    vt.register_files([write(d1, "0005", [5, 6, 7, 8, 9])], replace_tag="iter3")
+
+    # rerun of iter3: same rows, split into TWO blocks — the first
+    # shares the crashed part's basename (same min id), the second is new
+    d2 = vt.new_txn_dir(tag="iter3")
+    f_a = write(d2, "0005", [5, 6, 7])
+    f_b = write(d2, "0008", [8, 9])
+    vt.register_files([f_a, f_b], replace_tag="iter3")
+
+    got = sorted(vt.read_arrow()["id"].to_pylist())
+    assert got == [1, 2, 5, 6, 7, 8, 9, 99]  # no dupes, no loss
+
+    # inverse shift: a second rerun merges back into one block — the
+    # split attempt's extra part must not linger
+    d3 = vt.new_txn_dir(tag="iter3")
+    vt.register_files([write(d3, "0005", [5, 6, 7, 8, 9])], replace_tag="iter3")
+    assert sorted(vt.read_arrow()["id"].to_pylist()) == [1, 2, 5, 6, 7, 8, 9, 99]
+
+    # the superseded version is still consistent for time travel
+    v_crashed = 3  # iter2 + odd + crashed iter3 commits
+    assert sorted(vt.read_arrow(version=v_crashed)["id"].to_pylist()) == [
+        1, 2, 5, 6, 7, 8, 9, 99,
+    ]

@@ -159,3 +159,82 @@ def test_hnsw_shard_killed_fails_loud_and_retry_is_deterministic():
     ray.kill(actor)
     with pytest.raises(ray.exceptions.RayActorError):
         ray.get(actor.query.remote(qids, qm, 1, 48))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_rerun_with_shifted_block_boundaries(tmp_path, make_crawl_engine, monkeypatch):
+    """The worst rerun window made worse: after the crash the sink's
+    part files are already REGISTERED, and the rerun's dynamic block
+    splitting cuts the same row set at different boundaries (ray 2.49
+    re-cuts map outputs between runs). Simulated by merging the crashed
+    attempt's committed parts into ONE content-named file via manifest
+    surgery; a basename-skip commit would then duplicate every rerun
+    row outside the first block (the merged file shares its min-id name
+    with exactly one rerun part), while replace_tag supersedes the
+    whole attempt."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hydra_ray.config import config
+
+    # small fetch batches → the sink sees several blocks per iteration,
+    # so the merged-file surgery below is a REAL boundary mismatch (a
+    # single-block rerun is always basename-absorbed and proves nothing)
+    monkeypatch.setattr(config, "FETCH_BATCH_SIZE", 16)
+
+    docs, want = _reference_run(tmp_path, make_crawl_engine)
+    eng = make_crawl_engine(str(tmp_path / "wd"), **KW)
+    eng.load_catalog(catalog_from_documents(docs))
+    eng.run(2)
+    committed_iter = eng.iteration
+
+    orig = eng.politeness.record_agg
+
+    def sabotage(records, now):
+        ray.kill(eng.politeness.shards[0], no_restart=True)
+        return orig(records, now)
+
+    eng.politeness.record_agg = sabotage
+    with pytest.raises(ray.exceptions.RayActorError):
+        eng.run_iteration()
+    assert int(eng.catalog.meta().get("iteration", 0)) == committed_iter
+    eng.shutdown()
+
+    # manifest surgery on the checks table: collapse the crashed
+    # attempt's registered parts into one merged block (min-id name)
+    from hydra_ray.sources.store import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "wd" / "checks"))
+    manifest = vt._load_manifest()
+    mpath = vt._manifest_path(manifest["version"])
+    marker = f"txn-iter{committed_iter}-"
+    tagged = [
+        f for f in manifest["files"]
+        if os.path.basename(os.path.dirname(f)).startswith(marker)
+    ]
+    # the crash window really registered MULTIPLE parts — the rerun
+    # will cut the same rows differently once the merge below lands
+    assert len(tagged) >= 2
+    merged = pa.concat_tables([pq.read_table(f) for f in tagged])
+    min_id = min(merged["id"].to_pylist()) & 0xFFFFFFFFFFFFFFFF
+    merged_path = os.path.join(os.path.dirname(tagged[0]), f"part-{min_id:016x}.parquet")
+    for f in tagged:
+        os.remove(f)
+    pq.write_table(merged, merged_path, compression="snappy")
+    manifest["files"] = [f for f in manifest["files"] if f not in tagged] + [merged_path]
+    manifest["file_versions"] = {
+        f: v for f, v in (manifest.get("file_versions") or {}).items() if f not in tagged
+    }
+    manifest["file_versions"][merged_path] = manifest["version"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    eng2 = make_crawl_engine(str(tmp_path / "wd"), **KW)
+    assert eng2.iteration == committed_iter
+    eng2.run(N_ITER - committed_iter)
+    got = _checks_fingerprint(eng2)
+    assert len(got) == len(set(got))  # boundary-straddling rows not duplicated
+    assert got == want
+    eng2.shutdown()
