@@ -216,7 +216,7 @@ def cmd_probe_cors(args) -> dict:
         from hydra_ray.pipelines.api import EngineApi
 
         res = EngineApi(eng).get_resource(args.resource_id)
-        url = res.get("url")
+        url = res["document"]["url"]  # reference ResourceSchema wire format
     from hydra_ray.stages.fetcher import make_transport
 
     transport = make_transport(eng.transport)

@@ -116,14 +116,25 @@ class EngineApi:
             "geojson_size": row.get("geojson_size"),
         }
 
+    # every catalog column any wire format reads — the serving lookups
+    # project to these instead of scanning the full catalog width
+    _CATALOG_WIRE_COLS = [
+        "resource_id", "dataset_id", "url", "url_key", "deleted", "status",
+        "status_since", "format", "title", "type", "last_mime_type",
+        "last_filesize", "last_checksum", "harvest_modified_at",
+        "detected_last_modified_at",
+    ]
+
     def _catalog_row(self, resource_id: str) -> dict | None:
         cat = self.engine.catalog
         if cat.is_empty():
             return None
+        have = set(cat.schema().names)
+        cols = [c for c in self._CATALOG_WIRE_COLS if c in have]
         if cat.count() > self.DRIVER_LOOKUP_MAX_ROWS:
-            t = cat.read_where_arrow("resource_id", [resource_id])
+            t = cat.read_where_arrow("resource_id", [resource_id], columns=cols)
         else:
-            t = cat.read_arrow()
+            t = cat.read_arrow(columns=cols)
             t = t.filter(pc.equal(t["resource_id"], resource_id))
         if t.num_rows == 0:
             return None

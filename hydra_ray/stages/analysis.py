@@ -453,6 +453,11 @@ class Analyser:
             # hits when copying records into the parsing table
             # (ParseException step="copy_records_to_table", to_db.py:95)
             good_rows, good_texts, good_insps = [], [], []
+            # scalar on purpose: an Arrow-sweep batch twin (split_pattern
+            # + count_substring + segmented first-mismatch) measured
+            # 1.3-2x SLOWER at bench shape (200-line texts: 55 vs 72-111
+            # us/text — kernel dispatch overhead, same lesson as
+            # build_spans_batch); str.count is tight C, cost bounded per URL
             for j, text, insp in zip(csv_rows, csv_texts, insps):
                 n_cols = len(insp["header"])
                 bad = find_ragged_row(text, insp["separator"], n_cols)

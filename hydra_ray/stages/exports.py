@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -87,7 +88,9 @@ def _persist(exports_dir: str | None, name: str, blob: bytes) -> None:
         return
     os.makedirs(exports_dir, exist_ok=True)
     path = os.path.join(exports_dir, name)
-    tmp = path + f".tmp-{os.getpid()}"
+    # uuid, not pid: two workers on DIFFERENT nodes sharing the exports
+    # dir can collide on pid and interleave bytes before the rename
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)

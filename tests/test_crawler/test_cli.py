@@ -44,6 +44,12 @@ def test_cli_crawl_roundtrip(tmp_path, capsys):
     out = _run(capsys, "probe-cors", "--workdir", wd, "--url", "https://a.example/x.csv")
     assert "allows_any" in out
 
+    # --resource-id resolution goes through the reference wire format's
+    # nested document (regression: res["url"] is always absent there —
+    # the probe silently keyed CORS on the string "None")
+    out = _run(capsys, "probe-cors", "--workdir", wd, "--resource-id", "r1")
+    assert out["url"] == "https://a.example/x.csv"
+
     out = _run(capsys, "status", "--workdir", wd)
     assert out["crawler"] and out["worker"]
 
