@@ -66,6 +66,12 @@ import ray.data as rd
 DRIVER_MERGE_MAX_ROWS = 2_000_000
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same version number: the second
+    link of v<N>.json fails instead of clobbering the first writer's
+    manifest (which would silently drop its files from lineage)."""
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -157,8 +163,9 @@ class VersionedTable:
         version = parent + 1
         # the parent manifest is always needed (file_versions fallback)
         prev = self._load_manifest(parent)
+        fileset = set(files)
         # deletion vectors only make sense for files the version references
-        deletes = {f: d for f, d in (deletes or {}).items() if f in set(files)}
+        deletes = {f: d for f, d in (deletes or {}).items() if f in fileset}
         if added is None:
             # schema adds are table state: carried forward automatically
             # (readers default-fill files predating each add)
@@ -175,10 +182,10 @@ class VersionedTable:
             file_versions = {
                 f: v
                 for f, v in (prev.get("file_versions") or {}).items()
-                if f in set(files)
+                if f in fileset
             }
         else:
-            file_versions = {f: v for f, v in file_versions.items() if f in set(files)}
+            file_versions = {f: v for f, v in file_versions.items() if f in fileset}
         prev_files = set(prev.get("files") or [])
         for f in files:
             if f not in file_versions:
@@ -189,7 +196,10 @@ class VersionedTable:
             "version": version,
             "parent": parent,
             "files": files,
-            "meta": meta or {},
+            # meta=None carries the parent's meta so a meta-less commit
+            # (append/register between catalog checkpoints) can never
+            # wipe the resume cursor; pass {} to clear explicitly
+            "meta": (prev.get("meta") or {}) if meta is None else meta,
             "deletes": deletes,
             "added_columns": added,
             "eq_deletes": eq_deletes,
@@ -198,7 +208,19 @@ class VersionedTable:
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(version))
+        # os.link refuses an existing target, so two writers that both
+        # read parent N cannot silently clobber each other's v(N+1) —
+        # the loser gets a detectable conflict instead of vanished
+        # lineage (os.replace would overwrite)
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"{self.path}: version {version} was committed by another "
+                "writer since this commit read its parent; reload and retry"
+            )
+        os.unlink(tmp)
         return version
 
     # -- writes -----------------------------------------------------------
@@ -253,7 +275,15 @@ class VersionedTable:
         ``skip_existing_basenames=True`` keeps the lighter file-level
         skip for single-block writers (check_resource_now: one batch →
         one content-named part per table, no splitting hazard)."""
-        files = [f for f in files if os.path.exists(f)]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            # fail loud: silently committing a smaller file set would
+            # turn real data loss (a part swept by a concurrent gc, a
+            # sink writing to the wrong dir) into a "successful" run
+            raise FileNotFoundError(
+                f"register_files: {len(missing)} of {len(files)} part files "
+                f"do not exist (first: {missing[0]!r})"
+            )
         parent = self.latest_version()
         prev = self._load_manifest(parent)
         prev_files = prev["files"]
@@ -300,16 +330,23 @@ class VersionedTable:
         import numpy as np
         import pandas as pd
 
-        kh = (
-            pd.util.hash_pandas_object(tbl[self.partition_key].to_pandas(), index=False)
-            .to_numpy()
-            .astype(np.uint64)
-        )
+        keys = tbl[self.partition_key].to_pandas()
+        # hash_pandas_object is dtype-WIDTH-sensitive: the same key as
+        # int32 and int64 lands in different buckets, silently breaking
+        # the last-wins contract when a source downcasts. Canonicalize
+        # signed/unsigned ints to int64 (uint64 stays: >2^63 values
+        # cannot widen, and a table keyed uint64 is at least
+        # self-consistent).
+        if pd.api.types.is_integer_dtype(keys.dtype) and keys.dtype != np.uint64:
+            keys = keys.astype(np.int64)
+        kh = pd.util.hash_pandas_object(keys, index=False).to_numpy().astype(np.uint64)
         return (kh % np.uint64(self.n_parts)).astype(np.int64)
 
-    def _write_partitioned(self, tbl: pa.Table, only_parts: set[int] | None = None) -> list[str]:
-        """Split by key hash and write one file per (touched) partition;
-        the partition id is carried in the file name."""
+    def _write_partitioned(self, tbl: pa.Table) -> list[str]:
+        """Split by key hash and write one file per partition; the
+        partition id is carried in the file name. (Partial rewrites are
+        _merge_insert_partitioned's job — it needs per-partition
+        survivor merges this whole-table writer cannot express.)"""
         import numpy as np
 
         txn_dir = os.path.join(self.data_dir, f"txn-{uuid.uuid4().hex[:12]}")
@@ -321,8 +358,6 @@ class VersionedTable:
         bounds = np.searchsorted(parts[order], np.arange(self.n_parts + 1))
         jobs = []
         for p in range(self.n_parts):
-            if only_parts is not None and p not in only_parts:
-                continue
             sub = sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
             out = os.path.join(txn_dir, f"part-p{p:04d}-{uuid.uuid4().hex[:8]}.parquet")
             jobs.append((sub, out))
@@ -409,7 +444,12 @@ class VersionedTable:
         if not prev["files"]:
             raise ValueError(f"table {self.path} is empty")
         added = list(prev.get("added_columns") or [])
-        existing = set(pq.ParquetFile(prev["files"][0]).schema_arrow.names)
+        # union over ALL files: a heterogeneous append can carry a column
+        # the first file lacks — re-adding it with another type would
+        # poison every later read with a type conflict
+        existing: set[str] = set()
+        for names in self._file_schemas(prev["files"]).values():
+            existing.update(names)
         existing.update(a["name"] for a in added)
         if name in existing:
             raise ValueError(f"column {name!r} already exists")
@@ -566,9 +606,15 @@ class VersionedTable:
             if not m["files"]:
                 raise ValueError(f"table {self.path} is empty")
             return rd.from_arrow(self._empty_canonical_table(m, columns))
-        if deletes or added or eq:
+        # layout_files pins the canonical layout to the FULL manifest:
+        # pruning must never change the output schema (a heterogeneous
+        # append's column could exist only in pruned-away files)
+        schemas = self._file_schemas(m["files"])
+        homogeneous = len({tuple(ns) for ns in schemas.values()}) == 1
+        if deletes or added or eq or not homogeneous:
             ds = self._read_files_merged(
-                files, deletes, added, cols_read, eq, m.get("file_versions")
+                files, deletes, added, cols_read, eq, m.get("file_versions"),
+                layout_files=m["files"],
             )
         else:
             ds = rd.read_parquet(files, columns=cols_read)
@@ -1441,6 +1487,11 @@ class VersionedTable:
         incoming_tbl = data if isinstance(data, pa.Table) else _ds_to_arrow(data)
         # schema evolution: an incoming batch may predate an add_column
         incoming_tbl = self._fill_added(incoming_tbl, self.added_columns())
+        if pc.sum(pc.cast(pc.is_null(incoming_tbl[key]), pa.int64())).as_py():
+            # fail loud: a None key would crash np.unique's sort below
+            # with an opaque TypeError, and "upsert by null" has no
+            # last-wins meaning anyway
+            raise ValueError(f"merge_insert: null values in key column {key!r}")
         # last-wins dedup by key, Arrow/numpy only (pandas would mangle types)
         keys = np.asarray(incoming_tbl[key].to_pylist())
         if len(np.unique(keys)) < len(keys):
@@ -1464,16 +1515,19 @@ class VersionedTable:
             def drop_updated(batch: pa.Table) -> pa.Table:
                 return batch.filter(pc.invert(pc.is_in(batch[key], value_set=new_keys)))
 
-            if self.count() <= DRIVER_MERGE_MAX_ROWS:
-                # fast path: merge in driver memory, no Ray execution —
-                # a per-execution fixed cost we pay every iteration
-                # otherwise. Above the threshold the merge runs as a
-                # hash-partitioned Dataset pass (the 10^10-row path).
-                survivors_tbl = drop_updated(self.read_arrow())
-            else:
-                survivors_tbl = _ds_to_arrow(
-                    self.read().map_batches(drop_updated, batch_format="pyarrow")
-                )
+            if self.count() > DRIVER_MERGE_MAX_ROWS:
+                # 10^10-row path: survivors stay a Dataset end to end —
+                # filtered blocks stream straight into the overwrite's
+                # write tasks; the driver never holds table bytes
+                canon = self.schema()
+                incoming_cast = incoming_tbl.select(canon.names).cast(canon)
+                merged_ds = self.read().map_batches(
+                    drop_updated, batch_format="pyarrow"
+                ).union(rd.from_arrow(incoming_cast))
+                return self.overwrite(merged_ds, meta=meta)
+            # fast path: merge in driver memory, no Ray execution — a
+            # per-execution fixed cost we would pay every iteration
+            survivors_tbl = drop_updated(self.read_arrow())
             if survivors_tbl.num_rows:
                 incoming_tbl = incoming_tbl.select(survivors_tbl.column_names).cast(
                     survivors_tbl.schema

@@ -1126,3 +1126,120 @@ def test_register_replace_tag_absorbs_shifted_block_boundaries(tmp_path):
     assert sorted(vt.read_arrow(version=v_crashed)["id"].to_pylist()) == [
         1, 2, 5, 6, 7, 8, 9, 99,
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_where_schema_stable_under_pruning(tmp_path):
+    """Zone-map pruning must never change the output schema: a column
+    carried only by pruned-away heterogeneous appends still appears
+    (null-filled), and projecting it never crashes."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(pa.table({"k": ["a", "b"], "x": [1, 2]}))
+    vt.append(pa.table({"k": ["y", "z"]}))  # no x — heterogeneous
+    # 'a' lives only in file 1; pruning for 'z' drops file 1 entirely
+    got = vt.read_where("k", ["z"], columns=["k", "x"]).take_all()
+    assert {r["k"]: r["x"] for r in got} == {"z": None}
+    full = vt.read_where("k", ["z"]).take_all()
+    assert set(full[0].keys()) == {"k", "x"}  # union layout, not subset
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_add_column_rejects_name_in_any_file(tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(pa.table({"k": ["a"]}))
+    vt.append(pa.table({"k": ["b"], "y": ["s"]}))  # y only in file 2
+    with pytest.raises(ValueError, match="already exists"):
+        vt.add_column("y", "int64", default=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_insert_large_path_streams_and_matches(tmp_path, monkeypatch):
+    """Above DRIVER_MERGE_MAX_ROWS the upsert must not pull the table to
+    the driver; the Dataset path's result is pinned equal to the driver
+    path's."""
+    import hydra_ray.sources.store as store_mod
+
+    base = pa.table({"k": [f"k{i}" for i in range(40)], "v": list(range(40))})
+    upd = pa.table({"k": ["k3", "k7", "new"], "v": [300, 700, 999]})
+
+    ref = VersionedTable(str(tmp_path / "ref"))
+    ref.overwrite(base)
+    ref.merge_insert(upd, key="k")
+    want = {r["k"]: r["v"] for r in ref.read_arrow().to_pylist()}
+
+    monkeypatch.setattr(store_mod, "DRIVER_MERGE_MAX_ROWS", 10)
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.overwrite(base)
+    vt.merge_insert(upd, key="k")
+    got = {r["k"]: r["v"] for r in vt.read_arrow().to_pylist()}
+    assert got == want and got["k3"] == 300 and got["new"] == 999
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_insert_null_key_raises(tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.overwrite(t(["a"], [1]))
+    bad = pa.table({"k": pa.array(["b", None], type=pa.string()), "v": [2, 3]})
+    with pytest.raises(ValueError, match="null values in key"):
+        vt.merge_insert(bad, key="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_hash_int_width_insensitive(tmp_path):
+    """The documented dtype-WIDTH trap: an int32-keyed upsert against an
+    int64-keyed partitioned layout must route each key to the partition
+    holding its stored row, or the upsert leaves two live rows."""
+    import numpy as np
+
+    vt = VersionedTable(str(tmp_path / "t"), partition_key="k", n_parts=8,
+                        partition_min_rows=1)
+    base = pa.table({"k": pa.array(range(64), type=pa.int64()),
+                     "v": pa.array([0] * 64, type=pa.int64())})
+    vt.overwrite(base)
+    upd = pa.table({"k": pa.array([5, 17, 42], type=pa.int32()),
+                    "v": pa.array([1, 1, 1], type=pa.int64())})
+    vt.merge_insert(upd, key="k")
+    got = vt.read_arrow()
+    ks = got["k"].to_pylist()
+    assert len(ks) == 64 == len(set(ks))  # no duplicated keys
+    by_k = {r["k"]: r["v"] for r in got.to_pylist()}
+    assert by_k[5] == by_k[17] == by_k[42] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_concurrent_commit_detected_not_clobbered(tmp_path):
+    from hydra_ray.sources.store import ConcurrentCommitError
+
+    h1 = VersionedTable(str(tmp_path / "t"))
+    h1.append(t(["a"], [1]))
+    files = h1.files()
+    # two writers race from the same parent: the second commit must
+    # surface, never silently overwrite v2
+    h1._commit(files, {"writer": 1}, parent=1)
+    with pytest.raises(ConcurrentCommitError):
+        h1._commit(files, {"writer": 2}, parent=1)
+    assert h1.meta()["writer"] == 1  # the first commit survived intact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_register_files_missing_part_fails_loud(tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    d = vt.new_txn_dir()
+    import os
+
+    ghost = os.path.join(d, "part-dead.parquet")
+    with pytest.raises(FileNotFoundError, match="do not exist"):
+        vt.register_files([ghost])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_meta_cursor_survives_metaless_commits(tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.append(t(["a"], [1]), meta={"iteration": 7})
+    vt.append(t(["b"], [2]))  # no meta — must not wipe the cursor
+    assert vt.meta()["iteration"] == 7
+    d = vt.new_txn_dir()
+    vt.register_files([])  # empty metaless commit, same rule
+    assert vt.meta()["iteration"] == 7
+    vt.append(t(["c"], [3]), meta={})  # explicit {} clears
+    assert vt.meta() == {}
