@@ -45,7 +45,6 @@ from hydra_ray.stages.checks_stage import build_checks_batch
 from hydra_ray.stages.fetcher import Fetcher
 from hydra_ray.stages.frontier import select_batch
 from hydra_ray.stages.sinks import IterationSink
-from hydra_ray.stages.spans import build_spans_batch
 from hydra_ray.state.politeness import PolitenessPool
 from hydra_ray.state.urlseen import UrlSeenPool
 
@@ -56,27 +55,6 @@ class ResourceDeleted(KeyError):
     """Raised for on-demand checks of tombstoned resources (the API maps
     it to 410 Gone). A dedicated type — classifying by exception text
     would misfire on a resource id that happens to contain the text."""
-
-_CHECK_COLS = [
-    "check_id",
-    "resource_id",
-    "dataset_id",
-    "url",
-    "domain",
-    "created_at",
-    "check_status",
-    "check_headers",
-    "check_cors_headers",
-    "check_timeout",
-    "response_time",
-    "check_error",
-    "checksum",
-    "filesize",
-    "mime_type",
-    "analysis_error",
-    "detected_last_modified_at_new",
-    "next_check_at",
-]
 
 
 class CrawlEngine:
@@ -184,9 +162,11 @@ class CrawlEngine:
         shards learn every canonical url_key.
         """
         if isinstance(seed, pa.Table):
+            seed_cols = set(seed.schema.names)
             seed_ds = rd.from_arrow(seed)
         else:
             seed_ds = seed
+            seed_cols = set(seed_ds.schema().names)
         canon = seed_ds.map_batches(canonicalize_batch, batch_format="pyarrow")
         canon = canon.map_batches(_add_frontier_columns, batch_format="pyarrow")
         tbl = _ds_to_arrow(canon)
@@ -233,6 +213,15 @@ class CrawlEngine:
             )
             keep = pc.or_(pa.array(is_new), known_rid)
             tbl = tbl.filter(keep)
+            # a reload refreshes seed METADATA but must not reset crawl
+            # state: merge_insert is a full-row last-wins replace and the
+            # incoming rows carry NULL/default state columns (filled by
+            # _add_frontier_columns) — without this overlay, every reload
+            # reverted the whole frontier to tier-2 "never checked" and
+            # fired a change-detection re-parse storm. State a caller
+            # EXPLICITLY provides in the seed still wins.
+            preserve = [c for c in self._STATE_COLS if c not in seed_cols]
+            tbl = self._carry_stored_columns(tbl, preserve, live_only=True)
             self.catalog.merge_insert(tbl, key="resource_id", meta={"iteration": self.iteration})
             self._frontier_cache = None
         if self._purged_resource_ids:
@@ -638,6 +627,16 @@ class CrawlEngine:
         self.politeness.record_agg(_politeness_records(result), self.now_epoch(it))
         upd = _frontier_update_fetched(result, now)
         cache = self._frontier_cache
+        missing = [
+            c
+            for c in (
+                cache.column_names
+                if cache is not None
+                else (self.catalog.schema().names if not self.catalog.is_empty() else [])
+            )
+            if c not in upd.column_names
+        ]
+        upd = self._carry_stored_columns(upd, missing)
         if cache is not None:
             survivors = cache.filter(
                 pc.invert(pc.is_in(cache["resource_id"], value_set=upd["resource_id"].combine_chunks() if isinstance(upd["resource_id"], pa.ChunkedArray) else upd["resource_id"]))
@@ -645,6 +644,10 @@ class CrawlEngine:
             upd_cast = upd.select(survivors.column_names).cast(survivors.schema)
             self._frontier_cache = pa.concat_tables([survivors, upd_cast])
         self.catalog.merge_insert(upd, key="resource_id", meta={"iteration": it})
+        # the on-demand check advanced politeness actor state; checkpoint
+        # it so a crash before the next iteration resumes the SAME
+        # per-domain window timeline the committed check row implies
+        self._save_state()
         check = {
             "check_id": int(result["check_id"][0].as_py()),
             "resource_id": result["resource_id"][0].as_py(),
@@ -690,10 +693,35 @@ class CrawlEngine:
         from datetime import timedelta
 
         cat = self._frontier()
-        if not isinstance(cat, pa.Table):
-            cat = self.catalog.read_arrow()
         now = self.now_dt()
         threshold = np.datetime64(now - timedelta(seconds=config.STUCK_THRESHOLD_SECONDS), "us")
+        if not isinstance(cat, pa.Table):
+            # 10^10-row path: detect stale rows distributed over two
+            # projected columns, pull only the (rare) stuck ids, and fix
+            # them with a merge-on-read update — never a full-width
+            # driver read + wholesale overwrite
+            thr = pa.scalar(threshold.item(), type=pa.timestamp("us"))
+
+            def stuck_ids(b: pa.Table) -> pa.Table:
+                stale_b = pc.and_(
+                    pc.invert(pc.is_null(b["status"])),
+                    pc.fill_null(pc.less(b["status_since"], thr), True),
+                )
+                return b.filter(stale_b).select(["resource_id"])
+
+            ids = _ds_to_arrow(
+                self.catalog.read(
+                    columns=["resource_id", "status", "status_since"]
+                ).map_batches(stuck_ids, batch_format="pyarrow")
+            )["resource_id"].to_pylist()
+            if ids:
+                self.catalog.update_where(
+                    "resource_id", ids,
+                    set_values={"status": None, "status_since": now},
+                    meta={"iteration": self.iteration},
+                )
+                self.invalidate_frontier_cache()
+            return len(ids)
         status_set = pc.invert(pc.is_null(cat["status"]))
         since = cat["status_since"]
         stale = pc.and_(
@@ -738,19 +766,7 @@ class CrawlEngine:
             tbl = self.documents.read_arrow()
         if "_iter" not in tbl.column_names:
             return tbl
-        import pandas as pd_
-
-        order = pd_.DataFrame(
-            {"doc_id": tbl["doc_id"].to_pylist(), "_iter": tbl["_iter"].to_pylist()}
-        )
-        keep = (
-            order.reset_index()
-            .sort_values(["doc_id", "_iter", "index"])
-            .groupby("doc_id", as_index=False)
-            .tail(1)["index"]
-            .to_numpy()
-        )
-        return tbl.take(pa.array(np.sort(keep))).drop_columns(["_iter"])
+        return self._dedup_docs_table(tbl).drop_columns(["_iter"])
 
     def purge_documents(self, doc_ids: list[str], defer: bool = False) -> dict:
         """Remove documents (all their ``_iter`` versions) WITHOUT
@@ -827,17 +843,91 @@ class CrawlEngine:
         return tbl.take(pa.array(np.sort(keep)))
 
     # -- internals ---------------------------------------------------------
-    def _build_documents(self, parse_rows: pa.Table) -> pa.Table:
-        urls = parse_rows["url"].to_pylist()
-        rids = parse_rows["resource_id"].to_pylist()
-        epoch = self.transport.get("epoch", 0) if isinstance(self.transport, dict) else 0
-        from hydra_ray import synth
-
-        texts = [synth.synthetic_text(u, epoch=epoch) for u in urls]
-        src = pa.table({"doc_id": pa.array(rids, type=pa.string()), "text": pa.array(texts)})
-        return build_spans_batch(src)
-
     CACHE_MAX_ROWS = 2_000_000
+
+    # catalog columns that hold CRAWL STATE (vs seed metadata): a reload
+    # or upsert must never reset them to defaults unless the caller
+    # explicitly provides values — the reference's catalog refresh
+    # (cli/catalog.py:20-98) updates resource metadata while checks /
+    # scheduling live untouched in their own tables
+    _STATE_COLS = [
+        "status", "status_since", "priority",
+        "last_check_id", "last_check_at", "last_status", "last_timeout",
+        "last_error", "last_headers", "last_cors_headers",
+        "last_checksum", "last_filesize", "last_mime_type",
+        "detected_last_modified_at", "next_check_at",
+    ]
+
+    def _stored_rows_for(self, ids, columns: list[str]) -> pa.Table | None:
+        """resource_id + `columns` for catalog rows matching `ids`
+        (cache → driver read → distributed semi-join probe, by size;
+        the pulled table is O(matching ids), never O(catalog))."""
+        if self.catalog.is_empty():
+            return None
+        cache = self._frontier_cache
+        if cache is not None:
+            have = ["resource_id"] + [c for c in columns if c in cache.column_names]
+            return cache.select(have) if len(have) > 1 else None
+        names = set(self.catalog.schema().names)
+        have = ["resource_id"] + [c for c in columns if c in names]
+        if len(have) == 1:
+            return None
+        if self.catalog.count() <= self.CACHE_MAX_ROWS:
+            return self.catalog.read_arrow(columns=have)
+        import ray as _ray
+
+        ids_ref = _ray.put(ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids)
+
+        def probe(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["resource_id"], value_set=_ray.get(ids_ref)))
+
+        return _ds_to_arrow(
+            self.catalog.read(columns=have).map_batches(probe, batch_format="pyarrow")
+        )
+
+    def _carry_stored_columns(
+        self, tbl: pa.Table, cols: list[str], live_only: bool = False
+    ) -> pa.Table:
+        """Give `tbl`'s rows the currently stored catalog values for
+        `cols`, matched by resource_id (rows new to the catalog keep
+        their incoming value / null). Columns already in `tbl` are
+        overridden for known rows; absent ones are appended — this is
+        what lets passenger/added catalog columns and reload-preserved
+        state survive a full-row merge_insert. ``live_only`` skips rows
+        whose STORED row is tombstoned: a re-registered deleted resource
+        returns as fresh (no last_checksum), so its next check re-parses
+        and re-creates the documents its purge entry removed."""
+        cols = [c for c in cols if c != "resource_id"]
+        if not cols or self.catalog.is_empty() or not tbl.num_rows:
+            return tbl
+        fetch = cols + ["deleted"] if live_only and "deleted" not in cols else cols
+        stored = self._stored_rows_for(tbl["resource_id"], fetch)
+        if stored is None or not stored.num_rows:
+            return tbl
+        if live_only and "deleted" in stored.column_names:
+            stored = stored.filter(
+                pc.invert(pc.fill_null(stored["deleted"], False))
+            )
+            if "deleted" not in cols:
+                stored = stored.drop_columns(["deleted"])
+            if not stored.num_rows:
+                return tbl
+        idx = pc.index_in(tbl["resource_id"], value_set=stored["resource_id"].combine_chunks())
+        known = pc.is_valid(idx)
+        for c in cols:
+            if c not in stored.column_names:
+                continue
+            vals = stored[c].take(idx)  # null rows where idx is null
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if c in tbl.column_names:
+                cur = tbl[c]
+                if vals.type != cur.type:
+                    vals = vals.cast(cur.type)
+                tbl = _set_column(tbl, c, pc.if_else(known, vals, cur))
+            else:
+                tbl = tbl.append_column(c, vals)
+        return tbl
 
     def _frontier(self) -> "rd.Dataset | pa.Table":
         if self._frontier_cache is not None:
@@ -849,6 +939,22 @@ class CrawlEngine:
 
     def _finish_iteration(self, updates: list[pa.Table], stats: dict) -> None:
         now = self.now_dt(self.iteration)
+        # stats rows commit BEFORE the catalog meta advances (a crash in
+        # between reruns the iteration and the tagged register replaces
+        # them; the old order — append after the commit — could leave a
+        # committed iteration with its stats rows lost forever)
+        self._append_metrics_tagged(
+            pa.table(
+                {
+                    "iteration": pa.array([stats["iteration"]] * len(stats), type=pa.int64()),
+                    "partition": pa.array([0] * len(stats), type=pa.int32()),
+                    "metric": pa.array(list(stats.keys())),
+                    "value": pa.array([float(v) for v in stats.values()], type=pa.float64()),
+                    "created_at": pa.array([now] * len(stats), type=pa.timestamp("us")),
+                }
+            ),
+            tag=f"iter{stats['iteration']}stats",
+        )
         # persist politeness/URL-seen state for iteration+1 BEFORE the
         # catalog manifest advances to iteration+1: a crash in between
         # then leaves meta=N with state files for both N and N+1 (restore
@@ -856,6 +962,21 @@ class CrawlEngine:
         self._save_state(self.iteration + 1)
         if updates:
             upd = pa.concat_tables(updates, promote_options="default")
+            # passenger catalog columns (extra seed metadata, add_column
+            # evolution) are outside _FRONTIER_COLS, so the update rows
+            # lack them — carry the stored values for the touched rows or
+            # the select below crashes (cached) / the merge null-fills
+            # them (uncached)
+            missing = [
+                c
+                for c in (
+                    self._frontier_cache.column_names
+                    if self._frontier_cache is not None
+                    else (self.catalog.schema().names if not self.catalog.is_empty() else [])
+                )
+                if c not in upd.column_names
+            ]
+            upd = self._carry_stored_columns(upd, missing)
             cache = self._frontier_cache
             if cache is not None:
                 # driver merge against the cached frontier (no read)
@@ -896,17 +1017,19 @@ class CrawlEngine:
                 )
         else:
             self.catalog.commit_meta({"iteration": self.iteration + 1})
-        metrics = pa.table(
-            {
-                "iteration": pa.array([stats["iteration"]] * len(stats), type=pa.int64()),
-                "partition": pa.array([0] * len(stats), type=pa.int32()),
-                "metric": pa.array(list(stats.keys())),
-                "value": pa.array([float(v) for v in stats.values()], type=pa.float64()),
-                "created_at": pa.array([now] * len(stats), type=pa.timestamp("us")),
-            }
-        )
-        self.metrics.append(metrics)
         self.iteration += 1
+
+    def _append_metrics_tagged(self, tbl: pa.Table, tag: str) -> None:
+        """Metrics commit with the same crash-rerun idempotency as the
+        data tables: a rerun of the iteration REPLACES the crashed
+        attempt's rows (plain append would duplicate them — including
+        lineage rows naming superseded part files)."""
+        import pyarrow.parquet as pq
+
+        d = self.metrics.new_txn_dir(tag=tag)
+        out = os.path.join(d, "part-0.parquet")
+        pq.write_table(tbl, out, compression="snappy")
+        self.metrics.register_files([out], replace_tag=tag)
 
     def _record_lineage(self, iteration: int, files: list[str], now: datetime) -> None:
         """Per-partition lineage rows (north rule): one metrics row per
@@ -918,7 +1041,7 @@ class CrawlEngine:
 
         rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
         n = len(files)
-        self.metrics.append(
+        self._append_metrics_tagged(
             pa.table(
                 {
                     "iteration": pa.array([iteration] * n, type=pa.int64()),
@@ -927,7 +1050,8 @@ class CrawlEngine:
                     "value": pa.array([float(r) for r in rows], type=pa.float64()),
                     "created_at": pa.array([now] * n, type=pa.timestamp("us")),
                 }
-            )
+            ),
+            tag=f"iter{iteration}lin",
         )
 
     # -- crawl-state checkpoints (per-shard files, write-then-commit) ------
@@ -1087,7 +1211,10 @@ def _frontier_update_backoff(rows: pa.Table, now: datetime) -> pa.Table:
     out = rows.select([c for c in _FRONTIER_COLS if c in rows.column_names])
     out = _set_column(out, "status", pa.array(["BACKOFF"] * n))
     out = _set_column(out, "status_since", pa.array([now] * n, type=pa.timestamp("us")))
-    out = _set_column(out, "priority", pa.array([False] * n))
+    # priority survives a quota backoff: the check the flag requested
+    # has NOT run yet — clearing it here silently demoted an explicitly
+    # requested check to its regular schedule (only a completed fetch
+    # resets it, see _frontier_update_fetched)
     return out
 
 
