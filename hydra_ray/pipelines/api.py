@@ -343,12 +343,19 @@ class EngineApi:
 
     def delete_resource(self, resource_id: str) -> dict:
         """DELETE /api/resources/{id} (routes/resources.py:94-107):
-        mark deleted=True (tombstone; the frontier excludes deleted)."""
-        cat = self.engine.catalog.read_arrow()
-        mask = pc.equal(cat["resource_id"], resource_id)
-        if not pc.any(mask).as_py():
+        mark deleted=True (tombstone; the frontier excludes deleted).
+        The row lookup routes through the zone-map-pruned path above
+        DRIVER_LOOKUP_MAX_ROWS, like every other serving lookup — a
+        tombstone must not scan the full catalog at 10^10 rows."""
+        cat_t = self.engine.catalog
+        if not cat_t.is_empty() and cat_t.count() > self.DRIVER_LOOKUP_MAX_ROWS:
+            matched = cat_t.read_where_arrow("resource_id", [resource_id])
+        else:
+            cat = cat_t.read_arrow()
+            matched = cat.filter(pc.equal(cat["resource_id"], resource_id))
+        if matched.num_rows == 0:
             raise NotFound(resource_id)
-        row = cat.filter(mask).slice(0, 1)
+        row = matched.slice(0, 1)
         row = row.set_column(row.column_names.index("deleted"), "deleted", pa.array([True]))
         self.engine.catalog.merge_insert(row, key="resource_id")
         # the driver-held frontier cache predates this tombstone; the

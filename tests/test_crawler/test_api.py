@@ -251,6 +251,26 @@ class TestDistributedLookupPath:
         with pytest.raises(NotFound):
             api.get_all_checks(resource_id="nope")
 
+    def test_delete_resource_pruned_path(self, api, monkeypatch):
+        """delete_resource's row lookup routes through read_where_arrow
+        above the threshold: the tombstone it commits is identical to
+        the driver-path one (full-width row, deleted=True), NotFound
+        still raises, and the frontier cache is invalidated."""
+        import pyarrow.compute as pc
+
+        cat = api.engine.catalog.read_arrow()
+        rid = cat["resource_id"][3].as_py()
+        monkeypatch.setattr(EngineApi, "DRIVER_LOOKUP_MAX_ROWS", 0)
+        assert api.delete_resource(rid) == {"message": "deleted"}
+        after = api.engine.catalog.read_arrow()
+        row = after.filter(pc.equal(after["resource_id"], rid))
+        assert row.num_rows == 1 and row["deleted"][0].as_py() is True
+        assert set(after.column_names) == set(cat.column_names)
+        with pytest.raises(Gone):
+            api.create_check(rid)
+        with pytest.raises(NotFound):
+            api.delete_resource("not-a-resource")
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_deleted_resource_cannot_be_rechecked(api):
