@@ -1317,6 +1317,16 @@ class VersionedTable:
             return self._read_files_merged(
                 files, deletes, added, columns, eq, m.get("file_versions")
             )
+        # heterogeneous appends (a column only SOME files carry, without
+        # add_column) must still emit the canonical layout in EVERY block:
+        # plain read_parquet hands each file's own schema downstream, so a
+        # map_batches touching the newer column crashes on older blocks.
+        # Same homogeneity gate as read_where; schema probe is cached.
+        schemas = self._file_schemas(files)
+        if len({tuple(ns) for ns in schemas.values()}) > 1:
+            return self._read_files_merged(
+                files, {}, [], columns, [], m.get("file_versions")
+            )
         return rd.read_parquet(files, columns=columns, **kwargs)
 
     def read_arrow(self, version: int | None = None, columns: list[str] | None = None) -> pa.Table:

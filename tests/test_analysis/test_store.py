@@ -554,6 +554,31 @@ class TestReviewHardening:
         rows = sorted(vt.read().take_all(), key=lambda r: r["k"])
         assert [r["extra"] for r in rows] == [None, "x"]
 
+    def test_heterogeneous_read_canonical_in_every_block(self, tmp_path):
+        """Plain read() (no deletes/adds/eq) over heterogeneous files must
+        emit the canonical layout in EVERY block — a downstream
+        map_batches touching the newer column would otherwise crash on
+        blocks from older files (ray read_parquet hands each file's own
+        schema through)."""
+        vt = VersionedTable(str(tmp_path / "h"))
+        vt.append(t(["a", "b"], [1, 2]))
+        vt.append(
+            pa.table({"k": ["c"], "v": pa.array([3], pa.int64()), "extra": ["x"]})
+        )
+
+        def touch_extra(tb: pa.Table) -> pa.Table:
+            assert tb.column_names == ["k", "v", "extra"]  # canonical order
+            return tb.select(["k", "extra"])
+
+        rows = sorted(
+            vt.read().map_batches(touch_extra, batch_format="pyarrow").take_all(),
+            key=lambda r: r["k"],
+        )
+        assert [r["extra"] for r in rows] == [None, None, "x"]
+        # column projection still honored on the merged path
+        got = sorted(vt.read(columns=["extra", "k"]).take_all(), key=lambda r: r["k"])
+        assert [list(r.keys()) for r in got] == [["extra", "k"]] * 3
+
     def test_update_rewriting_partition_key_stays_correct(self, tmp_path):
         def ti(ids, vals):
             return pa.table(
