@@ -157,8 +157,19 @@ def test_hnsw_shard_killed_fails_loud_and_retry_is_deterministic():
     qids = np.arange(4, dtype=np.int64)
     ray.get(actor.query.remote(qids, qm, 1, 48))  # alive: answers
     ray.kill(actor)
+    # ray.kill is async (GCS RPC) while task submission goes direct to
+    # the actor, so one query submitted immediately after the kill can
+    # still be served. Poll: every pre-kill-delivery call must SUCCEED
+    # (never a partial/empty candidate set) and the first post-delivery
+    # call must raise RayActorError — the loud-failure contract.
+    import time
+
     with pytest.raises(ray.exceptions.RayActorError):
-        ray.get(actor.query.remote(qids, qm, 1, 48))
+        for _ in range(200):
+            out = ray.get(actor.query.remote(qids, qm, 1, 48))
+            # alive ⇒ full answer table (k=1 row per query), never partial
+            assert out is not None and out.num_rows == len(qids)
+            time.sleep(0.05)
 
 
 @pytest.mark.usefixtures("ray_session")
