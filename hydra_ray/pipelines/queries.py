@@ -1705,17 +1705,20 @@ ORACLE_OGC_CAPABILITIES = """
         CAST(CAST(('0x'||substr(h,3,2)) AS INT) % 97 AS VARCHAR) AS lbase,
         CAST(('0x'||substr(h,5,2)) AS INT) % 3 AS vidx,
         1 + (CAST(('0x'||substr(h,7,2)) AS INT) % 2) AS n_crs,
-        1 + (CAST(('0x'||substr(h,9,2)) AS INT) % 2) AS n_fmt
+        1 + (CAST(('0x'||substr(h,9,2)) AS INT) % 2) AS n_fmt,
+        CAST(('0x'||substr(h,11,2)) AS INT) % 2 AS served
       FROM dg
     )
     SELECT doc_id,
       '{"crs": ["EPSG:4326"' || CASE WHEN n_crs = 2 THEN ', "EPSG:3857"' ELSE '' END || '], ' ||
-      '"detected_layer": "ns:layer_' || lyr || '", ' ||
+      '"detected_layer": ' ||
+        CASE WHEN served = 0 THEN '"ns:layer_' || lyr || '"' ELSE 'null' END || ', ' ||
       '"layers": ["ns:layer_' || lbase || '_0"' ||
          CASE WHEN n_layers >= 2 THEN ', "ns:layer_' || lbase || '_1"' ELSE '' END ||
          CASE WHEN n_layers >= 3 THEN ', "ns:layer_' || lbase || '_2"' ELSE '' END ||
          CASE WHEN n_layers >= 4 THEN ', "ns:layer_' || lbase || '_3"' ELSE '' END ||
          CASE WHEN n_layers >= 5 THEN ', "ns:layer_' || lbase || '_4"' ELSE '' END ||
+         CASE WHEN served = 0 THEN ', "ns:layer_' || lyr || '"' ELSE '' END ||
       '], "output_formats": ["application/json"' || CASE WHEN n_fmt = 2 THEN ', "GML2"' ELSE '' END || '], ' ||
       '"service_type": "wfs", "version": "' ||
       CASE vidx WHEN 0 THEN '2.0.0' WHEN 1 THEN '1.1.0' ELSE '1.0.0' END || '"}' AS ogc_metadata
@@ -5927,12 +5930,14 @@ WITH cat AS (
 ), ogc AS (
   SELECT url,
     '{"crs": ["EPSG:4326"' || CASE WHEN n_crs = 2 THEN ', "EPSG:3857"' ELSE '' END || '], ' ||
-    '"detected_layer": "ns:layer_' || lyr || '", ' ||
+    '"detected_layer": ' ||
+      CASE WHEN served = 0 THEN '"ns:layer_' || lyr || '"' ELSE 'null' END || ', ' ||
     '"layers": ["ns:layer_' || lbase || '_0"' ||
        CASE WHEN n_layers >= 2 THEN ', "ns:layer_' || lbase || '_1"' ELSE '' END ||
        CASE WHEN n_layers >= 3 THEN ', "ns:layer_' || lbase || '_2"' ELSE '' END ||
        CASE WHEN n_layers >= 4 THEN ', "ns:layer_' || lbase || '_3"' ELSE '' END ||
        CASE WHEN n_layers >= 5 THEN ', "ns:layer_' || lbase || '_4"' ELSE '' END ||
+       CASE WHEN served = 0 THEN ', "ns:layer_' || lyr || '"' ELSE '' END ||
     '], "output_formats": ["application/json"' || CASE WHEN n_fmt = 2 THEN ', "GML2"' ELSE '' END || '], ' ||
     '"service_type": "wfs", "version": "' ||
     CASE vidx WHEN 0 THEN '2.0.0' WHEN 1 THEN '1.1.0' ELSE '1.0.0' END || '"}' AS meta
@@ -5943,6 +5948,7 @@ WITH cat AS (
       CAST(('0x'||substr(h,5,2)) AS INT) % 3 AS vidx,
       1 + (CAST(('0x'||substr(h,7,2)) AS INT) % 2) AS n_crs,
       1 + (CAST(('0x'||substr(h,9,2)) AS INT) % 2) AS n_fmt,
+      CAST(('0x'||substr(h,11,2)) AS INT) % 2 AS served,
       CAST(doc_id % 13 AS VARCHAR) AS lyr
     FROM (SELECT url, doc_id, md5('wfs:' || url) AS h FROM ok WHERE route = 2)
   )

@@ -12,8 +12,10 @@ Reference semantics:
 
 The Ray mapping is a ``map_batches`` stage emitting a ``feature``
 string column plus a file sink that writes one FeatureCollection per
-partition (resumable layout). GeoJSON→PMTiles requires the external
-tippecanoe binary — gated stub (``to_pmtiles``).
+partition (resumable layout). GeoJSON→PMTiles is REAL (no tippecanoe):
+``to_pmtiles`` (driver, single file) and ``features_to_pmtiles``
+(distributed) both use the stdlib PMTiles v3 + MVT codec in
+sources/pmtiles.py.
 """
 
 from __future__ import annotations

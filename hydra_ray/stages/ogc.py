@@ -32,21 +32,35 @@ _VERSIONS = {"wfs": ["2.0.0", "1.1.0", "1.0.0"], "wms": ["1.3.0", "1.1.1"]}
 
 
 def detect_layer_name(url: str, title: str | None) -> str | None:
-    """typeName/typeNames query param wins; else a regex-valid title."""
-    q = parse_qs(urlparse(url).query.lower())
-    for param in ("typename", "typenames"):
-        if param in q and q[param]:
-            return q[param][0]
+    """typeName/typeNames query param wins; else a regex-valid title.
+
+    Reference ogc/__init__.py:256-267: the param KEY lookup is
+    case-insensitive but the VALUE keeps its case (layer names are
+    case-sensitive), and a value that fails the layer-name regex falls
+    through to the title instead of being returned."""
+    q = parse_qs(urlparse(url).query)
+    for key, values in q.items():
+        if key.lower() in ("typename", "typenames") and values and LAYER_NAME_RE.match(values[0]):
+            return values[0]
     if title and LAYER_NAME_RE.match(title):
         return title
     return None
 
 
 def synthetic_capabilities(service_url: str, fmt: str) -> dict:
-    """Deterministic stand-in for a GetCapabilities response."""
+    """Deterministic stand-in for a GetCapabilities response.
+
+    When the probed URL carries a typeName, the synthetic server
+    SERVES that layer for half the URL space (md5-parity gate) — real
+    services usually do list the layer a resource links to, and the
+    split keeps both detected-layer branches (exact match kept /
+    unlisted candidate discarded) live in the oracled queries."""
     digest = hashlib.md5(f"{fmt}:{service_url}".encode()).digest()
     n_layers = 1 + digest[0] % 5
     layers = [f"ns:layer_{digest[1] % 97}_{i}" for i in range(n_layers)]
+    requested = detect_layer_name(service_url, None)
+    if requested and digest[5] % 2 == 0 and requested not in layers:
+        layers.append(requested)
     version = _VERSIONS[fmt][digest[2] % len(_VERSIONS[fmt])]
     return {
         "service_type": fmt,
@@ -211,7 +225,12 @@ def analyse_ogc(check: dict, transport=None, title: str | None = None) -> dict |
         caps = parse_capabilities_xml(transport.capabilities_xml(url, fmt))
     else:
         caps = parse_capabilities_xml(synthetic_capabilities_xml(url, fmt))
+    # reference ogc/__init__.py:196-209: keep the candidate only when it
+    # matches a served layer — exact first (namespace included), else a
+    # local-name match resolved to the UNIQUE namespaced layer, else None
     detected = detect_layer_name(url, title)
-    if detected not in (caps.get("layers") or []):
-        detected = detected  # kept even if unlisted (reference warns only)
+    layers = caps.get("layers") or []
+    if detected and detected not in layers:
+        matches = [l for l in layers if l.split(":")[-1] == detected]
+        detected = matches[0] if len(matches) == 1 else None
     return {**caps, "detected_layer": detected}

@@ -43,6 +43,49 @@ def test_ogc_layer_name_detection():
     assert detect_layer_name("https://a/wfs?typenames=ns:rivers", "t") == "ns:rivers"
     assert detect_layer_name("https://a/wfs", "ns:valid_name") == "ns:valid_name"
     assert detect_layer_name("https://a/wfs", "not a layer name!") is None
+    # key lookup is case-insensitive but the VALUE keeps its case
+    # (reference ogc/__init__.py:260-263) — layer names are case-sensitive
+    assert detect_layer_name("https://a/wfs?TYPENAME=ns:Roads_A", None) == "ns:Roads_A"
+    # a regex-invalid param value falls through to the title
+    assert detect_layer_name("https://a/wfs?typeName=bad name!", "ns:t") == "ns:t"
+
+
+def test_ogc_detected_layer_match_semantics():
+    """Reference ogc/__init__.py:196-209: exact match kept, unlisted
+    candidate discarded, namespace-less candidate resolved to the
+    UNIQUE namespaced layer, ambiguous local names dropped."""
+
+    class T:
+        def __init__(self, layers):
+            self.layers = layers
+
+        def capabilities(self, url, fmt):
+            return {
+                "service_type": "wfs",
+                "version": "2.0.0",
+                "layers": self.layers,
+                "crs": [],
+                "output_formats": [],
+            }
+
+    with config_override(OGC_ANALYSIS_ENABLED=True):
+        url = "https://a/wfs?typeName=ns:roads"
+        # exact (namespace included)
+        m = analyse_ogc({"url": url, "format": "wfs"}, transport=T(["ns:roads", "x:other"]))
+        assert m["detected_layer"] == "ns:roads"
+        # unlisted candidate is discarded, not kept
+        m = analyse_ogc({"url": url, "format": "wfs"}, transport=T(["x:other"]))
+        assert m["detected_layer"] is None
+        # namespace-less candidate resolves to the unique namespaced layer
+        url2 = "https://a/wfs?typeName=roads"
+        m = analyse_ogc({"url": url2, "format": "wfs"}, transport=T(["ns:roads", "x:other"]))
+        assert m["detected_layer"] == "ns:roads"
+        # ...but an ambiguous local name matches nothing
+        m = analyse_ogc({"url": url2, "format": "wfs"}, transport=T(["ns:roads", "x:roads"]))
+        assert m["detected_layer"] is None
+        # empty layer list: nothing to validate against, candidate dropped
+        m = analyse_ogc({"url": url, "format": "wfs"}, transport=T([]))
+        assert m["detected_layer"] is None
 
 
 def test_ogc_analyse_gated_and_deterministic():
@@ -51,7 +94,10 @@ def test_ogc_analyse_gated_and_deterministic():
     with config_override(OGC_ANALYSIS_ENABLED=True):
         meta = analyse_ogc(check)
         assert meta["service_type"] == "wfs"
+        # this URL's md5-parity is in the "served" half: the synthetic
+        # capabilities list the requested layer, so the exact match keeps it
         assert meta["detected_layer"] == "ns:roads"
+        assert "ns:roads" in meta["layers"]
         assert meta["layers"] and meta["version"] in ("2.0.0", "1.1.0", "1.0.0")
         assert analyse_ogc(check) == meta  # deterministic
         # non-OGC rows pass through

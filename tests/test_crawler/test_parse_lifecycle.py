@@ -118,7 +118,10 @@ def test_parse_export_lifecycle_e2e(tmp_path, make_crawl_engine):
     assert wfs["ogc_metadata"] is not None
     meta = json.loads(wfs["ogc_metadata"])
     assert meta["service_type"] == "wfs"
-    assert meta["detected_layer"] == "ns:layer_3"
+    # this URL's md5-parity puts it in the "candidate not served" half:
+    # the reference discards an unlisted typeName (ogc/__init__.py:196-209)
+    assert meta["detected_layer"] is None
+    assert "ns:layer_3" not in meta["layers"]
     from hydra_ray.config import config_override
     from hydra_ray.stages.ogc import analyse_ogc
 
