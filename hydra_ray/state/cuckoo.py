@@ -35,6 +35,9 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_STASH_MAX = 64
+
+
 class CuckooFilter:
     def __init__(self, capacity: int = 1 << 20, seed: int = 7):
         # buckets = next pow2 of capacity/SLOTS (target load ≤ ~0.95)
@@ -46,6 +49,12 @@ class CuckooFilter:
         self.seed = np.uint64(seed)
         self.table = np.zeros((nb, _SLOTS), dtype=np.uint16)  # 0 == empty
         self.count = 0
+        # victim stash (Fan et al. §4): a failed kick chain would drop the
+        # in-hand fingerprint — a FALSE NEGATIVE for a previously inserted
+        # key. Stash (bucket_idx, fp) pairs instead; checked by contains/
+        # delete. When the stash is full, inserts refuse up front (no
+        # eviction attempted), so an inserted key is always findable.
+        self.stash: list[tuple[int, int]] = []
 
     # -- hashing ----------------------------------------------------------
     def _fp(self, keys: np.ndarray) -> np.ndarray:
@@ -66,7 +75,13 @@ class CuckooFilter:
         i2 = self._alt(i1, fp)
         hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
         hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
-        return hit1 | hit2
+        out = hit1 | hit2
+        # a stashed victim lives in one of ITS two valid buckets, so a
+        # query matches when the fp agrees and the stash bucket is one of
+        # the query key's buckets (stash is ≤ _STASH_MAX entries)
+        for sidx, sfp in self.stash:
+            out |= (fp == np.uint16(sfp)) & ((i1 == np.uint64(sidx)) | (i2 == np.uint64(sidx)))
+        return out
 
     def insert_batch(self, keys: np.ndarray) -> np.ndarray:
         """Insert keys; returns bool array (False where the filter is full)."""
@@ -87,6 +102,10 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
+        if len(self.stash) >= _STASH_MAX:
+            # no room to absorb a failed kick chain's victim — refuse the
+            # NEW key before evicting anything (no silent loss)
+            return False
         # evict loop
         rng_state = np.uint64(i1) ^ np.uint64(fp)
         idx = i1
@@ -102,7 +121,11 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
-        return False
+        # kick chain exhausted: ``cur`` is some previously inserted key's
+        # fingerprint (or the new one) — stash it so it stays findable
+        self.stash.append((idx, int(cur)))
+        self.count += 1
+        return True
 
     def delete_batch(self, keys: np.ndarray) -> np.ndarray:
         keys = keys.astype(np.uint64, copy=False)
@@ -119,6 +142,13 @@ class CuckooFilter:
                     self.count -= 1
                     out[j] = True
                     break
+            if not out[j] and self.stash:
+                for s, (sidx, sfp) in enumerate(self.stash):
+                    if sfp == int(fp[j]) and sidx in (int(i1[j]), int(i2[j])):
+                        del self.stash[s]
+                        self.count -= 1
+                        out[j] = True
+                        break
         return out
 
     @property
@@ -128,7 +158,8 @@ class CuckooFilter:
     # -- checkpoint serialization ----------------------------------------
     def to_bytes(self) -> bytes:
         header = np.array([self.nbuckets, int(self.seed), self.count], dtype=np.int64)
-        return header.tobytes() + self.table.tobytes()
+        stash = np.array(self.stash or [], dtype=np.int64).reshape(-1, 2)
+        return header.tobytes() + self.table.tobytes() + stash.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
@@ -138,5 +169,9 @@ class CuckooFilter:
         f.mask = np.uint64(f.nbuckets - 1)
         f.seed = np.uint64(header[1])
         f.count = int(header[2])
-        f.table = np.frombuffer(blob[24:], dtype=np.uint16).reshape(f.nbuckets, _SLOTS).copy()
+        table_end = 24 + f.nbuckets * _SLOTS * 2
+        f.table = np.frombuffer(blob[24:table_end], dtype=np.uint16).reshape(f.nbuckets, _SLOTS).copy()
+        # trailing stash pairs (absent in pre-stash checkpoints)
+        tail = np.frombuffer(blob[table_end:], dtype=np.int64).reshape(-1, 2)
+        f.stash = [(int(a), int(b)) for a, b in tail]
         return f

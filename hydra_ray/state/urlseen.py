@@ -58,6 +58,10 @@ class UrlSeenShard:
                     is_new[j] = k not in self.exact
                 else:
                     is_new[j] = False  # trust the filter (approximate mode)
+            elif self.exact is not None and k in self.exact:
+                # filter miss but the exact set knows the key: a refused
+                # insert (filter + stash full) must not re-admit the URL
+                is_new[j] = False
             if is_new[j]:
                 added.add(k)
         new_keys = keys[is_new]
@@ -69,11 +73,12 @@ class UrlSeenShard:
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = keys.astype(np.int64, copy=False)
-        maybe = self.filter.contains_batch(keys.view(np.uint64))
         if self.exact is not None:
-            exact = np.fromiter((int(k) in self.exact for k in keys), dtype=bool, count=len(keys))
-            return maybe & exact
-        return maybe
+            # the exact set is authoritative (superset of the filter's
+            # content — updated on every add, checkpointed wholly); the
+            # filter only short-circuits approximate mode
+            return np.fromiter((int(k) in self.exact for k in keys), dtype=bool, count=len(keys))
+        return self.filter.contains_batch(keys.view(np.uint64))
 
     def stats(self) -> dict:
         return {
